@@ -1,13 +1,71 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.ops._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator key from SURVEY.md §2 is registered here with a DuckDB
+  * oracle; the driver runs both at sf0.01 and hash-compares.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The continuous-aggregate recompute (init.sql:37-48 semantics).
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    RelationalOps.bucketAgg(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2A dataflow
+    "src_opcua" -> (DataflowOps.srcOpcua _),
+    "src_schema_discovery" -> (DataflowOps.srcSchemaDiscovery _),
+    "xform_envelope" -> (DataflowOps.xformEnvelope _),
+    "src_mqtt" -> (DataflowOps.srcMqtt _),
+    "snk_mqtt" -> (DataflowOps.snkMqtt _),
+    "src_kafka" -> (DataflowOps.srcKafka _),
+    "snk_kafka" -> (DataflowOps.snkKafka _),
+    "q_enrich_join" -> (DataflowOps.enrichJoin _),
+    "q_type_dispatch" -> (DataflowOps.typeDispatch _),
+    "snk_jdbc" -> (DataflowOps.snkJdbc _),
+    // §2B relational
+    "q_scan_filter" -> (RelationalOps.scanFilter _),
+    "q_last_value" -> (RelationalOps.lastValue _),
+    "q_latest_per_group" -> (RelationalOps.latestPerGroup _),
+    "q_in_list" -> (RelationalOps.inList _),
+    "q_coalesce_cast" -> (RelationalOps.coalesceCast _),
+    "q_time_range" -> (RelationalOps.timeRange _),
+    "q_raw_timeseries" -> (RelationalOps.rawTimeseries _),
+    "q_bucket_agg" -> (RelationalOps.bucketAgg _),
+    "q_notnull_filter" -> (RelationalOps.notnullFilter _),
+    "q_mv_minute" -> (RelationalOps.mvMinute _),
+    "q_mv_hourly" -> (RelationalOps.mvHourly _),
+    "q_mv_read" -> (RelationalOps.mvRead _),
+    "q_alarm_feed" -> (RelationalOps.alarmFeed _),
+    "q_union_types" -> (RelationalOps.unionTypes _),
+    // §2C alarm analytics
+    "q_deviation_immediate" -> (AlarmOps.deviationImmediate _),
+    "q_deviation_trend" -> (AlarmOps.deviationTrend _),
+    "q_feeder_low_edge" -> (AlarmOps.feederLowEdge _),
+    "q_feeder_empty_edge" -> (AlarmOps.feederEmptyEdge _),
+    "q_threshold_alarms" -> (AlarmOps.thresholdAlarms _),
+    "q_auto_recovery" -> (AlarmOps.autoRecovery _),
+    "q_order_progress" -> (AlarmOps.orderProgress _),
+    "q_alarm_retention" -> (AlarmOps.alarmRetention _),
+    // §2E extensions
+    "q_text_stats" -> (TextOps.textStats _),
+    "q_dedup_exact" -> (TextOps.dedupExact _),
+    "q_dedup_minhash" -> (DedupOps.dedupMinhash _),
+    "q_sim_topk" -> (SimilarityOps.simTopK _),
+    "q_sessionize" -> (SessionOps.sessionize _),
+    "q_approx_distinct" -> (SessionOps.approxDistinct _)
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    DataflowOps.oracles ++ RelationalOps.oracles ++ AlarmOps.oracles ++
+      TextOps.oracles ++ DedupOps.oracles ++ SimilarityOps.oracles ++
+      SessionOps.oracles
 }

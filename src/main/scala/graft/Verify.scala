@@ -16,9 +16,21 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val out = fn(spark, sfDir)
+        // Session TZ is UTC, so TIMESTAMP → TIMESTAMP_NTZ keeps the wall
+        // clock; parquet then stores naive µs (isAdjustedToUTC=false), the
+        // exact type DuckDB's oracle result has — tz-aware µs or INT96 ns
+        // would hash-mismatch in the driver's compare.
+        val casted = out.schema.fields.foldLeft(out) { (df, f) =>
+          f.dataType match {
+            case org.apache.spark.sql.types.TimestampType =>
+              df.withColumn(f.name, df.col(f.name).cast("timestamp_ntz"))
+            case _ => df
+          }
+        }
+        casted.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

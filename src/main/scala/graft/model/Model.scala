@@ -1,0 +1,57 @@
+package graft.model
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Shared schema surrogates and alarm constants.
+  *
+  * The reference stores one narrow EAV table `opcua_data(time, metric,
+  * value_num, value_str, operator)` (/root/reference/database/init.sql:2-8).
+  * We map it onto the driver's `events` table:
+  *
+  *   time      := ts
+  *   metric    := event_type
+  *   value_num := value
+  *   value_str := props, but only for 'error' rows (the "string metrics")
+  *   operator  := customer.c_name via user_id (enrichment join, §2A)
+  *
+  * Alarm thresholds mirror the reference's DeviationTracker and feeder logic
+  * (/root/reference/opcua_server/main.py:14-40,319-332,381-395) re-scaled to
+  * the events value domain [0.01, ~500].
+  */
+object Model {
+
+  /** value_str surrogate: string-typed metrics carry their payload here. */
+  def valueStr: Column = when(col("event_type") === "error", col("props"))
+
+  /** Per-metric setpoint ("TargetX" vs "ActualX" in the reference,
+    * /root/reference/opcua_server/main.py:167-182). 'error' deliberately has
+    * target 0 to exercise the divide-by-zero guard at :28-29.
+    */
+  def targetCol: Column =
+    when(col("event_type") === "click", 250.0)
+      .when(col("event_type") === "view", 170.0)
+      .when(col("event_type") === "purchase", 185.0)
+      .when(col("event_type") === "signup", 175.0)
+      .otherwise(0.0)
+
+  /** Same expression in DuckDB SQL for the oracles. */
+  val targetSql: String =
+    "CAST(CASE event_type WHEN 'click' THEN 250 WHEN 'view' THEN 170 " +
+      "WHEN 'purchase' THEN 185 WHEN 'signup' THEN 175 ELSE 0 END AS DOUBLE)"
+
+  val valueStrSql: String = "CASE WHEN event_type = 'error' THEN props END"
+
+  /** Deviation % — reference formula ((actual-target)/target)*100,
+    * /root/reference/opcua_server/main.py:30. Kept structurally identical in
+    * Spark and DuckDB so IEEE double results are bit-identical.
+    */
+  def deviationPct(value: Column, target: Column): Column = value.minus(target).divide(target).multiply(lit(100))
+  val deviationPctSql: String = "((value - __T__) / __T__) * 100"
+
+  val ImmediateDeviationPct = 10.0 // opcua_server/main.py:21
+  val TrendDeviationPct = 2.0      // opcua_server/main.py:22
+  val TrendWindow = 3              // opcua_server/main.py:23
+  val FeederLowThreshold = 200.0   // opcua_server/main.py:322
+  val FeederEmptyThreshold = 1.0   // scaled stand-in for count<=0 at :389
+}

@@ -1,0 +1,279 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** §2A pipeline dataflow operators — the four Python agents' semantics
+  * (OPC-UA → MQTT → enrichment → Kafka → DB) re-expressed as batch DataFrame
+  * ops over the fixture tables. The streaming twins (readStream/writeStream)
+  * live in graft.streaming; these batch forms are what the DuckDB oracle can
+  * verify.
+  *
+  * Scale notes: the enrichment dimension is explicitly `broadcast()` (a
+  * shuffle join against a 1.5k-row dim would be an instant anti-pattern at
+  * 100 TB); JSON envelope encode/decode is from_json/to_json (codegen'd, no
+  * UDFs); the "sink" ops are pure projections/aggregations that foreachBatch
+  * would append — micro-batched, never per-row like the reference
+  * (kafka_db_agent/main.py:92-99).
+  */
+object DataflowOps {
+
+  private def ev(s: SparkSession, dir: String): DataFrame = Tables.events(s, dir)
+
+  /** Envelope schema of the MQTT/Kafka JSON payload (§1.2). Timestamp is
+    * carried as epoch micros (lossless round-trip; ISO strings would truncate
+    * sub-millisecond precision under Spark's default JSON timestamp format).
+    */
+  private val envelopeSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("node_id", StringType),
+    StructField("value", DoubleType),
+    StructField("ts_us", LongType)
+  ))
+
+  private def payloadJson(df: DataFrame): DataFrame =
+    df.withColumn(
+      "payload",
+      to_json(struct(
+        col("event_id"),
+        col("event_type").as("node_id"),
+        col("value"),
+        unix_micros(col("ts")).as("ts_us")
+      ))
+    )
+
+  /** Fixture-replay form of the OPC-UA subscription source
+    * (opcua_mqtt_agent/main.py:93-130): every variable node emission as a
+    * (node_id, value, timestamp) record.
+    */
+  def srcOpcua(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .select(
+        col("event_id"),
+        col("event_type").as("node_id"),
+        col("value"),
+        col("ts").as("source_ts")
+      )
+      .orderBy(col("event_id"))
+
+  /** Dynamic node discovery (opcua_mqtt_agent/main.py:115-125): the distinct
+    * variable registry with inferred value type.
+    */
+  def srcSchemaDiscovery(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .groupBy(col("event_type").as("node_id"))
+      .agg(count(lit(1)).as("n_samples"), min(col("ts")).as("first_seen"))
+      .withColumn("datatype", lit("Double"))
+      .orderBy(col("node_id"))
+
+  /** Record construction / projection with timestamp fallback
+    * (opcua_mqtt_agent/main.py:35-52) + JSON attribute extraction from the
+    * props payload.
+    */
+  def xformEnvelope(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .select(
+        col("event_id"),
+        col("event_type").as("node_id"),
+        col("value"),
+        coalesce(col("ts"), lit("2024-02-01 00:00:00").cast("timestamp")).as("timestamp"),
+        expr("try_cast(get_json_object(props, '$.k') AS INT)").as("k")
+      )
+      .orderBy(col("event_id"))
+
+  /** MQTT source surrogate (hydration_agent/main.py:64-71): serialize each
+    * record to the JSON envelope, then parse it back with from_json — the
+    * oracle checks the round-trip is lossless against the raw table.
+    */
+  def srcMqtt(s: SparkSession, dir: String): DataFrame =
+    payloadJson(ev(s, dir))
+      .select(from_json(col("payload"), envelopeSchema).as("m"))
+      .select(
+        col("m.event_id").as("event_id"),
+        col("m.node_id").as("node_id"),
+        col("m.value").as("value"),
+        timestamp_micros(col("m.ts_us")).as("ts")
+      )
+      .orderBy(col("event_id"))
+
+  /** MQTT sink surrogate (opcua_mqtt_agent/main.py:54-59): QoS-0 publish
+    * stats per topic/node.
+    */
+  def snkMqtt(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .groupBy(col("event_type").as("node_id"))
+      .agg(count(lit(1)).as("n_msgs"), round(sum(col("value")), 2).as("checksum"))
+      .withColumn("topic", lit("machine/data"))
+      .withColumn("qos", lit(0))
+      .select(col("node_id"), col("topic"), col("qos"), col("n_msgs"), col("checksum"))
+      .orderBy(col("node_id"))
+
+  /** Kafka source surrogate (kafka_db_agent/main.py:50-57): topic-partitioned
+    * records with the JSON value deserialized.
+    */
+  def srcKafka(s: SparkSession, dir: String): DataFrame =
+    payloadJson(ev(s, dir))
+      .select(
+        lit("machine_events").as("topic"),
+        (col("event_id") % 4).cast("int").as("partition"),
+        col("event_id").as("msg_offset"),
+        from_json(col("payload"), envelopeSchema).as("m")
+      )
+      .select(
+        col("topic"), col("partition"), col("msg_offset"),
+        col("m.node_id").as("key"),
+        col("m.value").as("value"),
+        timestamp_micros(col("m.ts_us")).as("ts")
+      )
+      .orderBy(col("msg_offset"))
+
+  /** Kafka sink surrogate (hydration_agent/main.py:54-57,86): per-partition
+    * producer batch stats for topic `machine_events`.
+    */
+  def snkKafka(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .groupBy((col("event_id") % 4).cast("int").as("partition"))
+      .agg(count(lit(1)).as("n_records"), round(sum(col("value")), 2).as("checksum"))
+      .withColumn("topic", lit("machine_events"))
+      .select(col("topic"), col("partition"), col("n_records"), col("checksum"))
+      .orderBy(col("partition"))
+
+  /** Stream-static enrichment join ("hydration", hydration_agent/main.py:68-86):
+    * attach operator context to every event. The dim side is explicitly
+    * broadcast — at 100 TB the fact side never shuffles for this join.
+    */
+  def enrichJoin(s: SparkSession, dir: String): DataFrame = {
+    val context = Tables.customer(s, dir)
+      .select(
+        col("c_custkey"),
+        col("c_name").as("operator"),
+        col("c_mktsegment").as("segment")
+      )
+    ev(s, dir)
+      .join(broadcast(context), col("user_id") === col("c_custkey"), "left")
+      .select(
+        col("event_id"),
+        col("event_type"),
+        col("value"),
+        col("operator"),
+        col("segment"),
+        lit("2025-10-01").as("last_maintenance")
+      )
+      .orderBy(col("event_id"))
+  }
+
+  /** Raw dynamic value per event, pre-dispatch — numbers arrive as decimal
+    * strings, 'error' rows as JSON text, 'signup' rows as booleans
+    * (mirrors the OPC-UA variant union, §1.3).
+    */
+  private def rawValue = when(col("event_type") === "error", col("props"))
+    .when(col("event_type") === "signup", when(col("value") > 175, "true").otherwise("false"))
+    .otherwise(col("value").cast("string"))
+
+  private val rawValueSql: String =
+    """CASE WHEN event_type = 'error' THEN props
+      |     WHEN event_type = 'signup' THEN (CASE WHEN value > 175 THEN 'true' ELSE 'false' END)
+      |     ELSE CAST(value AS VARCHAR) END""".stripMargin
+
+  /** Type dispatch / value normalization (kafka_db_agent/main.py:83-89):
+    * numeric-non-bool → value_num (widened to double), everything else →
+    * value_str; booleans deliberately become the strings 'True'/'False'
+    * (Python str() capitalization — :86), never 1.0/0.0.
+    */
+  def typeDispatch(s: SparkSession, dir: String): DataFrame =
+    typeDispatchOn(ev(s, dir))
+
+  def typeDispatchOn(events: DataFrame): DataFrame =
+    events
+      .withColumn("raw", rawValue)
+      .select(
+        col("event_id"),
+        when(col("raw").isin("true", "false"), lit(null).cast("double"))
+          .otherwise(expr("try_cast(raw AS DOUBLE)")).as("value_num"),
+        when(col("raw") === "true", "True")
+          .when(col("raw") === "false", "False")
+          .when(expr("try_cast(raw AS DOUBLE)").isNull, col("raw"))
+          .as("value_str")
+      )
+      .orderBy(col("event_id"))
+
+  /** DB sink surrogate (kafka_db_agent/main.py:92-103): the exact 5-column
+    * opcua_data projection a foreachBatch append would write — dispatch +
+    * enrichment composed.
+    */
+  def snkJdbc(s: SparkSession, dir: String): DataFrame = {
+    val operators = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_name").as("operator"))
+    ev(s, dir)
+      .withColumn("raw", rawValue)
+      .join(broadcast(operators), col("user_id") === col("c_custkey"), "left")
+      .select(
+        col("event_id"),
+        col("ts").as("time"),
+        col("event_type").as("metric"),
+        when(col("raw").isin("true", "false"), lit(null).cast("double"))
+          .otherwise(expr("try_cast(raw AS DOUBLE)")).as("value_num"),
+        when(col("raw") === "true", "True")
+          .when(col("raw") === "false", "False")
+          .when(expr("try_cast(raw AS DOUBLE)").isNull, col("raw"))
+          .as("value_str"),
+        col("operator")
+      )
+      .orderBy(col("event_id"))
+  }
+
+  private val dispatchNumSql =
+    "CASE WHEN raw IN ('true','false') THEN NULL ELSE TRY_CAST(raw AS DOUBLE) END"
+  private val dispatchStrSql =
+    """CASE WHEN raw = 'true' THEN 'True' WHEN raw = 'false' THEN 'False'
+      |     WHEN TRY_CAST(raw AS DOUBLE) IS NULL THEN raw END""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "src_opcua" ->
+      """SELECT event_id, event_type AS node_id, value, ts AS source_ts
+        |FROM events ORDER BY event_id""".stripMargin,
+    "src_schema_discovery" ->
+      """SELECT event_type AS node_id, count(*) AS n_samples, min(ts) AS first_seen,
+        |       'Double' AS datatype
+        |FROM events GROUP BY event_type ORDER BY node_id""".stripMargin,
+    "xform_envelope" ->
+      """SELECT event_id, event_type AS node_id, value,
+        |       coalesce(ts, TIMESTAMP '2024-02-01 00:00:00') AS timestamp,
+        |       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+    "src_mqtt" ->
+      """SELECT event_id, event_type AS node_id, value, ts
+        |FROM events ORDER BY event_id""".stripMargin,
+    "snk_mqtt" ->
+      """SELECT event_type AS node_id, 'machine/data' AS topic, 0 AS qos,
+        |       count(*) AS n_msgs, round(sum(value), 2) AS checksum
+        |FROM events GROUP BY event_type ORDER BY node_id""".stripMargin,
+    "src_kafka" ->
+      """SELECT 'machine_events' AS topic, CAST(event_id % 4 AS INTEGER) AS partition,
+        |       event_id AS msg_offset, event_type AS key, value, ts
+        |FROM events ORDER BY msg_offset""".stripMargin,
+    "snk_kafka" ->
+      """SELECT 'machine_events' AS topic, CAST(event_id % 4 AS INTEGER) AS partition,
+        |       count(*) AS n_records, round(sum(value), 2) AS checksum
+        |FROM events GROUP BY 2 ORDER BY partition""".stripMargin,
+    "q_enrich_join" ->
+      """SELECT e.event_id, e.event_type, e.value, c.c_name AS operator,
+        |       c.c_mktsegment AS segment, '2025-10-01' AS last_maintenance
+        |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        |ORDER BY e.event_id""".stripMargin,
+    "q_type_dispatch" ->
+      s"""WITH t AS (SELECT event_id, $rawValueSql AS raw FROM events)
+         |SELECT event_id, $dispatchNumSql AS value_num, $dispatchStrSql AS value_str
+         |FROM t ORDER BY event_id""".stripMargin,
+    "snk_jdbc" ->
+      s"""WITH t AS (
+         |  SELECT event_id, ts, event_type, user_id, $rawValueSql AS raw FROM events)
+         |SELECT t.event_id, t.ts AS time, t.event_type AS metric,
+         |       $dispatchNumSql AS value_num, $dispatchStrSql AS value_str,
+         |       c.c_name AS operator
+         |FROM t LEFT JOIN customer c ON t.user_id = c.c_custkey
+         |ORDER BY t.event_id""".stripMargin
+  )
+}

@@ -1,0 +1,345 @@
+package graft.ops
+
+import graft.Tables
+import graft.model.Model
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** §2B relational / SQL operators — the 17 Grafana dashboard query shapes +
+  * the two continuous aggregates, re-expressed as declarative DataFrame plans
+  * so Catalyst handles pushdown/pruning and Tungsten does the execution.
+  *
+  * Scale notes (100 TB):
+  *  - every query filters on `event_type` (metric) and/or a `ts` range →
+  *    parquet predicate pushdown + (with a date-partitioned layout) partition
+  *    pruning; nothing reads columns it doesn't project.
+  *  - top-1 / top-N queries use orderBy+limit which Spark plans as
+  *    `TakeOrderedAndProject` (per-partition heap, no global sort).
+  *  - latest-per-group uses `max_by` (partial aggregation map-side) instead of
+  *    a ranking window, avoiding a full per-partition sort.
+  */
+object RelationalOps {
+
+  private def ev(s: SparkSession, dir: String): DataFrame = Tables.events(s, dir)
+
+  /** Scan + equality filter; Grafana panel shape `WHERE metric = 'X'`
+    * (reference machine_dashboard.json:109 et al., index init.sql:14).
+    */
+  def scanFilter(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .filter(col("event_type") === "click")
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      .orderBy(col("event_id"))
+
+  /** Top-1 by time ("last value") — 10 of the 19 panels
+    * (machine_dashboard.json:177). Plans as TakeOrderedAndProject: O(1) per
+    * partition, no global sort — the Spark analog of the (metric, time DESC)
+    * index lookup.
+    */
+  def lastValue(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .filter(col("event_type") === "click")
+      .orderBy(col("ts").desc, col("event_id").desc)
+      .limit(1)
+      .select(col("ts").as("time"), col("value"))
+
+  /** Latest-row-per-group (Postgres DISTINCT ON, machine_dashboard.json:283).
+    * `max_by(struct(payload), struct(ts, event_id))` gives partial (map-side)
+    * aggregation — at 100 TB this is one shuffle of pre-aggregated rows,
+    * strictly cheaper than a ranking window's partition-wide sort.
+    */
+  def latestPerGroup(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .withColumn("value_str", Model.valueStr)
+      .groupBy(col("event_type"))
+      .agg(
+        max_by(
+          struct(col("ts"), col("value"), col("value_str")),
+          struct(col("ts"), col("event_id"))
+        ).as("r")
+      )
+      .select(
+        col("event_type").as("metric"),
+        col("r.ts").as("time"),
+        coalesce(col("r.value_str"), col("r.value").cast("string")).as("value")
+      )
+      .orderBy(col("metric"))
+
+  /** IN-list predicate (machine_dashboard.json:283). */
+  def inList(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .filter(col("event_type").isin("click", "purchase", "signup"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .orderBy(col("event_type"))
+
+  /** COALESCE(value_str, CAST(value_num AS TEXT)) projection
+    * (machine_dashboard.json:283).
+    */
+  def coalesceCast(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .withColumn("value_str", Model.valueStr)
+      .select(
+        col("event_id"),
+        coalesce(col("value_str"), col("value").cast("string")).as("value")
+      )
+      .orderBy(col("event_id"))
+
+  /** Time-range predicate (Grafana $__timeFilter, machine_dashboard.json:659).
+    * At scale this is the partition-pruning driver.
+    */
+  def timeRange(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .filter(
+        col("ts").between(
+          lit("2024-01-10 00:00:00").cast("timestamp"),
+          lit("2024-01-20 00:00:00").cast("timestamp")
+        )
+      )
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      .orderBy(col("event_id"))
+
+  /** Ordered time-series projection (machine_dashboard.json:659). */
+  def rawTimeseries(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .filter(
+        col("event_type") === "purchase" &&
+          col("ts").between(
+            lit("2024-01-05 00:00:00").cast("timestamp"),
+            lit("2024-01-25 00:00:00").cast("timestamp")
+          )
+      )
+      .select(col("ts").as("time"), col("value"), col("event_id"))
+      .orderBy(col("time"), col("event_id"))
+
+  private def bucketAggBase(s: SparkSession, dir: String, grain: String): DataFrame =
+    ev(s, dir)
+      .filter(col("value").isNotNull)
+      .groupBy(window(col("ts"), grain), col("event_type"))
+      .agg(
+        round(avg(col("value")), 4).as("avg_value"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"),
+        count(col("value")).as("sample_count")
+      )
+      .select(
+        col("window.start").as("bucket"),
+        col("event_type").as("metric"),
+        col("avg_value"),
+        col("min_value"),
+        col("max_value"),
+        col("sample_count")
+      )
+
+  /** time_bucket hash aggregate (init.sql:20-29). `window().start` ==
+    * `time_bucket`'s bucket start; Catalyst plans partial+final HashAggregate
+    * (map-side combine), so the shuffle carries one row per (bucket, metric)
+    * per task — the only layout that survives 100 TB.
+    */
+  def bucketAgg(s: SparkSession, dir: String): DataFrame =
+    bucketAggBase(s, dir, "1 hour").orderBy(col("bucket"), col("metric"))
+
+  /** IS NOT NULL pre-aggregation filter (init.sql:28,47) over a genuinely
+    * nullable value_num (error rows are string-typed → null value_num).
+    */
+  def notnullFilter(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .withColumn(
+        "value_num",
+        when(col("event_type") === "error", lit(null).cast("double")).otherwise(col("value"))
+      )
+      .filter(col("value_num").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(avg(col("value_num")), 4).as("avg_value"))
+      .orderBy(col("event_type"))
+
+  /** Minute-grain continuous aggregate, batch recompute of
+    * `machine_stats_minute` (init.sql:37-48). The streaming twin (watermarked
+    * windowed agg) lives in graft.streaming.
+    */
+  def mvMinute(s: SparkSession, dir: String): DataFrame =
+    bucketAggBase(s, dir, "1 minute").orderBy(col("bucket"), col("metric"))
+
+  /** Hourly continuous aggregate over its refresh window of the last 3 days
+    * of data (init.sql:18-34: start_offset 3 days).
+    */
+  def mvHourly(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .filter(col("ts") >= lit("2024-01-28 00:00:00").cast("timestamp"))
+      .filter(col("value").isNotNull)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        round(avg(col("value")), 4).as("avg_value"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"),
+        count(col("value")).as("sample_count")
+      )
+      .select(
+        col("window.start").as("bucket"),
+        col("event_type").as("metric"),
+        col("avg_value"),
+        col("min_value"),
+        col("max_value"),
+        col("sample_count")
+      )
+      .orderBy(col("bucket"), col("metric"))
+
+  /** MV scan + metric filter + bucket range + sort (machine_dashboard.json:1120). */
+  def mvRead(s: SparkSession, dir: String): DataFrame =
+    bucketAggBase(s, dir, "1 minute")
+      .filter(
+        col("metric") === "click" &&
+          col("bucket").between(
+            lit("2024-01-08 00:00:00").cast("timestamp"),
+            lit("2024-01-22 00:00:00").cast("timestamp")
+          )
+      )
+      .select(col("bucket").as("time"), col("avg_value"), col("min_value"), col("max_value"))
+      .orderBy(col("time"))
+
+  /** The alarm feed — hardest query in the reference
+    * (machine_dashboard.json:948): CTE scalar aggregate + theta cross-join +
+    * tri-branch LIKE + ORDER BY DESC LIMIT 50.
+    *
+    * Truth table (SURVEY §7.3.1): "Info" rows always shown; "Error" rows and
+    * other rows only when newer than the machine's last Running timestamp.
+    * Here: clear_time := max(ts) of 'view' events with value > 300 (the
+    * "Status = Running" surrogate); Info/Error markers := props containing
+    * '1' / '2'. The 1-row CTE side is broadcast (BroadcastNestedLoopJoin) —
+    * never a shuffle join at any scale.
+    */
+  def alarmFeed(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+    val lastRunning = e
+      .filter(col("event_type") === "view" && col("value") > 300)
+      .agg(
+        coalesce(max(col("ts")), lit("1970-01-01 00:00:00").cast("timestamp")).as("clear_time")
+      )
+    e.filter(col("event_type") === "error" && col("props") =!= "" && col("props") =!= "[]")
+      .crossJoin(broadcast(lastRunning))
+      .filter(
+        col("props").like("%1%") ||
+          (col("props").like("%2%") && col("ts") > col("clear_time")) ||
+          (!col("props").like("%1%") && !col("props").like("%2%") && col("ts") > col("clear_time"))
+      )
+      .select(
+        col("ts").as("time"),
+        translate(col("props"), "{}\": ", "").as("message"),
+        col("user_id").as("operator_id"),
+        col("event_id")
+      )
+      .orderBy(col("time").desc, col("event_id").desc)
+      .limit(50)
+  }
+
+  /** Implicit union of typed streams — numeric and string metrics coexist in
+    * one dual-typed schema (init.sql:5-6; kafka_db_agent/main.py:83-89).
+    */
+  def unionTypes(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+    val numeric = e.select(
+      col("event_id"),
+      col("ts").as("time"),
+      col("event_type").as("metric"),
+      col("value").as("value_num"),
+      lit(null).cast("string").as("value_str")
+    )
+    val strings = e.select(
+      col("event_id"),
+      col("ts").as("time"),
+      concat(col("event_type"), lit("_str")).as("metric"),
+      lit(null).cast("double").as("value_num"),
+      col("props").as("value_str")
+    )
+    numeric.unionAll(strings).orderBy(col("event_id"), col("metric"))
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q_scan_filter" ->
+      """SELECT event_id, ts, user_id, value FROM events
+        |WHERE event_type = 'click' ORDER BY event_id""".stripMargin,
+    "q_last_value" ->
+      """SELECT ts AS time, value FROM events WHERE event_type = 'click'
+        |ORDER BY ts DESC, event_id DESC LIMIT 1""".stripMargin,
+    "q_latest_per_group" ->
+      s"""SELECT event_type AS metric, ts AS time,
+         |  coalesce(${Model.valueStrSql}, CAST(value AS VARCHAR)) AS value
+         |FROM events
+         |QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY ts DESC, event_id DESC) = 1
+         |ORDER BY metric""".stripMargin,
+    "q_in_list" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
+        |FROM events WHERE event_type IN ('click', 'purchase', 'signup')
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_coalesce_cast" ->
+      s"""SELECT event_id, coalesce(${Model.valueStrSql}, CAST(value AS VARCHAR)) AS value
+         |FROM events ORDER BY event_id""".stripMargin,
+    "q_time_range" ->
+      """SELECT event_id, ts, event_type, value FROM events
+        |WHERE ts BETWEEN TIMESTAMP '2024-01-10 00:00:00' AND TIMESTAMP '2024-01-20 00:00:00'
+        |ORDER BY event_id""".stripMargin,
+    "q_raw_timeseries" ->
+      """SELECT ts AS time, value, event_id FROM events
+        |WHERE event_type = 'purchase'
+        |  AND ts BETWEEN TIMESTAMP '2024-01-05 00:00:00' AND TIMESTAMP '2024-01-25 00:00:00'
+        |ORDER BY time, event_id""".stripMargin,
+    "q_bucket_agg" ->
+      """SELECT date_trunc('hour', ts) AS bucket, event_type AS metric,
+        |  round(avg(value), 4) AS avg_value, min(value) AS min_value,
+        |  max(value) AS max_value, count(value) AS sample_count
+        |FROM events WHERE value IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_notnull_filter" ->
+      """WITH t AS (
+        |  SELECT event_type,
+        |         CASE WHEN event_type = 'error' THEN NULL ELSE value END AS value_num
+        |  FROM events)
+        |SELECT event_type, count(*) AS n, round(avg(value_num), 4) AS avg_value
+        |FROM t WHERE value_num IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_mv_minute" ->
+      """SELECT date_trunc('minute', ts) AS bucket, event_type AS metric,
+        |  round(avg(value), 4) AS avg_value, min(value) AS min_value,
+        |  max(value) AS max_value, count(value) AS sample_count
+        |FROM events WHERE value IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_mv_hourly" ->
+      """SELECT date_trunc('hour', ts) AS bucket, event_type AS metric,
+        |  round(avg(value), 4) AS avg_value, min(value) AS min_value,
+        |  max(value) AS max_value, count(value) AS sample_count
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-28 00:00:00' AND value IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_mv_read" ->
+      """WITH mv AS (
+        |  SELECT date_trunc('minute', ts) AS bucket, event_type AS metric,
+        |    round(avg(value), 4) AS avg_value, min(value) AS min_value,
+        |    max(value) AS max_value
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2)
+        |SELECT bucket AS time, avg_value, min_value, max_value FROM mv
+        |WHERE metric = 'click'
+        |  AND bucket BETWEEN TIMESTAMP '2024-01-08 00:00:00' AND TIMESTAMP '2024-01-22 00:00:00'
+        |ORDER BY time""".stripMargin,
+    "q_alarm_feed" ->
+      """WITH last_running AS (
+        |  SELECT coalesce(max(ts), TIMESTAMP '1970-01-01 00:00:00') AS clear_time
+        |  FROM events WHERE event_type = 'view' AND value > 300)
+        |SELECT e.ts AS time, translate(e.props, '{}": ', '') AS message,
+        |       e.user_id AS operator_id, e.event_id
+        |FROM events e, last_running lr
+        |WHERE e.event_type = 'error' AND e.props <> '' AND e.props <> '[]'
+        |  AND (e.props LIKE '%1%'
+        |    OR (e.props LIKE '%2%' AND e.ts > lr.clear_time)
+        |    OR (e.props NOT LIKE '%1%' AND e.props NOT LIKE '%2%' AND e.ts > lr.clear_time))
+        |ORDER BY time DESC, event_id DESC LIMIT 50""".stripMargin,
+    "q_union_types" ->
+      """SELECT event_id, ts AS time, event_type AS metric, value AS value_num,
+        |       CAST(NULL AS VARCHAR) AS value_str
+        |FROM events
+        |UNION ALL
+        |SELECT event_id, ts AS time, event_type || '_str' AS metric,
+        |       CAST(NULL AS DOUBLE) AS value_num, props AS value_str
+        |FROM events
+        |ORDER BY event_id, metric""".stripMargin
+  )
+}

@@ -1,0 +1,154 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import java.sql.Timestamp
+
+/** Structured-Streaming twins of the batch operators — the reference's actual
+  * execution mode (3 daemon agents + TimescaleDB continuous aggregates).
+  *
+  * Batch results are the driver-scored signal; these twins prove the same
+  * semantics hold incrementally:
+  *  - `mvMinuteStream` ≙ the continuous aggregate with its 1-minute
+  *    end_offset (init.sql:37-54) — watermark = end_offset: the in-progress
+  *    bucket is never materialized, late rows beyond it are dropped.
+  *  - `trendAlarms`/`edgeAlarms` ≙ DeviationTracker's ring buffer and the
+  *    feeder edge flags (opcua_server/main.py:14-40,319-332) as
+  *    flatMapGroupsWithState, keyed by (entity, metric) — state is O(1) per
+  *    key, shuffled once; at 100 TB the state store is
+  *    RocksDBStateStoreProvider and keys are high-cardinality safe.
+  *  - `ingest` ≙ the MQTT→Kafka→DB dataflow (§3.1) collapsed into one job:
+  *    JSON envelope decode → type dispatch → broadcast enrichment.
+  */
+object StreamingOps {
+
+  case class MetricEvent(event_id: Long, ts: Timestamp, user_id: Long, metric: String, value: Double)
+  case class TrendAlarm(user_id: Long, metric: String, event_id: Long, min_abs_pct: Double)
+  case class EdgeAlarm(user_id: Long, metric: String, event_id: Long, value: Double)
+  case class TrendState(recent: List[Double])
+  case class EdgeState(below: Boolean)
+
+  /** Minute-grain continuous aggregate, streaming form. Append mode: a bucket
+    * row is emitted exactly once, when the watermark passes its end — the
+    * incremental-refresh semantics of init.sql:51-54.
+    */
+  def mvMinuteStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 minute")
+      .filter(col("value").isNotNull)
+      .groupBy(window(col("ts"), "1 minute"), col("metric"))
+      .agg(
+        avg(col("value")).as("avg_value"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"),
+        count(col("value")).as("sample_count")
+      )
+      .select(
+        col("window.start").as("bucket"), col("metric"),
+        col("avg_value"), col("min_value"), col("max_value"), col("sample_count")
+      )
+
+  val outputModeAppend: OutputMode = OutputMode.Append()
+
+  private def pctOf(metric: String, value: Double): Option[Double] = {
+    val target = metric match {
+      case "click" => 250.0
+      case "view" => 170.0
+      case "purchase" => 185.0
+      case "signup" => 175.0
+      case _ => 0.0
+    }
+    if (target == 0.0) None // guard: opcua_server/main.py:28-29
+    else Some((value - target) / target * 100.0)
+  }
+
+  /** DeviationTracker ring buffer (3 deep) as explicit state: alarm iff the
+    * buffer holds exactly 3 and all exceed 2% (opcua_server/main.py:31-39).
+    */
+  def trendFlatMap(
+      key: (Long, String),
+      rows: Iterator[MetricEvent],
+      state: GroupState[TrendState]
+  ): Iterator[TrendAlarm] = {
+    val (userId, metric) = key
+    var recent = state.getOption.map(_.recent).getOrElse(Nil)
+    val out = scala.collection.mutable.ListBuffer.empty[TrendAlarm]
+    // micro-batch rows are not ordered: sort by (ts, event_id) within batch
+    rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+      pctOf(metric, e.value).foreach { pct =>
+        recent = (recent :+ math.abs(pct)).takeRight(3)
+        if (recent.size == 3 && recent.forall(_ > 2.0))
+          out += TrendAlarm(userId, metric, e.event_id, recent.min)
+      }
+    }
+    state.update(TrendState(recent))
+    out.iterator
+  }
+
+  /** Feeder edge flags (opcua_server/main.py:319-332): fire on the downward
+    * crossing, re-arm at/above threshold. Initial state un-alarmed (:130).
+    */
+  def edgeFlatMap(threshold: Double)(
+      key: (Long, String),
+      rows: Iterator[MetricEvent],
+      state: GroupState[EdgeState]
+  ): Iterator[EdgeAlarm] = {
+    val (userId, metric) = key
+    var below = state.getOption.exists(_.below)
+    val out = scala.collection.mutable.ListBuffer.empty[EdgeAlarm]
+    rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+      if (e.value < threshold) {
+        if (!below) out += EdgeAlarm(userId, metric, e.event_id, e.value)
+        below = true
+      } else below = false
+    }
+    state.update(EdgeState(below))
+    out.iterator
+  }
+
+  def trendAlarms(events: Dataset[MetricEvent]): Dataset[TrendAlarm] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(e => (e.user_id, e.metric))
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(trendFlatMap)
+  }
+
+  def edgeAlarms(events: Dataset[MetricEvent], threshold: Double): Dataset[EdgeAlarm] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(e => (e.user_id, e.metric))
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(edgeFlatMap(threshold))
+  }
+
+  /** Ingest dataflow (§3.1): JSON envelope → flatten → type dispatch →
+    * broadcast enrichment. `contextDf` is the (tiny) slowly-changing
+    * dimension looked up at stream time (hydration_agent/main.py:73-74).
+    */
+  def ingest(payloads: DataFrame, contextDf: DataFrame): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("node_id", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("ts_us", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType)
+    ))
+    payloads
+      .select(from_json(col("payload"), schema).as("m"))
+      .select(col("m.*"))
+      .select(
+        col("event_id"),
+        timestamp_micros(col("ts_us")).as("time"),
+        col("node_id").as("metric"),
+        when(col("value").isin("true", "false"), lit(null).cast("double"))
+          .otherwise(expr("try_cast(value AS DOUBLE)")).as("value_num"),
+        when(col("value") === "true", "True")
+          .when(col("value") === "false", "False")
+          .when(expr("try_cast(value AS DOUBLE)").isNull, col("value"))
+          .as("value_str"),
+        col("user_id")
+      )
+      .join(broadcast(contextDf), Seq("user_id"), "left")
+  }
+}

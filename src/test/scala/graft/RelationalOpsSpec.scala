@@ -1,0 +1,49 @@
+package graft
+
+import graft.ops.RelationalOps
+import org.apache.spark.sql.functions._
+
+/** §2B invariants on the sf0.001 fixture + alarm-feed truth table on the
+  * hand fixture (SURVEY §7.3.1).
+  */
+class RelationalOpsSpec extends SparkSuite {
+
+  test("bucket agg: per-bucket counts sum to the filtered row count") {
+    val total = Tables.events(spark, SfDir).filter(col("value").isNotNull).count()
+    val summed = RelationalOps.bucketAgg(spark, SfDir)
+      .agg(sum("sample_count")).head().getLong(0)
+    assert(summed == total)
+  }
+
+  test("last value matches orderBy head") {
+    val viaOp = RelationalOps.lastValue(spark, SfDir).head()
+    val expected = Tables.events(spark, SfDir)
+      .filter(col("event_type") === "click")
+      .orderBy(col("ts").desc, col("event_id").desc)
+      .select(col("ts"), col("value"))
+      .head()
+    assert(viaOp.getTimestamp(0) == expected.getTimestamp(0))
+    assert(viaOp.getDouble(1) == expected.getDouble(1))
+  }
+
+  test("latest per group returns exactly one row per metric") {
+    val df = RelationalOps.latestPerGroup(spark, SfDir)
+    assert(df.count() == df.select("metric").distinct().count())
+  }
+
+  test("alarm feed plans a broadcast join for the 1-row CTE side") {
+    val plan = RelationalOps.alarmFeed(spark, SfDir).queryExecution.executedPlan.toString
+    assert(plan.contains("Broadcast"), s"expected broadcast join in:\n$plan")
+  }
+
+  test("last value plans TakeOrderedAndProject (no global sort)") {
+    val plan = RelationalOps.lastValue(spark, SfDir).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"plan:\n$plan")
+  }
+
+  test("scan filter pushes the metric predicate into the parquet scan") {
+    val plan = RelationalOps.scanFilter(spark, SfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("event_type"), s"plan:\n$plan")
+  }
+}

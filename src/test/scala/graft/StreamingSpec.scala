@@ -1,0 +1,129 @@
+package graft
+
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import java.sql.Timestamp
+
+/** Streaming-twin semantics (SURVEY §5.2.4): watermark drops late rows and
+  * closed buckets match the batch recompute; stateful alarms reproduce the
+  * batch window results across micro-batch boundaries.
+  */
+class StreamingSpec extends SparkSuite {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("mv stream: closed buckets equal batch recompute; late rows beyond watermark dropped") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String, Double)]
+    val events = mem.toDF().toDF("event_id", "ts", "metric", "value")
+    val q = StreamingOps.mvMinuteStream(events)
+      .writeStream.format("memory").queryName("mv_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, ts("2024-01-01 00:00:10"), "click", 10.0),
+        (2L, ts("2024-01-01 00:00:50"), "click", 20.0),
+        (3L, ts("2024-01-01 00:01:10"), "click", 30.0)
+      )
+      q.processAllAvailable()
+      // advance watermark far past minute 0 and inject a too-late row for it
+      mem.addData((4L, ts("2024-01-01 00:10:00"), "click", 99.0))
+      q.processAllAvailable()
+      mem.addData((5L, ts("2024-01-01 00:00:30"), "click", 1000.0)) // late, dropped
+      q.processAllAvailable()
+      mem.addData((6L, ts("2024-01-01 00:20:00"), "click", 1.0)) // close minute 10
+      q.processAllAvailable()
+      val rows = spark.table("mv_out")
+        .select("bucket", "avg_value", "sample_count").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getDouble(1), r.getLong(2))).toSet
+      // minute 0: avg(10,20)=15 with the late 1000.0 dropped; minute 1 closed too
+      assert(rows.contains(("2024-01-01 00:00:00.0", 15.0, 2L)))
+      assert(rows.contains(("2024-01-01 00:01:00.0", 30.0, 1L)))
+      assert(rows.contains(("2024-01-01 00:10:00.0", 99.0, 1L)))
+    } finally q.stop()
+  }
+
+  test("trend alarm state survives micro-batch boundaries") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[MetricEvent]
+    val q = StreamingOps.trendAlarms(mem.toDS())
+      .writeStream.format("memory").queryName("trend_out")
+      .outputMode("append").start()
+    try {
+      // click target 250; all three > 2% deviation, split across batches
+      mem.addData(MetricEvent(1, ts("2024-01-01 00:00:01"), 7, "click", 280.0))
+      q.processAllAvailable()
+      mem.addData(
+        MetricEvent(2, ts("2024-01-01 00:00:02"), 7, "click", 240.0),
+        MetricEvent(3, ts("2024-01-01 00:00:03"), 7, "click", 265.0)
+      )
+      q.processAllAvailable()
+      val fired = spark.table("trend_out").select("event_id").as[Long].collect().toSeq
+      assert(fired == Seq(3L))
+      // a within-band row resets the run: two more deviant rows must not fire
+      mem.addData(
+        MetricEvent(4, ts("2024-01-01 00:00:04"), 7, "click", 251.0), // 0.4%
+        MetricEvent(5, ts("2024-01-01 00:00:05"), 7, "click", 280.0),
+        MetricEvent(6, ts("2024-01-01 00:00:06"), 7, "click", 280.0)
+      )
+      q.processAllAvailable()
+      assert(spark.table("trend_out").count() == 1)
+    } finally q.stop()
+  }
+
+  test("edge alarm fires once per excursion across batches and re-arms") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[MetricEvent]
+    val q = StreamingOps.edgeAlarms(mem.toDS(), 200.0)
+      .writeStream.format("memory").queryName("edge_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        MetricEvent(1, ts("2024-01-01 00:00:01"), 9, "click", 250.0),
+        MetricEvent(2, ts("2024-01-01 00:00:02"), 9, "click", 150.0) // fire
+      )
+      q.processAllAvailable()
+      mem.addData(MetricEvent(3, ts("2024-01-01 00:00:03"), 9, "click", 120.0)) // still low: no
+      q.processAllAvailable()
+      mem.addData(
+        MetricEvent(4, ts("2024-01-01 00:00:04"), 9, "click", 240.0), // re-arm
+        MetricEvent(5, ts("2024-01-01 00:00:05"), 9, "click", 110.0)  // fire
+      )
+      q.processAllAvailable()
+      val fired = spark.table("edge_out").select("event_id").as[Long].collect().toSeq.sorted
+      assert(fired == Seq(2L, 5L))
+    } finally q.stop()
+  }
+
+  test("streaming ingest: dispatch + enrichment on a memory stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val ctx = Seq((7L, "John Doe")).toDF("user_id", "operator")
+    val q = StreamingOps.ingest(mem.toDF().toDF("payload"), ctx)
+      .writeStream.format("memory").queryName("ingest_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        """{"event_id":1,"node_id":"click","value":"6.55","ts_us":1704067200000000,"user_id":7}""",
+        """{"event_id":2,"node_id":"status","value":"true","ts_us":1704067201000000,"user_id":7}""",
+        """{"event_id":3,"node_id":"status","value":"Running","ts_us":1704067202000000,"user_id":7}"""
+      )
+      q.processAllAvailable()
+      val rows = spark.table("ingest_out")
+        .select("event_id", "value_num", "value_str", "operator").collect()
+        .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)), r.getString(3))).toSet
+      assert(rows == Set(
+        (1L, Some(6.55), None, "John Doe"),
+        (2L, None, Some("True"), "John Doe"), // bool → capitalized string
+        (3L, None, Some("Running"), "John Doe")
+      ))
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,72 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: run each oracle SQL in
+DuckDB against the sf tables, compare with the Verify.scala parquet dumps
+(columns sorted by name, rows sorted, exact value compare)."""
+import json
+import sys
+import glob
+
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+
+def main(sf_dir: str, out_dir: str) -> None:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_ok = n_bad = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            files = glob.glob(f"{out_dir}/{name}/*.parquet")
+            if not files:
+                print(f"FAIL {name}: no spark output")
+                n_bad += 1
+                continue
+            spark_df = pd.concat([pd.read_parquet(f) for f in files])
+            duck_df = con.execute(sql).df()
+            a, b = canon(spark_df), canon(duck_df)
+            if list(a.columns) != list(b.columns):
+                print(f"FAIL {name}: columns {list(a.columns)} vs {list(b.columns)}")
+                n_bad += 1
+                continue
+            if len(a) != len(b):
+                print(f"FAIL {name}: rows {len(a)} vs {len(b)}")
+                n_bad += 1
+                continue
+            # dtype check (schema part of the gate)
+            dt_mismatch = [(c, str(a[c].dtype), str(b[c].dtype))
+                           for c in a.columns if str(a[c].dtype) != str(b[c].dtype)]
+            a2 = a.astype({c: str for c in a.columns})
+            b2 = b.astype({c: str for c in b.columns})
+            neq = (a2 != b2).any(axis=1)
+            if neq.any():
+                i = neq.idxmax()
+                print(f"FAIL {name}: {int(neq.sum())}/{len(a)} rows differ; first at {i}:")
+                print("  spark:", a.iloc[i].to_dict())
+                print("  duck :", b.iloc[i].to_dict())
+                n_bad += 1
+            elif dt_mismatch:
+                print(f"WARN {name}: values match, dtypes differ {dt_mismatch}")
+                n_ok += 1
+            else:
+                print(f"ok   {name} ({len(a)} rows)")
+                n_ok += 1
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: {type(e).__name__}: {e}")
+            n_bad += 1
+    print(f"\n{n_ok} ok, {n_bad} failed")
+    sys.exit(1 if n_bad else 0)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])
