@@ -55,11 +55,18 @@ object SparkEntry {
     "q_alarm_retention" -> (AlarmOps.alarmRetention _),
     // §2E extensions
     "q_text_stats" -> (TextOps.textStats _),
+    "q_lang_id" -> (TextOps.langId _),
+    "q_token_count" -> (TextOps.tokenCount _),
     "q_dedup_exact" -> (TextOps.dedupExact _),
     "q_dedup_minhash" -> (DedupOps.dedupMinhash _),
+    "q_dedup_simhash" -> (DedupOps.dedupSimhash _),
+    "q_dedup_embed" -> (SimilarityOps.dedupEmbed _),
     "q_sim_topk" -> (SimilarityOps.simTopK _),
     "q_sessionize" -> (SessionOps.sessionize _),
-    "q_approx_distinct" -> (SessionOps.approxDistinct _)
+    "q_approx_distinct" -> (SessionOps.approxDistinct _),
+    // multimodal plumbing: rows-only check (binary + stub features are not
+    // SQL-expressible; invariants in ExtensionOpsSpec)
+    "q_multimodal_features" -> (MultimodalOps.multimodalFeatures _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

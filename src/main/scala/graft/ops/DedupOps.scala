@@ -105,7 +105,77 @@ object DedupOps {
       .orderBy(col("i"), col("j"))
   }
 
+  private val SimBits = 60  // 15 hex chars of md5 — portable to the oracle
+  private val SimBands = 4  // 4 bands × 15 bits: pigeonhole-exact for hd <= 3
+  val SimHammingMax = 3
+
+  /** SimHash near-dup detection. 60-bit signature from distinct-token md5
+    * hashes (md5 is the one hash both engines compute identically, so the
+    * oracle can rebuild the exact signature). Candidate pairs via 4×15-bit
+    * bands: any pair within hamming distance 3 shares >= 1 exact band
+    * (pigeonhole), so banding is lossless here — not probabilistic like
+    * MinHash — and the all-pairs oracle matches exactly.
+    *
+    * The per-bit sign-sums are 60 plain sum(CASE) aggregates — one codegen'd
+    * hash aggregate pass, map-side partial, no arrays and no explosion.
+    */
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .distinct()
+      .withColumn("h", expr("CAST(conv(substring(md5(tok), 1, 15), 16, 10) AS BIGINT)"))
+    val bitSums = (0 until SimBits).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b"))
+    val simCol = (0 until SimBits)
+      .map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val sims = toks.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), simCol.as("sim"))
+      .cache()
+    val bandStructs = (0 until SimBands)
+      .map(i => s"struct($i AS band, shiftright(sim, ${15 * i}) & 32767 AS bv)")
+      .mkString("array(", ", ", ")")
+    val cand = sims
+      .select(col("doc_id"), explode(expr(bandStructs)).as("bb"))
+      .groupBy(col("bb.band"), col("bb.bv"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(sequence(1, size(ids) - 1), a ->
+          |  transform(slice(ids, a + 1, size(ids) - a), b -> struct(ids[a-1] AS i, b AS j))))""".stripMargin
+      )).as("p"))
+      .select(col("p.i").as("i"), col("p.j").as("j"))
+      .distinct()
+    cand
+      .join(sims.select(col("doc_id").as("i"), col("sim").as("sim_i")), "i")
+      .join(sims.select(col("doc_id").as("j"), col("sim").as("sim_j")), "j")
+      .withColumn("hamming", bit_count(col("sim_i").bitwiseXOR(col("sim_j"))))
+      .filter(col("hamming") <= SimHammingMax)
+      .select(col("i"), col("j"), col("hamming"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  private val simhashOracle: String = {
+    val terms = (0 until SimBits)
+      .map(b => s"sum(CASE WHEN ((h >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS b$b")
+      .mkString(", ")
+    val simExpr = (0 until SimBits)
+      .map(b => s"(CASE WHEN b$b > 0 THEN ${1L << b} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH t AS (SELECT DISTINCT doc_id, tok FROM (
+       |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents)),
+       |h AS (SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM t),
+       |s AS (SELECT doc_id, $terms FROM h GROUP BY doc_id),
+       |m AS (SELECT doc_id, $simExpr AS sim FROM s)
+       |SELECT a.doc_id AS i, b.doc_id AS j,
+       |       CAST(bit_count(xor(a.sim, b.sim)) AS INTEGER) AS hamming
+       |FROM m a JOIN m b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sim, b.sim)) <= $SimHammingMax
+       |ORDER BY i, j""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_dedup_simhash" -> simhashOracle,
     "q_dedup_minhash" ->
       """WITH d AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents

@@ -69,7 +69,62 @@ object SimilarityOps {
       .limit(k)
   }
 
+  /** Threshold for embedding near-dup pairs. 0.4 yields a non-trivial pair
+    * set on the synthetic embeddings (max in-label cosine ≈ 0.47); real
+    * dedup corpora would run ~0.95 — a constant, not a plan change.
+    */
+  val EmbedCosineThreshold = 0.4
+
+  /** Sequential-double dot product as a compiled Scala function. A deliberate
+    * exception to "functions over UDFs": higher-order array expressions are
+    * evaluated interpreted (boxed, no codegen), and this inner loop runs once
+    * per candidate pair — the JVM loop is ~2 orders of magnitude faster and
+    * accumulates left-to-right in double exactly like DuckDB's
+    * list_dot_product, so oracle results agree bitwise.
+    */
+  private val dotUdf = udf { (a: Seq[Float], b: Seq[Float]) =>
+    var acc = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+    acc
+  }
+
+  /** Embedding-cosine near-duplicate pairs, blocked on `label` (the corpus's
+    * coarse partition key — e.g. a cluster id from a cheap pre-pass). The
+    * self-join is label-local: at 100 TB each block joins against itself
+    * only, and blocks are co-partitioned by the join key, never all-pairs
+    * across the corpus. Within-block scoring is exact.
+    */
+  def dedupEmbed(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        sqrt(dotUdf(col("embedding"), col("embedding"))).as("nrm"))
+    val pairs = emb.as("a")
+      .join(emb.as("b"), col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", dotUdf(col("a.embedding"), col("b.embedding")) / (col("a.nrm") * col("b.nrm")))
+      .filter(col("cos") >= EmbedCosineThreshold)
+    pairs
+      .select(
+        col("a.vec_id").as("i"),
+        col("b.vec_id").as("j"),
+        col("a.label").as("label"),
+        round(col("cos"), 4).as("cos_sim")
+      )
+      .orderBy(col("i"), col("j"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_dedup_embed" ->
+      s"""WITH n AS (
+         |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+         |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+         |  FROM embeddings)
+         |SELECT a.vec_id AS i, b.vec_id AS j, a.label AS label,
+         |       round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cos_sim
+         |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= $EmbedCosineThreshold
+         |ORDER BY i, j""".stripMargin,
     "q_sim_topk" ->
       """WITH q AS (
         |  SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0)

@@ -94,6 +94,35 @@ class ExtensionOpsSpec extends SparkSuite {
     assert(got == Seq((1L, 2L, 3.0), (1L, 1L, 4.0), (2L, 1L, 8.0)))
   }
 
+  test("simhash: identical docs collide, banding finds all close pairs") {
+    import graft.ops.DedupOps
+    val got = DedupOps.dedupSimhash(spark, SfDir).cache()
+    assert(got.count() > 0, "fixture contains near-identical docs")
+    assert(got.filter(col("hamming") > DedupOps.SimHammingMax).count() == 0)
+  }
+
+  test("embedding near-dup pairs are symmetric-free (i < j) and above threshold") {
+    import graft.ops.SimilarityOps
+    val got = SimilarityOps.dedupEmbed(spark, SfDir).collect()
+    got.foreach { r =>
+      assert(r.getAs[Long]("i") < r.getAs[Long]("j"))
+      assert(r.getAs[Double]("cos_sim") >= SimilarityOps.EmbedCosineThreshold - 1e-4)
+    }
+  }
+
+  test("multimodal: stub features are normalized histograms, deterministic") {
+    import graft.ops.MultimodalOps
+    val a = MultimodalOps.multimodalFeatures(spark, SfDir).collect()
+    val b = MultimodalOps.multimodalFeatures(spark, SfDir).collect()
+    assert(a.length == Tables.documents(spark, SfDir).count())
+    a.zip(b).foreach { case (x, y) => assert(x == y, "deterministic decode stub") }
+    a.foreach { r =>
+      val feats = r.getSeq[Double](r.fieldIndex("features"))
+      assert(feats.length == 8)
+      assert(math.abs(feats.sum - 1.0) < 1e-9, "histogram normalized")
+    }
+  }
+
   test("text stats: token counts and ratios on a known doc") {
     import org.apache.spark.sql.Row
     val doc = spark.createDataFrame(
