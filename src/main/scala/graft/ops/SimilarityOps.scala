@@ -75,42 +75,53 @@ object SimilarityOps {
     */
   val EmbedCosineThreshold = 0.4
 
-  /** Sequential-double dot product as a compiled Scala function. A deliberate
-    * exception to "functions over UDFs": higher-order array expressions are
-    * evaluated interpreted (boxed, no codegen), and this inner loop runs once
-    * per candidate pair — the JVM loop is ~2 orders of magnitude faster and
-    * accumulates left-to-right in double exactly like DuckDB's
+  /** Embedding-cosine near-duplicate pairs, blocked on `label` (the corpus's
+    * coarse partition key — e.g. a cluster id from a cheap pre-pass). At
+    * 100 TB each block scores against itself only, blocks are shuffled once
+    * by the blocking key, never all-pairs across the corpus.
+    *
+    * The block-local quadratic loop runs as `flatMapGroups` over primitive
+    * double arrays — one shuffle of the raw vectors, then pure JVM
+    * arithmetic. The SQL-join + UDF alternative re-evaluates the dot UDF
+    * per projection/filter copy and pays Seq[Float] boxing per call; this
+    * path computes each norm once per vector and each dot once per pair,
+    * accumulating left-to-right in double exactly like DuckDB's
     * list_dot_product, so oracle results agree bitwise.
     */
-  private val dotUdf = udf { (a: Seq[Float], b: Seq[Float]) =>
-    var acc = 0.0
-    var i = 0
-    val n = math.min(a.length, b.length)
-    while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
-    acc
-  }
-
-  /** Embedding-cosine near-duplicate pairs, blocked on `label` (the corpus's
-    * coarse partition key — e.g. a cluster id from a cheap pre-pass). The
-    * self-join is label-local: at 100 TB each block joins against itself
-    * only, and blocks are co-partitioned by the join key, never all-pairs
-    * across the corpus. Within-block scoring is exact.
-    */
   def dedupEmbed(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(s, dir)
-      .select(col("vec_id"), col("label"), col("embedding"),
-        sqrt(dotUdf(col("embedding"), col("embedding"))).as("nrm"))
-    val pairs = emb.as("a")
-      .join(emb.as("b"), col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cos", dotUdf(col("a.embedding"), col("b.embedding")) / (col("a.nrm") * col("b.nrm")))
-      .filter(col("cos") >= EmbedCosineThreshold)
-    pairs
-      .select(
-        col("a.vec_id").as("i"),
-        col("b.vec_id").as("j"),
-        col("a.label").as("label"),
-        round(col("cos"), 4).as("cos_sim")
-      )
+    import s.implicits._
+    val thr = EmbedCosineThreshold
+    Tables.embeddings(s, dir)
+      .select(col("label"), col("vec_id"), col("embedding"))
+      .as[(Int, Long, Array[Float])]
+      .groupByKey(_._1)
+      .flatMapGroups { (label: Int, rows: Iterator[(Int, Long, Array[Float])]) =>
+        val vs = rows.map { case (_, id, e) =>
+          val v = new Array[Double](e.length)
+          var i = 0
+          while (i < e.length) { v(i) = e(i).toDouble; i += 1 }
+          var acc = 0.0
+          i = 0
+          while (i < v.length) { acc += v(i) * v(i); i += 1 }
+          (id, v, math.sqrt(acc))
+        }.toArray.sortBy(_._1)
+        for {
+          a <- vs.indices.iterator
+          b <- (a + 1 until vs.length).iterator
+          dot = {
+            val (va, vb) = (vs(a)._2, vs(b)._2)
+            var acc = 0.0
+            var i = 0
+            val n = math.min(va.length, vb.length)
+            while (i < n) { acc += va(i) * vb(i); i += 1 }
+            acc
+          }
+          cos = dot / (vs(a)._3 * vs(b)._3)
+          if cos >= thr
+        } yield (vs(a)._1, vs(b)._1, label,
+          BigDecimal(cos).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      .toDF("i", "j", "label", "cos_sim")
       .orderBy(col("i"), col("j"))
   }
 
