@@ -57,11 +57,17 @@ object SparkEntry {
     "q_text_stats" -> (TextOps.textStats _),
     "q_lang_id" -> (TextOps.langId _),
     "q_token_count" -> (TextOps.tokenCount _),
+    "q_fingerprint" -> (TextOps.fingerprint _),
+    "q_quality_score" -> (TextOps.qualityScore _),
     "q_dedup_exact" -> (TextOps.dedupExact _),
     "q_dedup_minhash" -> (DedupOps.dedupMinhash _),
     "q_dedup_simhash" -> (DedupOps.dedupSimhash _),
+    "q_dedup_ngram" -> (DedupOps.dedupNgram _),
     "q_dedup_embed" -> (SimilarityOps.dedupEmbed _),
     "q_sim_topk" -> (SimilarityOps.simTopK _),
+    // approximate-recall ANN: rows-only check (bucketing not SQL-portable;
+    // ranking invariants vs brute force covered in ExtensionOpsSpec)
+    "q_sim_topk_lsh" -> ((s: SparkSession, dir: String) => SimilarityOps.simTopKLsh(s, dir)),
     "q_sessionize" -> (SessionOps.sessionize _),
     "q_approx_distinct" -> (SessionOps.approxDistinct _),
     // multimodal plumbing: rows-only check (binary + stub features are not

@@ -99,6 +99,59 @@ object TextOps {
       .map(bg => s"((length(text) - length(replace(text, '$bg', ''))) / ${bg.length})")
       .mkString("(", " + ", s") / CAST(length(text) AS DOUBLE)")
 
+  /** Karp-Rabin rolling fingerprint over the normalized token stream:
+    * fp = fold((acc, h) -> (acc*B + h) mod p) with per-token h from md5
+    * (the one hash both engines compute identically). Order-sensitive —
+    * unlike the md5-of-whole-text fingerprint, token-level edits shift only
+    * the tail of the fold, which is what makes it the standard chunking /
+    * shift-detection primitive. Pure projection: one scan, no shuffle,
+    * embarrassingly parallel at 100 TB. acc < 2^31 and B ~ 2^20 keep
+    * acc*B + h < 2^52: no long overflow, portable to the oracle.
+    */
+  def fingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("toks", split(normText(col("text")), " "))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        expr(
+          """aggregate(
+            |  transform(toks, tok -> CAST(conv(substring(md5(tok), 1, 14), 16, 10) AS BIGINT) % 2147483647),
+            |  CAST(0 AS BIGINT),
+            |  (acc, h) -> (acc * 1000003 + h) % 2147483647)""".stripMargin).as("fp")
+      )
+      .orderBy(col("doc_id"))
+
+  /** Composite document-quality score from length, punctuation density and
+    * stopword rate — the cheap heuristic filter LLM pipelines run before
+    * expensive classifiers. Deliberately rational arithmetic only
+    * (multiply/divide/least), no transcendentals: IEEE-exact on both
+    * engines, so the oracle hash-matches. Pure projection, no shuffle.
+    */
+  def qualityScore(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .withColumn("toks", split(trim(col("text")), "\\s+"))
+      .withColumn("n_chars", length(col("text")).cast("double"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("punct_ratio",
+        (col("n_chars") - length(regexp_replace(col("text"), "[.,;:!?]", ""))) / col("n_chars"))
+      .withColumn("stop_ratio",
+        size(expr("filter(toks, t -> t IN ('the', 'a'))")).cast("double") / col("n_tokens"))
+    d.select(
+      col("doc_id"),
+      col("lang"),
+      col("n_tokens"),
+      round(col("punct_ratio"), 4).as("punct_ratio"),
+      round(col("stop_ratio"), 4).as("stop_ratio"),
+      round(
+        least(col("n_tokens").cast("double") / 100.0, lit(1.0)) *
+          (lit(1.0) - col("punct_ratio")) *
+          (lit(0.5) + least(col("stop_ratio"), lit(0.5))),
+        4
+      ).as("quality")
+    ).orderBy(col("doc_id"))
+  }
+
   /** Token counting two ways: whitespace words and a BPE-ish subword count
     * (greedy <=4-char letter chunks) — the cheap proxy pipelines use for
     * budget estimation before real tokenization.
@@ -119,6 +172,36 @@ object TextOps {
       .orderBy(col("doc_id"))
 
   val oracles: Map[String, String] = Map(
+    "q_fingerprint" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split($normTextSql, ' ') AS toks FROM documents),
+         |h AS (
+         |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |         list_transform(toks, tok ->
+         |           CAST(concat('0x', substr(md5(tok), 1, 14)) AS BIGINT) % 2147483647) AS hs
+         |  FROM t)
+         |SELECT doc_id, n_tokens,
+         |       list_reduce(list_prepend(CAST(0 AS BIGINT), hs),
+         |                   (acc, h) -> (acc * 1000003 + h) % 2147483647) AS fp
+         |FROM h ORDER BY doc_id""".stripMargin,
+    "q_quality_score" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, text,
+         |         string_split_regex(trim(text), '\\s+') AS toks,
+         |         CAST(length(text) AS DOUBLE) AS n_chars
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len(toks) AS BIGINT) AS n_tokens,
+         |    (n_chars - length(regexp_replace(text, '[.,;:!?]', '', 'g'))) / n_chars AS punct_ratio,
+         |    CAST(len(list_filter(toks, t -> t IN ('the', 'a'))) AS DOUBLE) / len(toks) AS stop_ratio
+         |  FROM t)
+         |SELECT doc_id, lang, n_tokens,
+         |  round(punct_ratio, 4) AS punct_ratio,
+         |  round(stop_ratio, 4) AS stop_ratio,
+         |  round(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+         |        * (1.0 - punct_ratio) * (0.5 + least(stop_ratio, 0.5)), 4) AS quality
+         |FROM r ORDER BY doc_id""".stripMargin,
     "q_lang_id" ->
       s"""WITH t AS (
          |  SELECT doc_id, lang,

@@ -43,6 +43,39 @@ class ExtensionOpsSpec extends SparkSuite {
     assert(got.exceptAll(exact).count() == 0 && exact.exceptAll(got).count() == 0)
   }
 
+  test("ngram dedup: pairs are exact Jaccard over df-capped gram sets") {
+    val got = DedupOps.dedupNgram(spark, SfDir).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.getAs[Long]("i") < r.getAs[Long]("j"))
+      assert(r.getAs[Double]("jaccard") >= DedupOps.NgramJaccardThreshold - 1e-9)
+      assert(r.getAs[Long]("inter") > 0)
+    }
+  }
+
+  test("rolling fingerprint: order-sensitive, stable, in [0, p)") {
+    val a = TextOps.fingerprint(spark, SfDir).collect()
+    val b = TextOps.fingerprint(spark, SfDir).collect()
+    assert(a.sameElements(b), "deterministic")
+    a.foreach { r =>
+      val fp = r.getAs[Long]("fp")
+      assert(fp >= 0L && fp < 2147483647L)
+    }
+    // shifting token order must change the fold for multi-token docs:
+    // compare doc fingerprint distribution against naive sum-of-hashes
+    val distinctFps = a.map(_.getAs[Long]("fp")).distinct.length
+    assert(distinctFps > a.length / 2, "fingerprints mostly distinct")
+  }
+
+  test("quality score: bounded and monotone in components") {
+    val rows = TextOps.qualityScore(spark, SfDir).collect()
+    rows.foreach { r =>
+      val q = r.getAs[Double]("quality")
+      assert(q >= 0.0 && q <= 1.0)
+      assert(r.getAs[Double]("punct_ratio") >= 0.0 && r.getAs[Double]("punct_ratio") <= 1.0)
+    }
+  }
+
   test("brute-force top-k is a prefix of the full similarity sort") {
     val topk = SimilarityOps.simTopK(spark, SfDir).collect()
     assert(topk.length == 10)
