@@ -1,0 +1,26 @@
+package graft
+
+import graft.functions.CosineSimilarity
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+
+/** SparkSessionExtensions injector for the engine's native functions.
+  *
+  * Usage:
+  * {{{
+  *   SparkSession.builder()
+  *     .withExtensions(new GraftExtensions)   // or
+  *     .config("spark.sql.extensions", "graft.GraftExtensions")
+  * }}}
+  *
+  * For a session that already exists (test fixtures, spark-shell),
+  * [[GraftExtensions.register]] installs the same functions directly.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction((CosineSimilarity.identifier, CosineSimilarity.info, CosineSimilarity.builder))
+}
+
+object GraftExtensions {
+  def register(spark: SparkSession): Unit =
+    CosineSimilarity.register(spark.sessionState.functionRegistry)
+}

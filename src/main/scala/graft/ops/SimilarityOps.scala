@@ -19,15 +19,17 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityOps {
 
-  /** Σ aᵢbᵢ over two float arrays, accumulated in double, left-to-right —
-    * structurally identical to the DuckDB oracle's list_dot_product so the
-    * IEEE results agree bit-for-bit.
+  /** Fused single-pass cosine similarity — a native codegen'd Catalyst
+    * expression (graft.functions.CosineSimilarity): dot product and both
+    * norms accumulate in one primitive loop, left-to-right in double,
+    * structurally identical to the DuckDB oracle's list_dot_product
+    * composition so the IEEE results agree bit-for-bit.
     */
-  private def dot(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
-
-  private def norm(a: String): Column =
-    sqrt(expr(s"aggregate(transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"))
+  def cosineSim(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge
+    graftbridge.column(graft.functions.CosineSimilarity(
+      graftbridge.expression(a), graftbridge.expression(b)))
+  }
 
   /** Exact top-10 cosine neighbors of vec_id 0. */
   def simTopK(s: SparkSession, dir: String): DataFrame = {
@@ -36,7 +38,7 @@ object SimilarityOps {
     emb
       .filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(query))
-      .withColumn("cos_sim", round(dot("embedding", "q") / (norm("embedding") * norm("q")), 4))
+      .withColumn("cos_sim", round(cosineSim(col("embedding"), col("q")), 4))
       .select(col("vec_id"), col("label"), col("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(10)
@@ -63,7 +65,7 @@ object SimilarityOps {
     bucketed
       .filter(col("vec_id") =!= 0)
       .join(broadcast(queryB), col("bucket") === col("qbucket"))
-      .withColumn("cos_sim", round(dot("embedding", "q") / (norm("embedding") * norm("q")), 4))
+      .withColumn("cos_sim", round(cosineSim(col("embedding"), col("q")), 4))
       .select(col("vec_id"), col("label"), col("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)
