@@ -109,7 +109,10 @@ object TextOps {
     * acc*B + h < 2^52: no long overflow, portable to the oracle.
     */
   def fingerprint(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    fingerprintOn(Tables.documents(s, dir))
+
+  def fingerprintOn(docs: DataFrame): DataFrame =
+    docs
       .withColumn("toks", split(normText(col("text")), " "))
       .select(
         col("doc_id"),

@@ -1,0 +1,173 @@
+package graft
+
+import graft.ops.{AlarmOps, SessionOps, TextOps}
+import graft.streaming.StreamingOps
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+import org.apache.spark.sql.types._
+
+import java.sql.Timestamp
+
+/** Randomized property tests (fixed seeds — deterministic): each scenario is
+  * one (user_id, metric) key, all scenarios union into a single DataFrame so
+  * the operator under test runs once per property, not once per trial.
+  *
+  * The strongest property here is batch ≡ streaming ≡ reference-fold
+  * equivalence for the stateful alarms: the batch window op, the
+  * flatMapGroupsWithState twin (fed in randomly-split micro-batches through
+  * TestGroupState), and a direct transliteration of the reference's state
+  * machine (opcua_server/main.py:319-332, :14-40) must agree on every
+  * random input.
+  */
+class PropertySpec extends SparkSuite {
+
+  private val NTrials = 60
+
+  private def propEventsDf(rows: Seq[(Long, Long, String, Long, Double)]) = {
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("ts", TimestampType),
+      StructField("value", DoubleType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        rows.map { case (e, u, m, t, v) => Row(e, u, m, new Timestamp(t * 1000L), v) }, 4),
+      schema)
+  }
+
+  test("edge alarm: batch lag-window == reference state machine == streaming fold") {
+    val rnd = new scala.util.Random(1234)
+    val thr = 200.0
+    // scenario per user: values around the threshold incl. exact hits
+    val scenarios = (0 until NTrials).map { u =>
+      val n = 1 + rnd.nextInt(12)
+      u.toLong -> Seq.fill(n)(rnd.nextInt(5) match {
+        case 0 => thr // exactly at threshold: must re-arm, not fire
+        case 1 => 0.0
+        case _ => rnd.nextDouble() * 400.0
+      })
+    }
+    val rows = scenarios.flatMap { case (u, vs) =>
+      vs.zipWithIndex.map { case (v, i) => ((u * 1000 + i), u, "click", i.toLong * 60, v) }
+    }
+    val batch = AlarmOps.edgeAlarmOn(propEventsDf(rows), thr)
+      .collect().map(r => (r.getLong(1), r.getLong(0))).groupBy(_._1)
+      .map { case (u, a) => u -> a.map(_._2).sorted.toSeq }
+
+    scenarios.foreach { case (u, vs) =>
+      // reference fold: opcua_server/main.py:319-332
+      var below = false
+      val expected = vs.zipWithIndex.flatMap { case (v, i) =>
+        if (v < thr) {
+          val fire = !below; below = true
+          if (fire) Some(u * 1000 + i) else None
+        } else { below = false; None }
+      }
+      assert(batch.getOrElse(u, Nil) == expected, s"batch vs fold for user $u values $vs")
+
+      // streaming fold across random micro-batch splits
+      var state = TestGroupState.create[StreamingOps.EdgeState](
+        org.apache.spark.api.java.Optional.empty(), GroupStateTimeout.NoTimeout, 0L,
+        org.apache.spark.api.java.Optional.empty[Long](), hasTimedOut = false)
+      val events = vs.zipWithIndex.map { case (v, i) =>
+        StreamingOps.MetricEvent(u * 1000 + i, new Timestamp(i * 60000L), u, "click", v)
+      }
+      val splits = events.grouped(1 + rnd.nextInt(events.size)).toSeq
+      val streamed = splits.flatMap { chunk =>
+        val out = StreamingOps.edgeFlatMap(thr)((u, "click"), chunk.iterator, state).toSeq
+        state = TestGroupState.create[StreamingOps.EdgeState](
+          org.apache.spark.api.java.Optional.fromNullable(if (state.exists) state.get else null),
+          GroupStateTimeout.NoTimeout, 0L,
+          org.apache.spark.api.java.Optional.empty[Long](), hasTimedOut = false)
+        out.map(_.event_id)
+      }
+      assert(streamed == expected, s"streaming vs fold for user $u values $vs")
+    }
+  }
+
+  test("trend alarm: batch window == reference ring buffer over random walks") {
+    val rnd = new scala.util.Random(5678)
+    val target = 250.0 // 'click'
+    val scenarios = (0 until NTrials).map { u =>
+      val n = 1 + rnd.nextInt(10)
+      // mix tight-to-target and far-from-target values
+      u.toLong -> Seq.fill(n)(target * (1.0 + (rnd.nextDouble() - 0.5) * 0.12))
+    }
+    val rows = scenarios.flatMap { case (u, vs) =>
+      vs.zipWithIndex.map { case (v, i) => ((u * 1000 + i), u, "click", i.toLong * 60, v) }
+    }
+    val batch = AlarmOps.deviationTrendOn(propEventsDf(rows))
+      .collect().map(r => (r.getLong(1), r.getLong(0))).groupBy(_._1)
+      .map { case (u, a) => u -> a.map(_._2).sorted.toSeq }
+    scenarios.foreach { case (u, vs) =>
+      // reference ring buffer: opcua_server/main.py:14-40
+      var recent = List.empty[Double]
+      val expected = vs.zipWithIndex.flatMap { case (v, i) =>
+        val pct = (v - target) / target * 100.0
+        recent = (recent :+ math.abs(pct)).takeRight(3)
+        if (recent.size == 3 && recent.forall(_ > 2.0)) Some(u * 1000 + i) else None
+      }
+      assert(batch.getOrElse(u, Nil) == expected, s"user $u values $vs")
+    }
+  }
+
+  test("sessionize: session boundaries match the gap fold; totals preserved") {
+    val rnd = new scala.util.Random(91011)
+    val gapSec = 30 * 60
+    val scenarios = (0 until NTrials).map { u =>
+      var t = 0L
+      val n = 1 + rnd.nextInt(20)
+      u.toLong -> Seq.fill(n) {
+        t += rnd.nextInt(2 * gapSec).toLong + 1
+        (t, rnd.nextDouble() * 10)
+      }
+    }
+    val rows = scenarios.flatMap { case (u, evs) =>
+      evs.zipWithIndex.map { case ((t, v), i) => ((u * 1000 + i), u, "click", t, v) }
+    }
+    val got = SessionOps.sessionizeOn(propEventsDf(rows)).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime / 1000, r.getLong(2)))
+      .groupBy(_._1).map { case (u, a) => u -> a.map(x => (x._2, x._3)).sortBy(_._1).toSeq }
+    scenarios.foreach { case (u, evs) =>
+      // fold: new session when gap >= 30 min
+      val expected = evs.foldLeft(List.empty[(Long, Long, Long)]) { // (start, lastTs, n)
+        case (acc, (t, _)) => acc match {
+          case (start, last, n) :: tail if t - last < gapSec => (start, t, n + 1) :: tail
+          case _ => (t, t, 1L) :: acc
+        }
+      }.reverse.map { case (start, _, n) => (start, n) }
+      assert(got.getOrElse(u, Nil) == expected, s"user $u events $evs")
+    }
+  }
+
+  test("rolling fingerprint: composition fp(A++B) == (fp(A)*B^|B| + fp(B)) mod p") {
+    val rnd = new scala.util.Random(1213)
+    val P = BigInt(2147483647L)
+    val B = BigInt(1000003L)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    val docs = (0 until NTrials).map { i =>
+      val a = Seq.fill(1 + rnd.nextInt(6))(vocab(rnd.nextInt(vocab.size)))
+      val b = Seq.fill(1 + rnd.nextInt(6))(vocab(rnd.nextInt(vocab.size)))
+      (i, a, b)
+    }
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val rows = docs.flatMap { case (i, a, b) => Seq(
+      Row(i * 3L, a.mkString(" ")),
+      Row(i * 3L + 1, b.mkString(" ")),
+      Row(i * 3L + 2, (a ++ b).mkString(" ")))
+    }
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 4), schema)
+    val fps = TextOps.fingerprintOn(df).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    docs.foreach { case (i, _, b) =>
+      val fa = BigInt(fps(i * 3L))
+      val fb = BigInt(fps(i * 3L + 1))
+      val fab = BigInt(fps(i * 3L + 2))
+      val want = (fa * B.modPow(b.size, P) + fb) mod P
+      assert(fab == want, s"doc $i: $fab != $want")
+    }
+  }
+}
