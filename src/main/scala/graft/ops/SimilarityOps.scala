@@ -44,27 +44,55 @@ object SimilarityOps {
       .limit(10)
   }
 
-  /** SimHash-bucketed ANN variant: 16 fixed random hyperplanes (deterministic
-    * seed via per-dimension hash), bucket = sign-bit string; candidates =
-    * same-bucket vectors, ranked exactly within the bucket. At 100 TB the
-    * bucket join replaces the full scan with ~N/2^16 of the corpus.
+  private val LshPlanes = 8
+  private val LshDims = 64
+
+  /** Hyperplane weights: MurmurHash3-derived, fixed at class load —
+    * deterministic across runs and partitions, no RNG state.
+    */
+  private lazy val lshWeights: Array[Array[Double]] =
+    Array.tabulate(LshPlanes, LshDims) { (p, d) =>
+      scala.util.hashing.MurmurHash3.productHash((p, d)).toDouble / Int.MaxValue
+    }
+
+  /** 16-bit sign bucket of a vector — compiled loop over the broadcast-safe
+    * weight table (the interpreted HOF formulation re-built the 16×64 weight
+    * arrays per row with boxed lambdas; this is a plain JVM loop).
+    */
+  private val lshBucketUdf = udf { (e: Seq[Float]) =>
+    var bucket = 0
+    var p = 0
+    while (p < LshPlanes) {
+      val w = lshWeights(p)
+      var acc = 0.0
+      var d = 0
+      val n = math.min(e.length, LshDims)
+      while (d < n) { acc += e(d).toDouble * w(d); d += 1 }
+      if (acc >= 0) bucket |= (1 << p)
+      p += 1
+    }
+    bucket
+  }
+
+  /** Multi-probe SimHash-bucketed ANN variant: 8 fixed hash-derived
+    * hyperplanes, bucket = 8 sign bits; the query probes its own bucket plus
+    * every bucket at hamming distance 1 (9 probes of 256 buckets ≈ 3.5% of
+    * the corpus). Candidates are ranked exactly by the native cosine
+    * expression. At 100 TB the probe list is a broadcast handful of bucket
+    * ids and the bucket equi-join replaces the full scan — candidate volume
+    * scales as N × probes / 2^planes.
     */
   def simTopKLsh(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    // plane p weight for dim d = a fixed hash in [-1, 1]: deterministic, no RNG.
-    val bucketExpr =
-      """aggregate(sequence(0, 15), '', (acc, p) ->
-        |  concat(acc, CASE WHEN aggregate(
-        |    zip_with(embedding, transform(sequence(0, 63), d ->
-        |      CAST(hash(p, d) AS DOUBLE) / 2147483647.0D),
-        |    (x, w) -> CAST(x AS DOUBLE) * w),
-        |    CAST(0.0 AS DOUBLE), (a2, v) -> a2 + v) >= 0 THEN '1' ELSE '0' END))""".stripMargin
-    val bucketed = emb.withColumn("bucket", expr(bucketExpr))
-    val queryB = bucketed.filter(col("vec_id") === 0)
-      .select(col("bucket").as("qbucket"), col("embedding").as("q"))
+    val bucketed = emb.withColumn("bucket", lshBucketUdf(col("embedding")))
+    val probes = bucketed.filter(col("vec_id") === 0)
+      .select(col("bucket"), col("embedding").as("q"))
+      .select(explode(expr(
+        s"transform(sequence(0, $LshPlanes), i -> CASE WHEN i = 0 THEN bucket ELSE int(bucket) ^ shiftleft(1, i - 1) END)"
+      )).as("probe"), col("q"))
     bucketed
       .filter(col("vec_id") =!= 0)
-      .join(broadcast(queryB), col("bucket") === col("qbucket"))
+      .join(broadcast(probes), col("bucket") === col("probe"))
       .withColumn("cos_sim", round(cosineSim(col("embedding"), col("q")), 4))
       .select(col("vec_id"), col("label"), col("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))

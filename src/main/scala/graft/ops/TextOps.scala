@@ -64,8 +64,10 @@ object TextOps {
     * drop in without changing the plan (pure codegen'd projection).
     */
   def langId(s: SparkSession, dir: String): DataFrame = {
+    // plain (non-regex) replace — same builtin the oracle uses, no regex
+    // compilation per row
     def occurrences(bg: String) =
-      (length(col("text")) - length(regexp_replace(col("text"), bg, ""))) / bg.length
+      (length(col("text")) - length(expr(s"replace(text, '$bg', '')"))) / bg.length
     def score(bgs: Seq[String]) =
       bgs.map(occurrences).reduce(_ + _).cast("double") / length(col("text"))
     val scored = Tables.documents(s, dir)

@@ -52,6 +52,26 @@ object StreamingOps {
 
   val outputModeAppend: OutputMode = OutputMode.Append()
 
+  /** Gap-session twin of SessionOps.sessionizeOn: `session_window` merges
+    * in-progress sessions in the state store; a session row is emitted once,
+    * when the watermark passes its close (start of a 30-min silence). Same
+    * one-shuffle-on-user_id shape as the batch op.
+    */
+  def sessionizeStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total_value")
+      )
+      .select(
+        col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("n_events"),
+        col("total_value")
+      )
+
   private def pctOf(metric: String, value: Double): Option[Double] = {
     val target = metric match {
       case "click" => 250.0

@@ -101,6 +101,34 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("session stream: sessions close at the watermark, match batch semantics") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, Double)]
+    val events = mem.toDF().toDF("event_id", "ts", "user_id", "value")
+    val q = StreamingOps.sessionizeStream(events)
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, ts("2024-01-01 00:00:00"), 5L, 1.0),
+        (2L, ts("2024-01-01 00:10:00"), 5L, 2.0) // same session (gap 10min)
+      )
+      q.processAllAvailable()
+      assert(spark.table("sess_out").count() == 0, "session still open")
+      // 40-min silence then a new event: closes session 1, opens session 2
+      mem.addData((3L, ts("2024-01-01 00:50:00"), 5L, 4.0))
+      q.processAllAvailable()
+      mem.addData((4L, ts("2024-01-01 02:00:00"), 5L, 8.0)) // closes session 2
+      q.processAllAvailable()
+      val rows = spark.table("sess_out")
+        .select("session_start", "n_events", "total_value").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getDouble(2))).toSet
+      assert(rows.contains(("2024-01-01 00:00:00.0", 2L, 3.0)))
+      assert(rows.contains(("2024-01-01 00:50:00.0", 1L, 4.0)))
+    } finally q.stop()
+  }
+
   test("streaming ingest: dispatch + enrichment on a memory stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
