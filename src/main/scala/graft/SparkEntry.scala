@@ -65,9 +65,10 @@ object SparkEntry {
     "q_dedup_ngram" -> (DedupOps.dedupNgram _),
     "q_dedup_embed" -> (SimilarityOps.dedupEmbed _),
     "q_sim_topk" -> (SimilarityOps.simTopK _),
-    // approximate-recall ANN: rows-only check (bucketing not SQL-portable;
-    // ranking invariants vs brute force covered in ExtensionOpsSpec)
+    // approximate-recall ANN variants: rows-only check (bucketing not
+    // SQL-portable; ranking invariants vs brute force in ExtensionOpsSpec)
     "q_sim_topk_lsh" -> ((s: SparkSession, dir: String) => SimilarityOps.simTopKLsh(s, dir)),
+    "q_sim_topk_ivf" -> ((s: SparkSession, dir: String) => SimilarityOps.simTopKIvf(s, dir)),
     "q_sessionize" -> (SessionOps.sessionize _),
     "q_approx_distinct" -> (SessionOps.approxDistinct _),
     // multimodal plumbing: rows-only check (binary + stub features are not

@@ -99,6 +99,40 @@ object SimilarityOps {
       .limit(k)
   }
 
+  /** IVF-bucketed ANN variant: coarse quantizer = per-label centroids (one
+    * cheap aggregate pass — in a real corpus the coarse pass is a k-means
+    * lite; here labels are the precomputed coarse assignment), probe =
+    * nProbe nearest centroids to the query, candidates = their posting
+    * lists, ranked exactly by the native cosine expression. At 100 TB:
+    * centroids are a broadcast handful of rows, posting lists are
+    * partitioned by the same label key they were written with (no shuffle
+    * of the corpus), candidate volume ≈ N × nProbe / nLists.
+    */
+  def simTopKIvf(s: SparkSession, dir: String, k: Int = 10, nProbe: Int = 2): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val centroids = emb
+      .select(col("label"), posexplode(col("embedding")).as(Seq("d", "x")))
+      .groupBy(col("label"), col("d"))
+      .agg(avg(col("x")).as("c"))
+      .groupBy(col("label"))
+      .agg(expr("transform(array_sort(collect_list(struct(d, c))), s -> CAST(s.c AS FLOAT))")
+        .as("centroid"))
+    val query = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("q"))
+    val probed = centroids.crossJoin(broadcast(query))
+      .withColumn("c_sim", cosineSim(col("centroid"), col("q")))
+      .orderBy(col("c_sim").desc, col("label"))
+      .limit(nProbe)
+      .select(col("label"), col("q"))
+    emb
+      .filter(col("vec_id") =!= 0)
+      .join(broadcast(probed), "label")
+      .withColumn("cos_sim", round(cosineSim(col("embedding"), col("q")), 4))
+      .select(col("vec_id"), col("label"), col("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Threshold for embedding near-dup pairs. 0.4 yields a non-trivial pair
     * set on the synthetic embeddings (max in-label cosine ≈ 0.47); real
     * dedup corpora would run ~0.95 — a constant, not a plan change.

@@ -96,6 +96,23 @@ class ExtensionOpsSpec extends SparkSuite {
     }
   }
 
+  test("IVF top-k: exact scores, candidates drawn from probed posting lists") {
+    val ivf = SimilarityOps.simTopKIvf(spark, SfDir, k = 10, nProbe = 2).collect()
+    assert(ivf.nonEmpty)
+    val all = SimilarityOps.simTopK(spark, SfDir).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cos_sim"))).toMap
+    // exact scoring within probed lists: any IVF hit also in the brute-force
+    // top-10 must carry the identical score
+    ivf.foreach { r =>
+      val id = r.getAs[Long]("vec_id")
+      all.get(id).foreach(s => assert(s == r.getAs[Double]("cos_sim"), s"vec $id"))
+    }
+    // probed lists cover at most nProbe labels
+    assert(ivf.map(_.getAs[Int]("label")).distinct.length <= 2)
+    val sims = ivf.map(_.getAs[Double]("cos_sim"))
+    assert(sims.sameElements(sims.sorted(Ordering[Double].reverse)))
+  }
+
   test("approx_count_distinct within 5% of exact") {
     val e = Tables.events(spark, SfDir)
     val joined = e.groupBy("event_type")
