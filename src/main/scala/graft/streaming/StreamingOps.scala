@@ -142,6 +142,43 @@ object StreamingOps {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(edgeFlatMap(threshold))
   }
 
+  case class RecoveryState(latest: Map[String, Double], wasRecoverable: Boolean)
+  case class Recovery(user_id: Long, event_id: Long, last_error: Double)
+
+  /** Auto-recovery rule as a stream (opcua_server/main.py:411-431): per
+    * entity, track the latest value of each metric; emit a recovery event on
+    * the transition into "recoverable" (latest error > 100 while all three
+    * feed metrics are healthy > 5) — edge-triggered like the reference's
+    * resume path, which fires once per Error episode. State is O(metrics)
+    * per entity.
+    */
+  def recoveryFlatMap(
+      userId: Long,
+      rows: Iterator[MetricEvent],
+      state: GroupState[RecoveryState]
+  ): Iterator[Recovery] = {
+    var st = state.getOption.getOrElse(RecoveryState(Map.empty, wasRecoverable = false))
+    val out = scala.collection.mutable.ListBuffer.empty[Recovery]
+    rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+      val latest = st.latest.updated(e.metric, e.value)
+      val recoverable =
+        latest.getOrElse("error", 0.0) > 100.0 &&
+          Seq("click", "view", "purchase").forall(m => latest.getOrElse(m, 0.0) > 5.0)
+      if (recoverable && !st.wasRecoverable)
+        out += Recovery(userId, e.event_id, latest("error"))
+      st = RecoveryState(latest, recoverable)
+    }
+    state.update(st)
+    out.iterator
+  }
+
+  def recoveries(events: Dataset[MetricEvent]): Dataset[Recovery] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(recoveryFlatMap)
+  }
+
   /** Ingest dataflow (§3.1): JSON envelope → flatten → type dispatch →
     * broadcast enrichment. `contextDf` is the (tiny) slowly-changing
     * dimension looked up at stream time (hydration_agent/main.py:73-74).

@@ -101,6 +101,37 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("auto-recovery stream: fires once on the transition into recoverable") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[MetricEvent]
+    val q = StreamingOps.recoveries(mem.toDS())
+      .writeStream.format("memory").queryName("recovery_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        MetricEvent(1, ts("2024-01-01 00:00:01"), 3, "error", 150.0),   // in Error
+        MetricEvent(2, ts("2024-01-01 00:00:02"), 3, "click", 100.0),
+        MetricEvent(3, ts("2024-01-01 00:00:03"), 3, "view", 50.0)
+      )
+      q.processAllAvailable()
+      assert(spark.table("recovery_out").count() == 0, "purchase still missing")
+      mem.addData(MetricEvent(4, ts("2024-01-01 00:00:04"), 3, "purchase", 10.0)) // all healthy
+      q.processAllAvailable()
+      mem.addData(MetricEvent(5, ts("2024-01-01 00:00:05"), 3, "click", 120.0)) // still recoverable: no re-fire
+      q.processAllAvailable()
+      val fired = spark.table("recovery_out").select("event_id").as[Long].collect().toSeq
+      assert(fired == Seq(4L))
+      // healthy drop re-arms, next full condition fires again
+      mem.addData(
+        MetricEvent(6, ts("2024-01-01 00:00:06"), 3, "view", 1.0),   // unhealthy
+        MetricEvent(7, ts("2024-01-01 00:00:07"), 3, "view", 80.0)   // healthy again -> fire
+      )
+      q.processAllAvailable()
+      assert(spark.table("recovery_out").select("event_id").as[Long].collect().toSeq.sorted == Seq(4L, 7L))
+    } finally q.stop()
+  }
+
   test("session stream: sessions close at the watermark, match batch semantics") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
