@@ -63,6 +63,7 @@ object SparkEntry {
     "q_dedup_minhash" -> (DedupOps.dedupMinhash _),
     "q_dedup_simhash" -> (DedupOps.dedupSimhash _),
     "q_dedup_ngram" -> (DedupOps.dedupNgram _),
+    "q_dedup_clusters" -> (DedupOps.dedupClusters _),
     "q_dedup_embed" -> (SimilarityOps.dedupEmbed _),
     "q_sim_topk" -> (SimilarityOps.simTopK _),
     // approximate-recall ANN variants: rows-only check (bucketing not

@@ -43,6 +43,22 @@ class ExtensionOpsSpec extends SparkSuite {
     assert(got.exceptAll(exact).count() == 0 && exact.exceptAll(got).count() == 0)
   }
 
+  test("dedup clusters: pair-consistent, linear output, min-id representative") {
+    val clusters = DedupOps.dedupClusters(spark, SfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(clusters.size == Tables.documents(spark, SfDir).count(), "one row per doc")
+    // every near-dup pair lands in the same cluster
+    DedupOps.dedupMinhash(spark, SfDir).collect().foreach { r =>
+      val (i, j) = (r.getLong(0), r.getLong(1))
+      assert(clusters(i)._1 == clusters(j)._1, s"pair ($i,$j) split across clusters")
+    }
+    // representative is the component minimum; sizes consistent
+    clusters.groupBy(_._2._1).foreach { case (cid, members) =>
+      assert(cid == members.keys.min, s"cluster $cid rep is not the min doc_id")
+      members.values.foreach { case (_, sz) => assert(sz == members.size) }
+    }
+  }
+
   test("ngram dedup: pairs are exact Jaccard over df-capped gram sets") {
     val got = DedupOps.dedupNgram(spark, SfDir).collect()
     assert(got.nonEmpty)
