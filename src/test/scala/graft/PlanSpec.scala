@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Physical-plan regression guards: the properties PLANS.md claims must
+  * hold at 100 TB are asserted here against explain output, so a future
+  * edit that silently degrades a plan (drops a pushdown, turns a broadcast
+  * into a shuffle join, a top-k into a global sort) fails the build.
+  */
+class PlanSpec extends SparkSuite {
+
+  private def plan(key: String): String =
+    SparkEntry.queries(key)(spark, SfDir).queryExecution.explainString(FormattedMode)
+
+  test("q_last_value: top-1 via TakeOrderedAndProject with pushed metric filter") {
+    val p = plan("q_last_value")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,"), p)
+    assert(!p.contains("Exchange rangepartitioning"), "global sort crept in:\n" + p)
+  }
+
+  test("q_scan_filter: predicate reaches the parquet scan; schema pruned") {
+    val p = plan("q_scan_filter")
+    assert(p.contains("EqualTo(event_type,"), p)
+    assert(!p.contains("props"), "scan reads unused props column:\n" + p)
+  }
+
+  test("q_latest_per_group: partial aggregation, no ranking-window sort") {
+    val p = plan("q_latest_per_group")
+    // max_by with a string payload is not hash-buffer-compatible, so Spark
+    // plans SortAggregate — the load-bearing property is partial (map-side)
+    // aggregation: two aggregate stages around the group-key exchange
+    assert("(Sort|Hash)Aggregate".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("Window"), "window-function ranking instead of max_by:\n" + p)
+  }
+
+  test("q_enrich_join / snk_jdbc: dimension side broadcast, fact side unshuffled") {
+    Seq("q_enrich_join", "snk_jdbc").foreach { k =>
+      val p = plan(k)
+      assert(p.contains("BroadcastHashJoin"), s"$k:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$k shuffles the fact side:\n$p")
+    }
+  }
+
+  test("q_bucket_agg: partial+final hash aggregate, pruned scan") {
+    val p = plan("q_bucket_agg")
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("ReadSchema: struct<ts:"), p)
+    assert(!p.contains("event_id"), "scan reads unused event_id:\n" + p)
+  }
+
+  test("q_sim_topk: broadcast query vector + TakeOrderedAndProject, native cosine") {
+    val p = plan("q_sim_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("Broadcast"), p)
+    assert(p.contains("cosine_sim"), "native expression not in plan:\n" + p)
+  }
+
+  test("q_alarm_feed: top-50 via TakeOrderedAndProject, scalar CTE broadcast") {
+    val p = plan("q_alarm_feed")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("Broadcast"), p)
+  }
+
+  test("dedup candidate generation never plans a corpus cross join") {
+    Seq("q_dedup_minhash", "q_dedup_simhash", "q_dedup_ngram").foreach { k =>
+      val p = plan(k)
+      assert(!p.contains("CartesianProduct"), s"$k has a cross join:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$k has a nested-loop join:\n$p")
+    }
+  }
+}
