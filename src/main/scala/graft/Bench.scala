@@ -12,9 +12,10 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: absorb one-time JVM/codegen init and parquet footer
     // reads so per-query timings measure the queries, not session startup
-    Seq("events", "documents", "embeddings", "customer").foreach { t =>
-      spark.read.parquet(s"$sfDir/$t.parquet").limit(1).count()
-    }
+    Seq(
+      Tables.events(spark, sfDir), Tables.documents(spark, sfDir),
+      Tables.embeddings(spark, sfDir), Tables.customer(spark, sfDir)
+    ).foreach(_.limit(1).count())
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
