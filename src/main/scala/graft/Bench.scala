@@ -8,6 +8,11 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // shuffle/spill on tmpfs: the backing virtual disk has multi-second
+      // latency bursts under host contention that stall shuffle-heavy
+      // queries with the CPU idle (measured: <3% steal, 90% idle, 10-50x
+      // wall-clock swings); shuffle volume at bench scale is a few MB
+      .config("spark.local.dir", "/dev/shm/graft-spark")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: absorb one-time JVM/codegen init and parquet footer

@@ -12,6 +12,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // tmpfs shuffle dir — see Bench.scala: the backing virtual disk
+      // stalls shuffles for seconds under host contention
+      .config("spark.local.dir", "/dev/shm/graft-spark")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
