@@ -49,6 +49,36 @@ object Model {
   def deviationPct(value: Column, target: Column): Column = value.minus(target).divide(target).multiply(lit(100))
   val deviationPctSql: String = "((value - __T__) / __T__) * 100"
 
+  /** Order-independent float aggregation: doubles summed in parallel give
+    * partition-order-dependent results (FP addition is not associative),
+    * which flips the last rounded digit vs the oracle's sequential sum on
+    * boundary rows. The fixture values are exact 2-decimal numbers, so
+    * summing as DECIMAL(28,6) is lossless AND exact — any summation order
+    * gives the identical result in both engines; one double division /
+    * round at the end stays IEEE-identical.
+    */
+  def exactSum(c: Column, digits: Int): Column =
+    round(sum(c.cast("decimal(28,6)")).cast("double"), digits)
+
+  /** 4-digit-rounded mean computed entirely in integer arithmetic. The
+    * decimal sum avoids order dependence; the bigger trap is the round
+    * itself: sums of 2-decimal values divided by counts like 24 land
+    * exactly on .xxxx5 boundaries, where Spark's round (shortest-string
+    * BigDecimal, HALF_UP) and DuckDB's (binary-double) disagree. Integer
+    * half-up — floor((2·cents·100 + n) / 2n) with cents = 100·sum —
+    * is exact and identical in both engines; the final /10000.0 is one
+    * shared IEEE division.
+    */
+  def exactAvg4(colName: String): Column =
+    expr(exactAvg4Sql(colName).replace(" // ", " div "))
+
+  def exactAvg4Sql(colName: String): String =
+    s"CAST((CAST(sum(CAST($colName AS DECIMAL(28,2))) * 100 AS BIGINT) * 200 " +
+      s"+ count($colName)) // (2 * count($colName)) AS DOUBLE) / 10000.0"
+
+  def exactSumSql(col: String, digits: Int): String =
+    s"round(CAST(sum(CAST($col AS DECIMAL(28,6))) AS DOUBLE), $digits)"
+
   val ImmediateDeviationPct = 10.0 // opcua_server/main.py:21
   val TrendDeviationPct = 2.0      // opcua_server/main.py:22
   val TrendWindow = 3              // opcua_server/main.py:23

@@ -104,7 +104,7 @@ object DataflowOps {
   def snkMqtt(s: SparkSession, dir: String): DataFrame =
     ev(s, dir)
       .groupBy(col("event_type").as("node_id"))
-      .agg(count(lit(1)).as("n_msgs"), round(sum(col("value")), 2).as("checksum"))
+      .agg(count(lit(1)).as("n_msgs"), graft.model.Model.exactSum(col("value"), 2).as("checksum"))
       .withColumn("topic", lit("machine/data"))
       .withColumn("qos", lit(0))
       .select(col("node_id"), col("topic"), col("qos"), col("n_msgs"), col("checksum"))
@@ -135,7 +135,7 @@ object DataflowOps {
   def snkKafka(s: SparkSession, dir: String): DataFrame =
     ev(s, dir)
       .groupBy((col("event_id") % 4).cast("int").as("partition"))
-      .agg(count(lit(1)).as("n_records"), round(sum(col("value")), 2).as("checksum"))
+      .agg(count(lit(1)).as("n_records"), graft.model.Model.exactSum(col("value"), 2).as("checksum"))
       .withColumn("topic", lit("machine_events"))
       .select(col("topic"), col("partition"), col("n_records"), col("checksum"))
       .orderBy(col("partition"))
@@ -248,7 +248,7 @@ object DataflowOps {
         |FROM events ORDER BY event_id""".stripMargin,
     "snk_mqtt" ->
       """SELECT event_type AS node_id, 'machine/data' AS topic, 0 AS qos,
-        |       count(*) AS n_msgs, round(sum(value), 2) AS checksum
+        |       count(*) AS n_msgs, round(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 2) AS checksum
         |FROM events GROUP BY event_type ORDER BY node_id""".stripMargin,
     "src_kafka" ->
       """SELECT 'machine_events' AS topic, CAST(event_id % 4 AS INTEGER) AS partition,
@@ -256,7 +256,7 @@ object DataflowOps {
         |FROM events ORDER BY msg_offset""".stripMargin,
     "snk_kafka" ->
       """SELECT 'machine_events' AS topic, CAST(event_id % 4 AS INTEGER) AS partition,
-        |       count(*) AS n_records, round(sum(value), 2) AS checksum
+        |       count(*) AS n_records, round(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 2) AS checksum
         |FROM events GROUP BY 2 ORDER BY partition""".stripMargin,
     "q_enrich_join" ->
       """SELECT e.event_id, e.event_type, e.value, c.c_name AS operator,

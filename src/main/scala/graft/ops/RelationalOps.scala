@@ -70,7 +70,7 @@ object RelationalOps {
     ev(s, dir)
       .filter(col("event_type").isin("click", "purchase", "signup"))
       .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .agg(count(lit(1)).as("n"), Model.exactSum(col("value"), 2).as("total"))
       .orderBy(col("event_type"))
 
   /** COALESCE(value_str, CAST(value_num AS TEXT)) projection
@@ -117,7 +117,7 @@ object RelationalOps {
       .filter(col("value").isNotNull)
       .groupBy(window(col("ts"), grain), col("event_type"))
       .agg(
-        round(avg(col("value")), 4).as("avg_value"),
+        Model.exactAvg4("value").as("avg_value"),
         min(col("value")).as("min_value"),
         max(col("value")).as("max_value"),
         count(col("value")).as("sample_count")
@@ -150,7 +150,7 @@ object RelationalOps {
       )
       .filter(col("value_num").isNotNull)
       .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n"), round(avg(col("value_num")), 4).as("avg_value"))
+      .agg(count(lit(1)).as("n"), Model.exactAvg4("value_num").as("avg_value"))
       .orderBy(col("event_type"))
 
   /** Minute-grain continuous aggregate, batch recompute of
@@ -169,7 +169,7 @@ object RelationalOps {
       .filter(col("value").isNotNull)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(
-        round(avg(col("value")), 4).as("avg_value"),
+        Model.exactAvg4("value").as("avg_value"),
         min(col("value")).as("min_value"),
         max(col("value")).as("max_value"),
         count(col("value")).as("sample_count")
@@ -268,7 +268,7 @@ object RelationalOps {
          |QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY ts DESC, event_id DESC) = 1
          |ORDER BY metric""".stripMargin,
     "q_in_list" ->
-      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
+      """SELECT event_type, count(*) AS n, round(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 2) AS total
         |FROM events WHERE event_type IN ('click', 'purchase', 'signup')
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_coalesce_cast" ->
@@ -284,36 +284,36 @@ object RelationalOps {
         |  AND ts BETWEEN TIMESTAMP '2024-01-05 00:00:00' AND TIMESTAMP '2024-01-25 00:00:00'
         |ORDER BY time, event_id""".stripMargin,
     "q_bucket_agg" ->
-      """SELECT date_trunc('hour', ts) AS bucket, event_type AS metric,
-        |  round(avg(value), 4) AS avg_value, min(value) AS min_value,
+      s"""SELECT date_trunc('hour', ts) AS bucket, event_type AS metric,
+        |  ${Model.exactAvg4Sql("value")} AS avg_value, min(value) AS min_value,
         |  max(value) AS max_value, count(value) AS sample_count
         |FROM events WHERE value IS NOT NULL
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_notnull_filter" ->
-      """WITH t AS (
+      s"""WITH t AS (
         |  SELECT event_type,
         |         CASE WHEN event_type = 'error' THEN NULL ELSE value END AS value_num
         |  FROM events)
-        |SELECT event_type, count(*) AS n, round(avg(value_num), 4) AS avg_value
+        |SELECT event_type, count(*) AS n, ${Model.exactAvg4Sql("value_num")} AS avg_value
         |FROM t WHERE value_num IS NOT NULL
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_mv_minute" ->
-      """SELECT date_trunc('minute', ts) AS bucket, event_type AS metric,
-        |  round(avg(value), 4) AS avg_value, min(value) AS min_value,
+      s"""SELECT date_trunc('minute', ts) AS bucket, event_type AS metric,
+        |  ${Model.exactAvg4Sql("value")} AS avg_value, min(value) AS min_value,
         |  max(value) AS max_value, count(value) AS sample_count
         |FROM events WHERE value IS NOT NULL
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_mv_hourly" ->
-      """SELECT date_trunc('hour', ts) AS bucket, event_type AS metric,
-        |  round(avg(value), 4) AS avg_value, min(value) AS min_value,
+      s"""SELECT date_trunc('hour', ts) AS bucket, event_type AS metric,
+        |  ${Model.exactAvg4Sql("value")} AS avg_value, min(value) AS min_value,
         |  max(value) AS max_value, count(value) AS sample_count
         |FROM events
         |WHERE ts >= TIMESTAMP '2024-01-28 00:00:00' AND value IS NOT NULL
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_mv_read" ->
-      """WITH mv AS (
+      s"""WITH mv AS (
         |  SELECT date_trunc('minute', ts) AS bucket, event_type AS metric,
-        |    round(avg(value), 4) AS avg_value, min(value) AS min_value,
+        |    ${Model.exactAvg4Sql("value")} AS avg_value, min(value) AS min_value,
         |    max(value) AS max_value
         |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2)
         |SELECT bucket AS time, avg_value, min_value, max_value FROM mv

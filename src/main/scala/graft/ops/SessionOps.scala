@@ -20,7 +20,7 @@ object SessionOps {
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
       .agg(
         count(lit(1)).as("n_events"),
-        round(sum(col("value")), 2).as("total_value")
+        graft.model.Model.exactSum(col("value"), 2).as("total_value")
       )
       .select(
         col("user_id"),
@@ -56,7 +56,7 @@ object SessionOps {
         |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
         |  FROM g)
         |SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
-        |       round(sum(value), 2) AS total_value
+        |       round(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 2) AS total_value
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
     "q_approx_distinct" ->

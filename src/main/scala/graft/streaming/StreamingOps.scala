@@ -63,7 +63,7 @@ object StreamingOps {
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
       .agg(
         count(lit(1)).as("n_events"),
-        round(sum(col("value")), 2).as("total_value")
+        graft.model.Model.exactSum(col("value"), 2).as("total_value")
       )
       .select(
         col("user_id"),
