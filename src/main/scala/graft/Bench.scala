@@ -23,7 +23,10 @@ object Bench {
     ).foreach(_.limit(1).count())
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // noop sink: materializes every projected column and the final sort
+      // (count() lets Catalyst prune projections and drop the orderBy)
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+      catch { case _: Throwable => () }
       val dt = (System.nanoTime() - t0) / 1e9
       // drop blocks cached inside the op so queries are measured independently
       spark.catalog.clearCache()

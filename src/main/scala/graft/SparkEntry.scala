@@ -72,8 +72,8 @@ object SparkEntry {
     "q_sim_topk_ivf" -> ((s: SparkSession, dir: String) => SimilarityOps.simTopKIvf(s, dir)),
     "q_sessionize" -> (SessionOps.sessionize _),
     "q_approx_distinct" -> (SessionOps.approxDistinct _),
-    // multimodal plumbing: rows-only check (binary + stub features are not
-    // SQL-expressible; invariants in ExtensionOpsSpec)
+    // multimodal plumbing: the deterministic stub histogram is flattened to
+    // scalar columns and oracle-checked (binary payload stays library-side)
     "q_multimodal_features" -> (MultimodalOps.multimodalFeatures _)
   )
 
@@ -82,5 +82,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     DataflowOps.oracles ++ RelationalOps.oracles ++ AlarmOps.oracles ++
       TextOps.oracles ++ DedupOps.oracles ++ SimilarityOps.oracles ++
-      SessionOps.oracles
+      SessionOps.oracles ++ MultimodalOps.oracles
 }

@@ -12,8 +12,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     // The driver's fixtures carry TIMESTAMP(NANOS) columns, which Spark 4
-    // rejects outright; read them as long nanos and convert below.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // rejects outright; read them as long nanos and convert below. Set once
+    // per session — mutating conf on every call invalidates cached plans.
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    if (!spark.conf.getOption(key).contains("true")) spark.conf.set(key, "true")
     spark.read.parquet(s"$dir/$name.parquet")
   }
 

@@ -11,17 +11,23 @@ import org.apache.spark.sql.functions._
   * struct, mapPartitions with a typed Dataset so decode batches amortize any
   * per-partition setup (codec init, model load), partitioning untouched so
   * the stage pipelines with the scan. The decode itself is a clearly-marked
-  * deterministic STUB (byte histogram standing in for image/audio decode +
-  * feature extraction — no media libraries exist in this environment); a
-  * real decoder replaces only the function body, not the plumbing.
+  * deterministic STUB (a code-point histogram standing in for image/audio
+  * decode + feature extraction — no media libraries exist in this
+  * environment); a real decoder replaces only the function body, not the
+  * plumbing.
   *
-  * Registered as a rows-only check (binary payloads and stub features are
-  * not SQL-oracle-expressible); invariants covered in ExtensionOpsSpec.
+  * The stub is deterministic scalar arithmetic, so the registered query IS
+  * oracle-checked: the 8 histogram bins are flattened to scalar f0..f7
+  * columns (the driver's canonicalizer cannot sort array columns), and the
+  * DuckDB oracle recomputes the same histogram from code points. The typed
+  * `MediaFeatures` (array) API remains for library callers.
   */
 object MultimodalOps {
 
   case class MediaRow(doc_id: Long, format: String, n_bytes: Long, payload: Array[Byte])
-  case class MediaFeatures(doc_id: Long, format: String, n_bytes: Long, features: Seq[Double])
+  case class MediaFeatures(doc_id: Long, format: String, n_chars: Long, features: Seq[Double])
+
+  val HistBins = 8
 
   /** Wrap each document as an opaque media payload with typed metadata —
     * the ingest shape for image/audio/video columns.
@@ -35,25 +41,62 @@ object MultimodalOps {
         encode(col("text"), "UTF-8").as("payload")
       )
 
-  /** STUB decode + feature extraction: an 8-bin normalized byte histogram.
-    * A real implementation decodes the payload (JPEG/PCM/container frames)
-    * and emits model features; everything around this loop — batching,
-    * schema, partition locality — is the production path.
+  /** STUB decode + feature extraction: an 8-bin normalized code-point
+    * histogram (bucket = (cp mod 256) >> 5, counted over Unicode code points
+    * so the arithmetic is identical to the DuckDB oracle's
+    * ord(substr(t,i,1)) regardless of encoding). A real implementation
+    * decodes the payload (JPEG/PCM/container frames) and emits model
+    * features; everything around this loop — batching, schema, partition
+    * locality — is the production path.
     */
   def extractFeatures(rows: Iterator[MediaRow]): Iterator[MediaFeatures] =
     rows.map { r =>
-      val hist = new Array[Double](8)
-      r.payload.foreach(b => hist((b & 0xFF) >> 5) += 1.0)
-      val n = math.max(r.payload.length, 1).toDouble
-      MediaFeatures(r.doc_id, r.format, r.n_bytes, hist.map(_ / n).toSeq)
+      val text = new String(r.payload, java.nio.charset.StandardCharsets.UTF_8)
+      val hist = new Array[Double](HistBins)
+      var n = 0L
+      val it = text.codePoints().iterator()
+      while (it.hasNext) {
+        val cp = it.nextInt()
+        hist((cp & 0xFF) >> 5) += 1.0
+        n += 1
+      }
+      val d = math.max(n, 1L).toDouble
+      MediaFeatures(r.doc_id, r.format, n, hist.map(_ / d).toSeq)
     }
 
-  def multimodalFeatures(s: SparkSession, dir: String): DataFrame = {
+  /** Typed library API: features as an array column. */
+  def multimodalFeaturesTyped(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     mediaTable(s, dir)
       .as[MediaRow]
       .mapPartitions(extractFeatures)
       .toDF()
+  }
+
+  /** Registered (driver-scored) form: histogram flattened to scalar columns
+    * so the result is sortable/hashable by the compare harness, rounded to
+    * 4 decimals like every float the oracle reproduces.
+    */
+  def multimodalFeatures(s: SparkSession, dir: String): DataFrame = {
+    val flat = (0 until HistBins).map(i => round(col("features").getItem(i), 4).as(s"f$i"))
+    multimodalFeaturesTyped(s, dir)
+      .select(Seq(col("doc_id"), col("format"), col("n_chars")) ++ flat: _*)
       .orderBy(col("doc_id"))
   }
+
+  val oracles: Map[String, String] = Map(
+    "q_multimodal_features" -> {
+      val bins = (0 until HistBins)
+        .map(b => s"round(CAST(count(CASE WHEN bin = $b THEN 1 END) AS DOUBLE) / greatest(d.n, 1), 4) AS f$b")
+        .mkString(", ")
+      s"""WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+         |cp AS (
+         |  SELECT doc_id, (ord(substr(text, CAST(i AS INTEGER), 1)) % 256) // 32 AS bin
+         |  FROM d, unnest(range(1, n + 1)) AS u(i))
+         |SELECT d.doc_id, 'text/plain' AS format, CAST(d.n AS BIGINT) AS n_chars, $bins
+         |FROM d LEFT JOIN cp ON cp.doc_id = d.doc_id
+         |GROUP BY d.doc_id, d.n
+         |ORDER BY d.doc_id""".stripMargin
+    }
+  )
 }

@@ -45,14 +45,14 @@ object SessionOps {
   val oracles: Map[String, String] = Map(
     "q_sessionize" ->
       """WITH g AS (
-        |  SELECT user_id, ts, value,
+        |  SELECT user_id, ts, value, event_id,
         |    CASE WHEN lag(ts) OVER w IS NULL
         |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |s AS (
         |  SELECT user_id, ts, value,
-        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
         |  FROM g)
         |SELECT user_id, min(ts) AS session_start, count(*) AS n_events,

@@ -178,15 +178,22 @@ class ExtensionOpsSpec extends SparkSuite {
 
   test("multimodal: stub features are normalized histograms, deterministic") {
     import graft.ops.MultimodalOps
-    val a = MultimodalOps.multimodalFeatures(spark, SfDir).collect()
-    val b = MultimodalOps.multimodalFeatures(spark, SfDir).collect()
+    val a = MultimodalOps.multimodalFeaturesTyped(spark, SfDir).orderBy("doc_id").collect()
+    val b = MultimodalOps.multimodalFeaturesTyped(spark, SfDir).orderBy("doc_id").collect()
     assert(a.length == Tables.documents(spark, SfDir).count())
     a.zip(b).foreach { case (x, y) => assert(x == y, "deterministic decode stub") }
     a.foreach { r =>
       val feats = r.getSeq[Double](r.fieldIndex("features"))
-      assert(feats.length == 8)
+      assert(feats.length == MultimodalOps.HistBins)
       assert(math.abs(feats.sum - 1.0) < 1e-9, "histogram normalized")
     }
+    // registered (flattened) form: scalar f0..f7 columns, rounded, sortable
+    val flat = MultimodalOps.multimodalFeatures(spark, SfDir)
+    val cols = flat.columns
+    assert((0 until MultimodalOps.HistBins).forall(i => cols.contains(s"f$i")))
+    val head = flat.head()
+    val sum = (0 until MultimodalOps.HistBins).map(i => head.getAs[Double](s"f$i")).sum
+    assert(math.abs(sum - 1.0) < 1e-3, "rounded histogram still ~normalized")
   }
 
   test("text stats: token counts and ratios on a known doc") {
