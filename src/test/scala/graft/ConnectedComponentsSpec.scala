@@ -1,0 +1,71 @@
+package graft
+
+import graft.plans.ConnectedComponents
+import org.apache.spark.sql.functions._
+
+/** Correctness of the DataFrame large-star/small-star CC against a
+  * union-find ground truth on randomized graphs (fixed seeds), plus shape
+  * edge cases. GraphX would also serve as an oracle, but union-find on the
+  * driver is exact and dependency-free at test sizes.
+  */
+class ConnectedComponentsSpec extends SparkSuite {
+
+  private def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x
+      else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    nodes.map(v => v -> find(v)).toMap
+  }
+
+  private def check(edges: Seq[(Long, Long)]): Unit = {
+    import spark.implicits._
+    val got = ConnectedComponents.components(edges.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = unionFind(0, edges)
+    assert(got == want, s"CC mismatch: got $got want $want")
+  }
+
+  test("chains, stars, cycles, isolated pairs") {
+    // long chain (worst case for label propagation, fine for star algorithm)
+    check((1L to 200L).sliding(2).map(s => (s.head, s.last)).toSeq)
+    // star centered on a high id
+    check((1L to 50L).map(i => (1000L, i)))
+    // cycle
+    check(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)))
+    // two components + duplicate and reversed edges + self loop
+    check(Seq((5L, 6L), (6L, 5L), (5L, 5L), (10L, 11L), (11L, 12L)))
+  }
+
+  test("randomized graphs match union-find (fixed seeds)") {
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val n = 300
+      val edges = Seq.fill(400)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      check(edges)
+    }
+  }
+
+  test("empty edge set yields empty assignment") {
+    import spark.implicits._
+    val got = ConnectedComponents.components(Seq.empty[(Long, Long)].toDF("a", "b"))
+    assert(got.count() == 0)
+  }
+
+  test("component label is always the component minimum") {
+    import spark.implicits._
+    val edges = Seq((7L, 3L), (3L, 9L), (20L, 21L))
+    val got = ConnectedComponents.components(edges.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(7L) == 3L && got(9L) == 3L && got(3L) == 3L)
+    assert(got(20L) == 20L && got(21L) == 20L)
+  }
+}
