@@ -1,0 +1,101 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.Row
+
+/** Kafka DataSource V2 wiring for the reference's broker hops
+  * (hydration_agent/main.py:54-57 producer → kafka_db_agent/main.py:50-57
+  * consumer, topic `machine_events`).
+  *
+  * The batch surrogates (DataflowOps.srcKafka/snkKafka) verify the envelope
+  * round-trip against the oracle; this bridge is the real streaming path:
+  * `readStream.format("kafka")` resolves the connector at RUNTIME, so the
+  * code compiles and the decode transform is unit-testable against
+  * Kafka-shaped frames without a broker (this container has no egress; a
+  * deployment adds the spark-sql-kafka connector jar and a bootstrap
+  * address and runs the same code).
+  *
+  * Scale notes: the source maps Kafka partitions 1:1 onto input partitions
+  * — ingest parallelism = topic partition count; `maxOffsetsPerTrigger`
+  * is the admission-control lever (same role as the replay source's
+  * rowsPerBatch); the decode is pure codegen'd projection (from_json),
+  * no shuffle before the first aggregation.
+  */
+object KafkaBridge {
+
+  /** Wire format of a Kafka source row, fixed by the connector contract. */
+  val KafkaWireSchema: StructType = StructType(Seq(
+    StructField("key", BinaryType),
+    StructField("value", BinaryType),
+    StructField("topic", StringType),
+    StructField("partition", IntegerType),
+    StructField("offset", LongType),
+    StructField("timestamp", TimestampType),
+    StructField("timestampType", IntegerType)
+  ))
+
+  /** Streaming read of the reference topic. Requires the kafka connector on
+    * the classpath at runtime (not at compile time).
+    */
+  def source(spark: org.apache.spark.sql.SparkSession, bootstrap: String,
+      topic: String = "machine_events", maxOffsetsPerTrigger: Long = 10000L): DataFrame =
+    decode(spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topic)
+      .option("startingOffsets", "earliest")
+      .option("maxOffsetsPerTrigger", maxOffsetsPerTrigger.toString)
+      .load())
+
+  /** Kafka wire rows → the decoded envelope (SURVEY §1.2): the same
+    * from_json schema the batch surrogate verifies, plus the consumer
+    * metadata columns the DB agent logs (kafka_db_agent/main.py:58-63).
+    */
+  def decode(raw: DataFrame): DataFrame = {
+    val envelope = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("node_id", StringType),
+      StructField("value", StringType),
+      StructField("ts_us", LongType),
+      StructField("user_id", LongType)
+    ))
+    raw
+      .select(
+        col("topic"), col("partition"), col("offset").as("msg_offset"),
+        col("key").cast("string").as("key"),
+        from_json(col("value").cast("string"), envelope).as("m"))
+      .select(
+        col("topic"), col("partition"), col("msg_offset"), col("key"),
+        col("m.event_id").as("event_id"),
+        timestamp_micros(col("m.ts_us")).as("ts"),
+        col("m.node_id").as("metric"),
+        col("m.value").as("value"),
+        col("m.user_id").as("user_id"))
+  }
+
+  /** Envelope rows → Kafka wire frame (key = metric for per-node ordering,
+    * value = the JSON envelope — hydration_agent/main.py:77-86).
+    */
+  def encode(events: DataFrame): DataFrame =
+    events.select(
+      col("metric").cast("string").cast("binary").as("key"),
+      to_json(struct(
+        col("event_id"), col("metric").as("node_id"), col("value"),
+        unix_micros(col("ts")).as("ts_us"), col("user_id"))).cast("binary").as("value"))
+
+  /** Streaming write to the reference topic; checkpointed, at-least-once
+    * (Kafka's producer contract — exactly-once needs the idempotent sink
+    * pattern keyed on batch id, see graft.pipeline.IdempotentSink).
+    */
+  def sink(events: DataFrame, bootstrap: String, topic: String,
+      checkpointDir: String): DataStreamWriter[Row] =
+    encode(events)
+      .writeStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpointDir)
+}
