@@ -107,15 +107,25 @@ object SimilarityOps {
     * centroids are a broadcast handful of rows, posting lists are
     * partitioned by the same label key they were written with (no shuffle
     * of the corpus), candidate volume ≈ N × nProbe / nLists.
+    *
+    * Centroid accumulation is DECIMAL(28,6), not a double avg: float sums
+    * in parallel are partition-order-dependent (FP addition is not
+    * associative), so a double centroid differs run-to-run under AQE
+    * replans. The decimal sum is order-independent and exactly
+    * reproducible — which is also what lets DuckDB mirror the whole
+    * pipeline and promote this query to a hash-checked oracle row. One
+    * double division and one float rounding at the end are IEEE-identical
+    * in both engines (same pattern as Model.exactSum).
     */
   def simTopKIvf(s: SparkSession, dir: String, k: Int = 10, nProbe: Int = 2): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val centroids = emb
       .select(col("label"), posexplode(col("embedding")).as(Seq("d", "x")))
       .groupBy(col("label"), col("d"))
-      .agg(avg(col("x")).as("c"))
+      .agg((sum(col("x").cast("decimal(28,6)")).cast("double") / count(lit(1)))
+        .cast("float").as("c"))
       .groupBy(col("label"))
-      .agg(expr("transform(array_sort(collect_list(struct(d, c))), s -> CAST(s.c AS FLOAT))")
+      .agg(expr("transform(array_sort(collect_list(struct(d, c))), s -> s.c)")
         .as("centroid"))
     val query = emb.filter(col("vec_id") === 0)
       .select(col("embedding").as("q"))
@@ -139,10 +149,24 @@ object SimilarityOps {
     */
   val EmbedCosineThreshold = 0.4
 
-  /** Embedding-cosine near-duplicate pairs, blocked on `label` (the corpus's
-    * coarse partition key — e.g. a cluster id from a cheap pre-pass). At
-    * 100 TB each block scores against itself only, blocks are shuffled once
-    * by the blocking key, never all-pairs across the corpus.
+  /** Number of leading dimensions whose signs sub-bucket each label block
+    * in `dedupEmbed`. Axis-aligned random-hyperplane LSH: vectors in the
+    * same sub-bucket agree on the signs of the first k dims. The scale
+    * knob: block size ≈ N_label / 2^k, so k grows with the corpus (k=0
+    * recovers plain label blocking); pairs across sub-buckets are traded
+    * for the bound, the standard blocking recall tradeoff.
+    */
+  val SubBucketBits = 2
+
+  /** Embedding-cosine near-duplicate pairs, blocked on the COMPOSITE key
+    * (label, sign-bits of the first `SubBucketBits` dims). Label alone (the
+    * corpus's coarse partition key) is an unbounded block: label
+    * cardinality is a property of the data, not the corpus size, so blocks
+    * grow O(N) and the block-local loop O(N²). The sign sub-bucket bounds
+    * the block at ~N_label/2^k with k a config constant — each block
+    * scores against itself only, blocks are shuffled once by the blocking
+    * key, never all-pairs across the corpus. The oracle applies the
+    * identical composite key, so results hash-match by construction.
     *
     * The block-local quadratic loop runs as `flatMapGroups` over primitive
     * double arrays — one shuffle of the raw vectors, then pure JVM
@@ -155,11 +179,18 @@ object SimilarityOps {
   def dedupEmbed(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val thr = EmbedCosineThreshold
+    val bits = SubBucketBits
     Tables.embeddings(s, dir)
       .select(col("label"), col("vec_id"), col("embedding"))
       .as[(Int, Long, Array[Float])]
-      .groupByKey(_._1)
-      .flatMapGroups { (label: Int, rows: Iterator[(Int, Long, Array[Float])]) =>
+      .groupByKey { case (label, _, e) =>
+        var b = 0
+        var i = 0
+        while (i < bits && i < e.length) { if (e(i) >= 0) b |= 1 << i; i += 1 }
+        (label, b)
+      }
+      .flatMapGroups { (key: (Int, Int), rows: Iterator[(Int, Long, Array[Float])]) =>
+        val label = key._1
         val vs = rows.map { case (_, id, e) =>
           val v = new Array[Double](e.length)
           var i = 0
@@ -189,17 +220,50 @@ object SimilarityOps {
       .orderBy(col("i"), col("j"))
   }
 
+  /** Sub-bucket equality for the oracle: both sides agree on the signs of
+    * the first SubBucketBits dims (1-indexed arrays in DuckDB).
+    */
+  private val subBucketSql: String =
+    (0 until SubBucketBits)
+      .map(i => s"(a.embedding[${i + 1}] >= 0) = (b.embedding[${i + 1}] >= 0)")
+      .mkString(" AND ")
+
   val oracles: Map[String, String] = Map(
     "q_dedup_embed" ->
       s"""WITH n AS (
-         |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+         |  SELECT vec_id, label, embedding, CAST(embedding AS DOUBLE[]) AS v,
          |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
          |  FROM embeddings)
          |SELECT a.vec_id AS i, b.vec_id AS j, a.label AS label,
          |       round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cos_sim
-         |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+         |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id AND $subBucketSql
          |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= $EmbedCosineThreshold
          |ORDER BY i, j""".stripMargin,
+    "q_sim_topk_ivf" ->
+      """WITH xv AS (
+        |  SELECT label, generate_subscripts(embedding, 1) AS d, unnest(embedding) AS x
+        |  FROM embeddings),
+        |cd AS (
+        |  SELECT label, d,
+        |         CAST(CAST(sum(CAST(x AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS FLOAT) AS c
+        |  FROM xv GROUP BY label, d),
+        |cent AS (
+        |  SELECT label, list(CAST(c AS DOUBLE) ORDER BY d) AS centroid FROM cd GROUP BY label),
+        |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+        |probe AS (
+        |  SELECT label FROM cent, q
+        |  ORDER BY list_dot_product(centroid, qe) /
+        |           (sqrt(list_dot_product(centroid, centroid)) * sqrt(list_dot_product(qe, qe))) DESC,
+        |           label
+        |  LIMIT 2)
+        |SELECT e.vec_id, e.label,
+        |       round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qe)
+        |         / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+        |            * sqrt(list_dot_product(q.qe, q.qe))), 4) AS cos_sim
+        |FROM embeddings e JOIN probe USING (label), q
+        |WHERE e.vec_id <> 0
+        |ORDER BY cos_sim DESC, e.vec_id
+        |LIMIT 10""".stripMargin,
     "q_sim_topk" ->
       """WITH q AS (
         |  SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0)

@@ -174,6 +174,18 @@ class ExtensionOpsSpec extends SparkSuite {
       assert(r.getAs[Long]("i") < r.getAs[Long]("j"))
       assert(r.getAs[Double]("cos_sim") >= SimilarityOps.EmbedCosineThreshold - 1e-4)
     }
+    // composite blocking key: every pair agrees on label AND the sign bits
+    // of the first SubBucketBits dims (the bound that keeps blocks
+    // ~N_label/2^k instead of O(N))
+    val signs = Tables.embeddings(spark, SfDir).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (0 until SimilarityOps.SubBucketBits)
+          .map(d => r.getSeq[Float](r.fieldIndex("embedding"))(d) >= 0f))
+      .toMap
+    got.foreach { r =>
+      assert(signs(r.getAs[Long]("i")) == signs(r.getAs[Long]("j")),
+        s"pair crosses sign sub-buckets: ${r}")
+    }
   }
 
   test("multimodal: stub features are normalized histograms, deterministic") {
