@@ -66,8 +66,8 @@ object SparkEntry {
     "q_dedup_clusters" -> (DedupOps.dedupClusters _),
     "q_dedup_embed" -> (SimilarityOps.dedupEmbed _),
     "q_sim_topk" -> (SimilarityOps.simTopK _),
-    // approximate-recall ANN variants: rows-only check (bucketing not
-    // SQL-portable; ranking invariants vs brute force in ExtensionOpsSpec)
+    // ANN variants: both hash-checked — the sign-bucket LSH and the decimal
+    // -centroid IVF pipelines are deterministic arithmetic DuckDB mirrors
     "q_sim_topk_lsh" -> ((s: SparkSession, dir: String) => SimilarityOps.simTopKLsh(s, dir)),
     "q_sim_topk_ivf" -> ((s: SparkSession, dir: String) => SimilarityOps.simTopKIvf(s, dir)),
     "q_sessionize" -> (SessionOps.sessionize _),

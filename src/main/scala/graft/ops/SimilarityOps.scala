@@ -45,46 +45,32 @@ object SimilarityOps {
   }
 
   private val LshPlanes = 8
-  private val LshDims = 64
 
-  /** Hyperplane weights: MurmurHash3-derived, fixed at class load —
-    * deterministic across runs and partitions, no RNG state.
+  /** 8-bit sign bucket: axis-aligned hyperplanes through the origin (the
+    * sign of each of the first 8 dims). A pure codegen'd projection — no
+    * UDF, no weight table — and, because each plane is a single array
+    * element's sign, exactly expressible in the DuckDB oracle, which is
+    * what promotes this query from rows-only to hash-checked. Axis-aligned
+    * planes are a valid cosine-LSH family for centered embedding
+    * distributions (each dim's sign is ~a coin flip); a deployment with
+    * anisotropic data would rotate the basis first (one fixed matmul),
+    * which changes the bucketing constant, not the plan shape.
     */
-  private lazy val lshWeights: Array[Array[Double]] =
-    Array.tabulate(LshPlanes, LshDims) { (p, d) =>
-      scala.util.hashing.MurmurHash3.productHash((p, d)).toDouble / Int.MaxValue
-    }
+  private def signBucket(e: Column): Column =
+    (0 until LshPlanes)
+      .map(i => when(element_at(e, i + 1) >= 0f, lit(1 << i)).otherwise(lit(0)))
+      .reduce(_ + _)
 
-  /** 16-bit sign bucket of a vector — compiled loop over the broadcast-safe
-    * weight table (the interpreted HOF formulation re-built the 16×64 weight
-    * arrays per row with boxed lambdas; this is a plain JVM loop).
-    */
-  private val lshBucketUdf = udf { (e: Seq[Float]) =>
-    var bucket = 0
-    var p = 0
-    while (p < LshPlanes) {
-      val w = lshWeights(p)
-      var acc = 0.0
-      var d = 0
-      val n = math.min(e.length, LshDims)
-      while (d < n) { acc += e(d).toDouble * w(d); d += 1 }
-      if (acc >= 0) bucket |= (1 << p)
-      p += 1
-    }
-    bucket
-  }
-
-  /** Multi-probe SimHash-bucketed ANN variant: 8 fixed hash-derived
-    * hyperplanes, bucket = 8 sign bits; the query probes its own bucket plus
-    * every bucket at hamming distance 1 (9 probes of 256 buckets ≈ 3.5% of
-    * the corpus). Candidates are ranked exactly by the native cosine
-    * expression. At 100 TB the probe list is a broadcast handful of bucket
-    * ids and the bucket equi-join replaces the full scan — candidate volume
-    * scales as N × probes / 2^planes.
+  /** Multi-probe sign-bucketed ANN variant: bucket = 8 sign bits; the query
+    * probes its own bucket plus every bucket at hamming distance 1
+    * (9 probes of 256 buckets ≈ 3.5% of the corpus). Candidates are ranked
+    * exactly by the native cosine expression. At 100 TB the probe list is a
+    * broadcast handful of bucket ids and the bucket equi-join replaces the
+    * full scan — candidate volume scales as N × probes / 2^planes.
     */
   def simTopKLsh(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    val bucketed = emb.withColumn("bucket", lshBucketUdf(col("embedding")))
+    val bucketed = emb.withColumn("bucket", signBucket(col("embedding")))
     val probes = bucketed.filter(col("vec_id") === 0)
       .select(col("bucket"), col("embedding").as("q"))
       .select(explode(expr(
@@ -228,7 +214,32 @@ object SimilarityOps {
       .map(i => s"(a.embedding[${i + 1}] >= 0) = (b.embedding[${i + 1}] >= 0)")
       .mkString(" AND ")
 
+  /** The sign bucket in DuckDB SQL — mirrors `signBucket`. */
+  private val signBucketSql: String =
+    (0 until LshPlanes)
+      .map(i => s"(CASE WHEN embedding[${i + 1}] >= 0 THEN ${1 << i} ELSE 0 END)")
+      .mkString(" + ")
+
+  private val lshProbeMasks: String =
+    (Seq(0) ++ (0 until LshPlanes).map(1 << _)).mkString("[", ", ", "]")
+
   val oracles: Map[String, String] = Map(
+    "q_sim_topk_lsh" ->
+      s"""WITH b AS (
+         |  SELECT vec_id, label, embedding, $signBucketSql AS bucket
+         |  FROM embeddings),
+         |q AS (SELECT bucket AS qb, CAST(embedding AS DOUBLE[]) AS qe FROM b WHERE vec_id = 0),
+         |probes AS (
+         |  SELECT xor(q.qb, m.m) AS probe, q.qe
+         |  FROM q, (SELECT unnest($lshProbeMasks) AS m) m)
+         |SELECT b.vec_id, b.label,
+         |       round(list_dot_product(CAST(b.embedding AS DOUBLE[]), p.qe)
+         |         / (sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))
+         |            * sqrt(list_dot_product(p.qe, p.qe))), 4) AS cos_sim
+         |FROM b JOIN probes p ON b.bucket = p.probe
+         |WHERE b.vec_id <> 0
+         |ORDER BY cos_sim DESC, b.vec_id
+         |LIMIT 10""".stripMargin,
     "q_dedup_embed" ->
       s"""WITH n AS (
          |  SELECT vec_id, label, embedding, CAST(embedding AS DOUBLE[]) AS v,
