@@ -59,13 +59,19 @@ object DataflowOps {
       .orderBy(col("event_id"))
 
   /** Dynamic node discovery (opcua_mqtt_agent/main.py:115-125): the distinct
-    * variable registry with inferred value type.
+    * variable registry with the value type INFERRED from the samples — a
+    * node whose stream carries numeric payloads registers as Double, a
+    * node with only string payloads (value_str carriers, Model.valueStr)
+    * as String, mirroring the reference's per-variant dispatch.
     */
   def srcSchemaDiscovery(s: SparkSession, dir: String): DataFrame =
     ev(s, dir)
       .groupBy(col("event_type").as("node_id"))
-      .agg(count(lit(1)).as("n_samples"), min(col("ts")).as("first_seen"))
-      .withColumn("datatype", lit("Double"))
+      .agg(
+        count(lit(1)).as("n_samples"),
+        min(col("ts")).as("first_seen"),
+        when(count(col("value")) > 0, "Double").otherwise("String").as("datatype"))
+      .select(col("node_id"), col("n_samples"), col("first_seen"), col("datatype"))
       .orderBy(col("node_id"))
 
   /** Record construction / projection with timestamp fallback
@@ -236,7 +242,7 @@ object DataflowOps {
         |FROM events ORDER BY event_id""".stripMargin,
     "src_schema_discovery" ->
       """SELECT event_type AS node_id, count(*) AS n_samples, min(ts) AS first_seen,
-        |       'Double' AS datatype
+        |       CASE WHEN count(value) > 0 THEN 'Double' ELSE 'String' END AS datatype
         |FROM events GROUP BY event_type ORDER BY node_id""".stripMargin,
     "xform_envelope" ->
       """SELECT event_id, event_type AS node_id, value,

@@ -89,6 +89,31 @@ class PipelineSpec extends SparkSuite {
     }
   }
 
+  test("alarm job: restart from checkpoint restores ring-buffer state exactly") {
+    import graft.pipeline.AlarmJob
+    val total = Tables.events(spark, SfDir).count().toInt
+    // reference run: uninterrupted drain
+    val outA = tmp("alarm_a"); val ckptA = tmp("alarm_ckpt_a")
+    val qa = AlarmJob.start(spark, AlarmJob.Config(
+      eventsPath, outA, ckptA, trigger = Trigger.AvailableNow(), rowsPerBatch = 1500))
+    qa.awaitTermination(120000)
+    // crashed-and-resumed run: same stream, killed halfway, restarted
+    val outB = tmp("alarm_b"); val ckptB = tmp("alarm_ckpt_b")
+    val q1 = AlarmJob.start(spark, AlarmJob.Config(
+      eventsPath, outB, ckptB, trigger = Trigger.AvailableNow(), rowsPerBatch = 1500,
+      maxRows = Some(total / 2)))
+    q1.awaitTermination(120000)
+    val q2 = AlarmJob.start(spark, AlarmJob.Config(
+      eventsPath, outB, ckptB, trigger = Trigger.AvailableNow(), rowsPerBatch = 1500))
+    q2.awaitTermination(120000)
+
+    val a = spark.read.parquet(outA).select("user_id", "metric", "event_id")
+    val b = spark.read.parquet(outB).select("user_id", "metric", "event_id")
+    assert(a.count() > 0, "fixture fires trend alarms")
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
+      "resumed run fires exactly the uninterrupted run's alarms")
+  }
+
   test("idempotent sink: re-delivered batchId replaces, never duplicates") {
     import spark.implicits._
     val out = tmp("idem_out")
