@@ -72,9 +72,12 @@ object SparkEntry {
     "q_sim_topk_ivf" -> ((s: SparkSession, dir: String) => SimilarityOps.simTopKIvf(s, dir)),
     "q_sessionize" -> (SessionOps.sessionize _),
     "q_approx_distinct" -> (SessionOps.approxDistinct _),
-    // multimodal plumbing: the deterministic stub histogram is flattened to
-    // scalar columns and oracle-checked (binary payload stays library-side)
-    "q_multimodal_features" -> (MultimodalOps.multimodalFeatures _)
+    // multimodal plumbing: deterministic stubs (histogram features, stride
+    // resize, frame sampling) over the binary payload column, flattened to
+    // scalar columns and oracle-checked (payload stays library-side)
+    "q_multimodal_features" -> (MultimodalOps.multimodalFeatures _),
+    "q_multimodal_resize" -> (MultimodalOps.multimodalResize _),
+    "q_multimodal_frames" -> (MultimodalOps.multimodalFrames _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

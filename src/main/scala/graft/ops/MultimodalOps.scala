@@ -84,7 +84,89 @@ object MultimodalOps {
       .orderBy(col("doc_id"))
   }
 
+  case class ResizedMedia(doc_id: Long, format: String, orig_units: Long,
+      resized_units: Long, checksum: Long)
+  case class FrameSample(doc_id: Long, n_frames: Long, n_sampled: Long, checksum: Long)
+
+  /** Stride of the resize downsample (≙ image scale factor). */
+  val ResizeStride = 4
+  /** Code points per synthetic "frame" and the frame-sampling stride
+    * (≙ video keyframe extraction: every 8th frame of 64-unit frames).
+    */
+  val FrameSize = 64
+  val FrameStride = 8
+
+  /** STUB resize: stride-decimate the decoded payload (every 4th code
+    * point), emitting the new size + a checksum over the kept units. A real
+    * implementation decodes pixels and area-averages; the partition-local
+    * batch shape, metadata projection, and deterministic output contract
+    * are the production path.
+    */
+  def resizeStub(rows: Iterator[MediaRow]): Iterator[ResizedMedia] =
+    rows.map { r =>
+      val cps = new String(r.payload, java.nio.charset.StandardCharsets.UTF_8)
+        .codePoints().toArray
+      var sum = 0L
+      var i = 0
+      while (i < cps.length) { sum += cps(i); i += ResizeStride }
+      ResizedMedia(r.doc_id, r.format, cps.length,
+        (cps.length + ResizeStride - 1) / ResizeStride, sum)
+    }
+
+  /** STUB frame sampling: treat the payload as FrameSize-unit frames, keep
+    * every FrameStride-th frame, checksum the kept frames' leading units —
+    * the video keyframe-extraction shape (count, sampled count, digest).
+    */
+  def frameSampleStub(rows: Iterator[MediaRow]): Iterator[FrameSample] =
+    rows.map { r =>
+      val cps = new String(r.payload, java.nio.charset.StandardCharsets.UTF_8)
+        .codePoints().toArray
+      val nf = (cps.length + FrameSize - 1) / FrameSize
+      var sum = 0L
+      var n = 0L
+      var f = 0
+      while (f < nf) { sum += cps(f * FrameSize); n += 1; f += FrameStride }
+      FrameSample(r.doc_id, nf, n, sum)
+    }
+
+  def multimodalResize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mediaTable(s, dir).as[MediaRow].mapPartitions(resizeStub).toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  def multimodalFrames(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mediaTable(s, dir).as[MediaRow].mapPartitions(frameSampleStub).toDF()
+      .orderBy(col("doc_id"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_multimodal_resize" ->
+      s"""WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+         |cp AS (
+         |  SELECT doc_id, ord(substr(text, CAST(i AS INTEGER), 1)) AS c
+         |  FROM d, unnest(range(1, n + 1)) AS u(i)
+         |  WHERE (i - 1) % $ResizeStride = 0)
+         |SELECT d.doc_id, 'text/plain' AS format, CAST(d.n AS BIGINT) AS orig_units,
+         |       CAST((d.n + ${ResizeStride - 1}) // $ResizeStride AS BIGINT) AS resized_units,
+         |       CAST(coalesce(sum(cp.c), 0) AS BIGINT) AS checksum
+         |FROM d LEFT JOIN cp USING (doc_id)
+         |GROUP BY d.doc_id, d.n
+         |ORDER BY d.doc_id""".stripMargin,
+    "q_multimodal_frames" ->
+      s"""WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+         |f AS (
+         |  SELECT doc_id, ord(substr(text, CAST(fi * $FrameSize + 1 AS INTEGER), 1)) AS c
+         |  FROM d, unnest(range(0, (n + ${FrameSize - 1}) // $FrameSize)) AS u(fi)
+         |  WHERE fi % $FrameStride = 0)
+         |SELECT d.doc_id,
+         |       CAST((d.n + ${FrameSize - 1}) // $FrameSize AS BIGINT) AS n_frames,
+         |       CAST(count(f.c) AS BIGINT) AS n_sampled,
+         |       CAST(coalesce(sum(f.c), 0) AS BIGINT) AS checksum
+         |FROM d LEFT JOIN f USING (doc_id)
+         |GROUP BY d.doc_id, d.n
+         |ORDER BY d.doc_id""".stripMargin,
     "q_multimodal_features" -> {
       val bins = (0 until HistBins)
         .map(b => s"round(CAST(count(CASE WHEN bin = $b THEN 1 END) AS DOUBLE) / greatest(d.n, 1), 4) AS f$b")

@@ -208,6 +208,22 @@ class ExtensionOpsSpec extends SparkSuite {
     assert(math.abs(sum - 1.0) < 1e-3, "rounded histogram still ~normalized")
   }
 
+  test("multimodal resize/frames: stride arithmetic consistent with metadata") {
+    import graft.ops.MultimodalOps
+    val rs = MultimodalOps.multimodalResize(spark, SfDir).collect()
+    assert(rs.length == Tables.documents(spark, SfDir).count())
+    rs.foreach { r =>
+      val (orig, resized) = (r.getAs[Long]("orig_units"), r.getAs[Long]("resized_units"))
+      assert(resized == (orig + MultimodalOps.ResizeStride - 1) / MultimodalOps.ResizeStride)
+      assert(r.getAs[Long]("checksum") > 0 || orig == 0)
+    }
+    val fs = MultimodalOps.multimodalFrames(spark, SfDir).collect()
+    fs.foreach { r =>
+      val (nf, ns) = (r.getAs[Long]("n_frames"), r.getAs[Long]("n_sampled"))
+      assert(ns == (nf + MultimodalOps.FrameStride - 1) / MultimodalOps.FrameStride)
+    }
+  }
+
   test("text stats: token counts and ratios on a known doc") {
     import org.apache.spark.sql.Row
     val doc = spark.createDataFrame(

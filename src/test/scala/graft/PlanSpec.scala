@@ -69,4 +69,28 @@ class PlanSpec extends SparkSuite {
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$k has a nested-loop join:\n$p")
     }
   }
+
+  test("q_sim_topk_lsh: codegen'd sign buckets (no UDF), broadcast probe ring, top-k") {
+    val p = plan("q_sim_topk_lsh")
+    assert(!p.toLowerCase.contains("scalaudf") && !p.contains("BatchEvalPython"),
+      "bucket computation fell out of codegen:\n" + p)
+    assert(p.contains("Broadcast"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q_sim_topk_ivf: broadcast probed labels, native cosine rescore, top-k") {
+    val p = plan("q_sim_topk_ivf")
+    assert(p.contains("Broadcast"), p)
+    assert(p.contains("cosine_sim"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("SortMergeJoin"), "corpus shuffled for the probe join:\n" + p)
+  }
+
+  test("q_dedup_clusters: CC ran as joins — no GraphX RDD scans, no cross join") {
+    val p = plan("q_dedup_clusters")
+    assert(!p.contains("CartesianProduct"), p)
+    // the pair graph enters the final plan as a materialized checkpoint
+    // scan, not a recompute of the whole minhash pipeline
+    assert(p.contains("ExistingRDD") || p.contains("LocalTableScan") || p.contains("Scan"), p)
+  }
 }
