@@ -114,6 +114,26 @@ class PipelineSpec extends SparkSuite {
       "resumed run fires exactly the uninterrupted run's alarms")
   }
 
+  test("ingest job: full path (wire round-trip + enrichment) equals batch recompute") {
+    import graft.pipeline.IngestJob
+    val out = tmp("ingest_out"); val ckpt = tmp("ingest_ckpt")
+    val q = IngestJob.start(spark, IngestJob.Config(
+      eventsPath, SfDir, out, ckpt, trigger = Trigger.AvailableNow(), rowsPerBatch = 4000))
+    q.awaitTermination(120000)
+    val cols = Seq("event_id", "ts", "metric", "value_num", "user_id", "operator", "segment")
+    val got = spark.read.parquet(out).select(cols.map(col): _*)
+    val context = Tables.customer(spark, SfDir)
+      .select(col("c_custkey").as("user_id"), col("c_name").as("operator"),
+        col("c_mktsegment").as("segment"))
+    val expected = Tables.events(spark, SfDir)
+      .join(broadcast(context), Seq("user_id"), "left")
+      .select(col("event_id"), col("ts"), col("event_type").as("metric"),
+        col("value").as("value_num"), col("user_id"), col("operator"), col("segment"))
+    assert(got.count() == expected.count())
+    assert(got.exceptAll(expected).count() == 0 && expected.exceptAll(got).count() == 0,
+      "wire round-trip + enrichment lossless vs batch")
+  }
+
   test("idempotent sink: re-delivered batchId replaces, never duplicates") {
     import spark.implicits._
     val out = tmp("idem_out")
