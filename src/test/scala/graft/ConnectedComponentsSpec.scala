@@ -54,6 +54,14 @@ class ConnectedComponentsSpec extends SparkSuite {
     }
   }
 
+  test("5k-node chain and dense star converge within the round budget") {
+    // chain: worst case for label propagation (diameter = n); the star
+    // algorithm must converge in O(log^2 n) rounds, well under MaxRounds
+    check((1L to 5000L).sliding(2).map(s => (s.head, s.last)).toSeq)
+    // dense star with a skewed hub (the boilerplate near-dup cluster shape)
+    check((1L to 2000L).map(i => (9999999L, i)))
+  }
+
   test("empty edge set yields empty assignment") {
     import spark.implicits._
     val got = ConnectedComponents.components(Seq.empty[(Long, Long)].toDF("a", "b"))

@@ -69,6 +69,19 @@ class ExtensionOpsSpec extends SparkSuite {
     }
   }
 
+  test("ngram extraction slides over code points, not UTF-16 code units") {
+    import spark.implicits._
+    // 9 non-BMP chars = 18 UTF-16 code units; code-point slicing yields
+    // 9-8+1 = 2 distinct 8-grams (code-unit slicing would yield 11 and
+    // split surrogate pairs)
+    val nonBmp = "𝕒𝕓𝕔𝕕𝕖𝕗𝕘𝕙𝕚"
+    val counts = Seq(nonBmp, "abcdefghi", "short")
+      .toDF("t")
+      .select(size(DedupOps.ngramHashSetUdf(col("t"))).as("n"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(counts == Seq(2, 2, 0))
+  }
+
   test("rolling fingerprint: order-sensitive, stable, in [0, p)") {
     val a = TextOps.fingerprint(spark, SfDir).collect()
     val b = TextOps.fingerprint(spark, SfDir).collect()
