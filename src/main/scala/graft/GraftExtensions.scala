@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, NGramHashes}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 
 /** SparkSessionExtensions injector for the engine's native functions.
@@ -16,11 +16,15 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
   * [[GraftExtensions.register]] installs the same functions directly.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((CosineSimilarity.identifier, CosineSimilarity.info, CosineSimilarity.builder))
+    ext.injectFunction((NGramHashes.identifier, NGramHashes.info, NGramHashes.builder))
+  }
 }
 
 object GraftExtensions {
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     CosineSimilarity.register(spark.sessionState.functionRegistry)
+    NGramHashes.register(spark.sessionState.functionRegistry)
+  }
 }

@@ -10,7 +10,11 @@ import org.apache.spark.sql.functions._
   * The Spark-side shape is the real thing — BinaryType column, metadata
   * struct, mapPartitions with a typed Dataset so decode batches amortize any
   * per-partition setup (codec init, model load), partitioning untouched so
-  * the stage pipelines with the scan. The decode itself is a clearly-marked
+  * the stage pipelines with the scan. Typed `mapPartitions` is the Scala
+  * equivalent of PySpark's `mapInPandas` batch shape: the decode function
+  * receives an iterator of rows per partition and streams results out, so a
+  * Python deployment would swap in `mapInPandas` with the same schema and
+  * batching contract and change nothing upstream or downstream. The decode itself is a clearly-marked
   * deterministic STUB (a code-point histogram standing in for image/audio
   * decode + feature extraction — no media libraries exist in this
   * environment); a real decoder replaces only the function body, not the

@@ -77,9 +77,15 @@ class ExtensionOpsSpec extends SparkSuite {
     val nonBmp = "𝕒𝕓𝕔𝕕𝕖𝕗𝕘𝕙𝕚"
     val counts = Seq(nonBmp, "abcdefghi", "short")
       .toDF("t")
-      .select(size(DedupOps.ngramHashSetUdf(col("t"))).as("n"))
+      .select(size(DedupOps.ngramHashSet(col("t"))).as("n"))
       .collect().map(_.getInt(0)).toSeq
     assert(counts == Seq(2, 2, 0))
+    // same result through the SQL registration (whole-stage codegen path)
+    GraftExtensions.register(spark)
+    val viaSql = Seq(nonBmp).toDF("t")
+      .selectExpr("size(ngram_hashes(t, 8)) AS n")
+      .head().getInt(0)
+    assert(viaSql == 2)
   }
 
   test("rolling fingerprint: order-sensitive, stable, in [0, p)") {

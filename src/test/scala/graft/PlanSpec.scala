@@ -70,6 +70,12 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("q_dedup_ngram: gram extraction is the native codegen expression, not a UDF") {
+    val p = plan("q_dedup_ngram")
+    assert(p.contains("ngram_hashes"), "native expression missing from plan:\n" + p)
+    assert(!p.toLowerCase.contains("scalaudf"), "gram extraction fell back to a UDF:\n" + p)
+  }
+
   test("q_sim_topk_lsh: codegen'd sign buckets (no UDF), broadcast probe ring, top-k") {
     val p = plan("q_sim_topk_lsh")
     assert(!p.toLowerCase.contains("scalaudf") && !p.contains("BatchEvalPython"),
