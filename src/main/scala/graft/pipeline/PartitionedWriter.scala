@@ -41,4 +41,26 @@ object PartitionedWriter {
   /** Read back with a day predicate — the partition-pruned scan path. */
   def readDay(spark: SparkSession, outDir: String, day: String): DataFrame =
     spark.read.parquet(outDir).filter(col("day") === day)
+
+  /** Retention policy twin of the reference's `drop_chunks` (the
+    * TimescaleDB retention job the alarm_retention dashboard assumes):
+    * delete whole day partitions strictly older than `cutoff`
+    * (yyyy-MM-dd). O(partitions) directory deletes — no row-level scan or
+    * rewrite, exactly the cost model of chunk drops; at 100 TB retention
+    * must never be a filter-and-rewrite of the fact table.
+    * Returns the dropped day values.
+    */
+  def dropDaysBefore(spark: SparkSession, outDir: String, cutoff: String): Seq[String] = {
+    val path = new org.apache.hadoop.fs.Path(outDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) Seq.empty
+    else
+      fs.listStatus(path).toSeq
+        .filter(_.isDirectory)
+        .map(_.getPath)
+        .filter(_.getName.startsWith("day="))
+        .filter(_.getName.stripPrefix("day=") < cutoff)
+        .map { p => fs.delete(p, true); p.getName.stripPrefix("day=") }
+        .sorted
+  }
 }

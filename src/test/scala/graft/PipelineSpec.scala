@@ -195,5 +195,18 @@ class PipelineSpec extends SparkSuite {
     val expected = Tables.events(spark, SfDir)
       .filter(date_format(col("ts"), "yyyy-MM-dd") === oneDay).count()
     assert(pruned.count() == expected)
+
+    // retention = chunk drop: deleting partitions needs no scan/rewrite
+    val days = spark.read.parquet(out).select(col("day").cast("string"))
+      .distinct().orderBy("day").collect().map(_.getString(0)).toSeq
+    val cutoff = days(days.length / 2)
+    val dropped = graft.pipeline.PartitionedWriter.dropDaysBefore(spark, out, cutoff)
+    assert(dropped == days.filter(_ < cutoff))
+    val remaining = spark.read.parquet(out).select(col("day").cast("string")).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(remaining == days.filter(_ >= cutoff).toSet)
+    val expectedRemaining = Tables.events(spark, SfDir)
+      .filter(date_format(col("ts"), "yyyy-MM-dd") >= cutoff).count()
+    assert(spark.read.parquet(out).count() == expectedRemaining)
   }
 }
