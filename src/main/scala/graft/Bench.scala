@@ -25,14 +25,18 @@ object Bench {
     // disk has multi-second latency bursts (PERF.md), and a cold file read
     // landing inside one query's window would charge that burst to the
     // query; the bench measures compute, the fixture is a few MB
-    java.nio.file.Files.walk(java.nio.file.Paths.get(sfDir)).forEach { p =>
-      if (p.toString.endsWith(".parquet") && java.nio.file.Files.isRegularFile(p)) {
-        val in = java.nio.file.Files.newInputStream(p)
-        val buf = new Array[Byte](1 << 20)
-        while (in.read(buf) >= 0) ()
-        in.close()
+    val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(sfDir))
+    try {
+      walk.forEach { p =>
+        if (p.toString.endsWith(".parquet") && java.nio.file.Files.isRegularFile(p)) {
+          val in = java.nio.file.Files.newInputStream(p)
+          try {
+            val buf = new Array[Byte](1 << 20)
+            while (in.read(buf) >= 0) ()
+          } finally in.close()
+        }
       }
-    }
+    } finally walk.close()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink: materializes every projected column and the final sort

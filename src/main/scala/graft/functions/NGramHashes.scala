@@ -25,6 +25,8 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 case class NGramHashes(child: Expression, n: Int) extends UnaryExpression {
 
+  require(n > 0, s"ngram_hashes n must be positive, got $n")
+
   override def checkInputDataTypes(): TypeCheckResult =
     child.dataType match {
       case StringType => TypeCheckResult.TypeCheckSuccess
@@ -82,10 +84,22 @@ object NGramHashes {
 
   val builder: Seq[Expression] => Expression = { children =>
     require(children.length == 2, "ngram_hashes expects exactly 2 arguments")
-    val n = children(1) match {
-      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-      case other => throw new IllegalArgumentException(
-        s"ngram_hashes n must be an integer literal, got $other")
+    // accept any foldable integral expression (bare literal, CAST, 4+4 —
+    // the builder runs before constant folding, so eval() it here)
+    val nExpr = children(1)
+    val n = nExpr.dataType match {
+      case _ if !nExpr.foldable =>
+        throw new IllegalArgumentException(
+          s"ngram_hashes n must be a constant integer, got non-foldable ${nExpr.sql}")
+      case org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType =>
+        nExpr.eval() match {
+          case null => throw new IllegalArgumentException("ngram_hashes n must not be null")
+          case v: java.lang.Number => v.intValue()
+        }
+      case t =>
+        throw new IllegalArgumentException(
+          s"ngram_hashes n must be an integer, got ${t.sql}")
     }
     NGramHashes(children.head, n)
   }

@@ -53,9 +53,14 @@ object MultimodalOps {
     * features; everything around this loop — batching, schema, partition
     * locality — is the production path.
     */
+  /** Null payload (a doc with null text) decodes as empty media. */
+  private def decodeText(payload: Array[Byte]): String =
+    if (payload == null) ""
+    else new String(payload, java.nio.charset.StandardCharsets.UTF_8)
+
   def extractFeatures(rows: Iterator[MediaRow]): Iterator[MediaFeatures] =
     rows.map { r =>
-      val text = new String(r.payload, java.nio.charset.StandardCharsets.UTF_8)
+      val text = decodeText(r.payload)
       val hist = new Array[Double](HistBins)
       var n = 0L
       val it = text.codePoints().iterator()
@@ -108,8 +113,7 @@ object MultimodalOps {
     */
   def resizeStub(rows: Iterator[MediaRow]): Iterator[ResizedMedia] =
     rows.map { r =>
-      val cps = new String(r.payload, java.nio.charset.StandardCharsets.UTF_8)
-        .codePoints().toArray
+      val cps = decodeText(r.payload).codePoints().toArray
       var sum = 0L
       var i = 0
       while (i < cps.length) { sum += cps(i); i += ResizeStride }
@@ -123,8 +127,7 @@ object MultimodalOps {
     */
   def frameSampleStub(rows: Iterator[MediaRow]): Iterator[FrameSample] =
     rows.map { r =>
-      val cps = new String(r.payload, java.nio.charset.StandardCharsets.UTF_8)
-        .codePoints().toArray
+      val cps = decodeText(r.payload).codePoints().toArray
       val nf = (cps.length + FrameSize - 1) / FrameSize
       var sum = 0L
       var n = 0L

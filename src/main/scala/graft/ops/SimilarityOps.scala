@@ -58,7 +58,10 @@ object SimilarityOps {
     */
   private def signBucket(e: Column): Column =
     (0 until LshPlanes)
-      .map(i => when(element_at(e, i + 1) >= 0f, lit(1 << i)).otherwise(lit(0)))
+      // try_element_at: vectors shorter than 8 dims contribute 0 bits
+      // instead of faulting under ANSI mode (NULL >= 0 is NULL → otherwise);
+      // the oracle's embedding[i] is NULL out of bounds, same semantics
+      .map(i => when(try_element_at(e, lit(i + 1)) >= 0f, lit(1 << i)).otherwise(lit(0)))
       .reduce(_ + _)
 
   /** Multi-probe sign-bucketed ANN variant: bucket = 8 sign bits; the query

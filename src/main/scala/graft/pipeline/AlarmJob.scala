@@ -3,6 +3,7 @@ package graft.pipeline
 import graft.streaming.StreamingOps
 import graft.streaming.StreamingOps.MetricEvent
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 /** The reference's 24/7 alarm engine as a runnable pipeline: OPC-UA
@@ -35,14 +36,15 @@ object AlarmJob {
 
   def start(spark: SparkSession, cfg: Config): StreamingQuery = {
     import spark.implicits._
-    val reader = spark.readStream
-      .format("opcua-replay")
-      .option("path", cfg.eventsPath)
-      .option("rowsPerBatch", cfg.rowsPerBatch.toString)
-    val src = cfg.maxRows.fold(reader)(n => reader.option("maxRows", n.toString)).load()
+    val src = ReplayStreams.source(spark, cfg.eventsPath, cfg.rowsPerBatch, cfg.maxRows)
 
+    // null-valued events are the string-payload shape: they carry no
+    // numeric deviation, so they must not enter the ring buffer (the batch
+    // twin computes pct = null for them; coalescing to 0.0 would fabricate
+    // a -100% deviation and fire spurious alarms)
     val events = src
-      .selectExpr("event_id", "ts", "user_id", "metric", "coalesce(value, 0.0) AS value")
+      .filter(col("value").isNotNull)
+      .selectExpr("event_id", "ts", "user_id", "metric", "value")
       .as[MetricEvent]
 
     StreamingOps.trendAlarms(events)

@@ -37,11 +37,7 @@ object IngestJob {
       maxRows: Option[Int] = None)
 
   def start(spark: SparkSession, cfg: Config): StreamingQuery = {
-    val reader = spark.readStream
-      .format("opcua-replay")
-      .option("path", cfg.eventsPath)
-      .option("rowsPerBatch", cfg.rowsPerBatch.toString)
-    val src = cfg.maxRows.fold(reader)(n => reader.option("maxRows", n.toString)).load()
+    val src = ReplayStreams.source(spark, cfg.eventsPath, cfg.rowsPerBatch, cfg.maxRows)
 
     // the broker hop: envelope → binary wire frame → decoded envelope.
     // Values travel as strings on the wire (the reference's envelope is

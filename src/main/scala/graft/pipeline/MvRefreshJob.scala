@@ -41,11 +41,7 @@ object MvRefreshJob {
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
 
   def start(spark: SparkSession, cfg: Config): StreamingQuery = {
-    val reader = spark.readStream
-      .format("opcua-replay")
-      .option("path", cfg.eventsPath)
-      .option("rowsPerBatch", cfg.rowsPerBatch.toString)
-    val src = cfg.maxRows.fold(reader)(n => reader.option("maxRows", n.toString)).load()
+    val src = ReplayStreams.source(spark, cfg.eventsPath, cfg.rowsPerBatch, cfg.maxRows)
 
     // the streaming twin of q_mv_minute (RelationalOps.mvMinute)
     val mv = StreamingOps.mvMinuteStream(src)

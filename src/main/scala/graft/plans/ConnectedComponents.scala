@@ -24,7 +24,7 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
-  private val MaxRounds = 50
+  private val MaxRounds = 100
 
   /** Component assignment for every node that appears in `edges`.
     *
@@ -89,6 +89,14 @@ object ConnectedComponents {
       cur = ss
       round += 1
     }
+
+    // A partially-contracted edge set would silently yield split clusters
+    // if read as a star forest — refuse instead. MaxRounds is far above
+    // the observed handful of rounds; hitting it means a bug or an input
+    // pathologically beyond the algorithm's O(log^2 n) bound.
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge within $MaxRounds rounds")
 
     // At convergence the edge set is a star forest: every edge is
     // (componentMin, node). Roots label themselves.

@@ -96,7 +96,10 @@ class PlanSpec extends SparkSuite {
     val p = plan("q_dedup_clusters")
     assert(!p.contains("CartesianProduct"), p)
     // the pair graph enters the final plan as a materialized checkpoint
-    // scan, not a recompute of the whole minhash pipeline
-    assert(p.contains("ExistingRDD") || p.contains("LocalTableScan") || p.contains("Scan"), p)
+    // scan (LogicalRDD → "Scan ExistingRDD"), NOT a recompute of the whole
+    // minhash pipeline — whose signature/shingle aggregation (collect_set)
+    // must therefore be absent from this plan
+    assert(p.contains("ExistingRDD"), "pair graph not materialized:\n" + p)
+    assert(!p.contains("collect_set"), "minhash pipeline recomputed inside clusters:\n" + p)
   }
 }
