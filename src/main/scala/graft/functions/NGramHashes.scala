@@ -95,7 +95,12 @@ object NGramHashes {
            org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType =>
         nExpr.eval() match {
           case null => throw new IllegalArgumentException("ngram_hashes n must not be null")
-          case v: java.lang.Number => v.intValue()
+          case v: java.lang.Number =>
+            val l = v.longValue()
+            if (l < 1 || l > Int.MaxValue)
+              throw new IllegalArgumentException(
+                s"ngram_hashes n must be in [1, ${Int.MaxValue}], got $l")
+            l.toInt
         }
       case t =>
         throw new IllegalArgumentException(

@@ -55,6 +55,12 @@ object AlarmOps {
   def deviationTrendOn(events: DataFrame): DataFrame = {
     val w = perEntity.orderBy(col("ts"), col("event_id")).rowsBetween(-2, 0)
     withPct(events)
+      // null-valued (string-payload) events never enter the ring buffer
+      // (the reference appends numeric readings only) — without this
+      // filter a null row occupies a window slot that count() tallies
+      // while min(abs(pct)) ignores it, so 2 real deviations + 1 null
+      // would fire a 3-consecutive alarm
+      .filter(col("value").isNotNull)
       .filter(col("target") =!= 0.0)
       .withColumn("n_in_window", count(lit(1)).over(w))
       .withColumn("min_abs_pct", min(abs(col("pct"))).over(w))
@@ -72,6 +78,11 @@ object AlarmOps {
     val w = perEntity.orderBy(col("ts"), col("event_id"))
     events
       .filter(col("event_type") === "click")
+      // drop null-valued events BEFORE the lag: a null prev mid-excursion
+      // would look like "no previous row" and re-fire a duplicate alarm
+      // inside the same below-threshold excursion (the streaming twin's
+      // latched state has no such confusion)
+      .filter(col("value").isNotNull)
       .withColumn("prev", lag(col("value"), 1).over(w))
       .filter(col("value") < threshold && (col("prev").isNull || col("prev") >= threshold))
       .select(col("event_id"), col("user_id"), col("value"), col("prev"))
@@ -185,7 +196,7 @@ object AlarmOps {
            |  SELECT event_id, user_id, event_type,
            |    count(*) OVER win AS n_in_window,
            |    min(abs($pctSql)) OVER win AS min_abs_pct
-           |  FROM b WHERE t <> 0
+           |  FROM b WHERE t <> 0 AND value IS NOT NULL
            |  WINDOW win AS (PARTITION BY user_id, event_type ORDER BY ts, event_id
            |                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))
            |SELECT event_id, user_id, event_type AS metric, round(min_abs_pct, 4) AS min_abs_pct
@@ -195,7 +206,7 @@ object AlarmOps {
         """WITH w AS (
           |  SELECT event_id, user_id, value,
           |    lag(value) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS prev
-          |  FROM events WHERE event_type = 'click')
+          |  FROM events WHERE event_type = 'click' AND value IS NOT NULL)
           |SELECT event_id, user_id, value, prev FROM w
           |WHERE value < 200 AND (prev IS NULL OR prev >= 200)
           |ORDER BY event_id""".stripMargin,
@@ -203,7 +214,7 @@ object AlarmOps {
         """WITH w AS (
           |  SELECT event_id, user_id, value,
           |    lag(value) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS prev
-          |  FROM events WHERE event_type = 'click')
+          |  FROM events WHERE event_type = 'click' AND value IS NOT NULL)
           |SELECT event_id, user_id, value, prev, 'critical' AS severity FROM w
           |WHERE value < 1 AND (prev IS NULL OR prev >= 1)
           |ORDER BY event_id""".stripMargin,

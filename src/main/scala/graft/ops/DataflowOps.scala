@@ -191,17 +191,28 @@ object DataflowOps {
   def typeDispatch(s: SparkSession, dir: String): DataFrame =
     typeDispatchOn(ev(s, dir))
 
+  /** The value type-dispatch rule (kafka_db_agent/main.py:83-89) on a raw
+    * string column, by name — the SINGLE source for all three call sites
+    * (batch dispatch, JDBC sink projection, streaming ingest), so a rule
+    * change (e.g. new boolean spellings) cannot desynchronize the streaming
+    * path from the oracle-checked batch path.
+    */
+  def dispatchNum(name: String): org.apache.spark.sql.Column =
+    when(col(name).isin("true", "false"), lit(null).cast("double"))
+      .otherwise(expr(s"try_cast($name AS DOUBLE)"))
+
+  def dispatchStr(name: String): org.apache.spark.sql.Column =
+    when(col(name) === "true", "True")
+      .when(col(name) === "false", "False")
+      .when(expr(s"try_cast($name AS DOUBLE)").isNull, col(name))
+
   def typeDispatchOn(events: DataFrame): DataFrame =
     events
       .withColumn("raw", rawValue)
       .select(
         col("event_id"),
-        when(col("raw").isin("true", "false"), lit(null).cast("double"))
-          .otherwise(expr("try_cast(raw AS DOUBLE)")).as("value_num"),
-        when(col("raw") === "true", "True")
-          .when(col("raw") === "false", "False")
-          .when(expr("try_cast(raw AS DOUBLE)").isNull, col("raw"))
-          .as("value_str")
+        dispatchNum("raw").as("value_num"),
+        dispatchStr("raw").as("value_str")
       )
       .orderBy(col("event_id"))
 
@@ -219,12 +230,8 @@ object DataflowOps {
         col("event_id"),
         col("ts").as("time"),
         col("event_type").as("metric"),
-        when(col("raw").isin("true", "false"), lit(null).cast("double"))
-          .otherwise(expr("try_cast(raw AS DOUBLE)")).as("value_num"),
-        when(col("raw") === "true", "True")
-          .when(col("raw") === "false", "False")
-          .when(expr("try_cast(raw AS DOUBLE)").isNull, col("raw"))
-          .as("value_str"),
+        dispatchNum("raw").as("value_num"),
+        dispatchStr("raw").as("value_str"),
         col("operator")
       )
       .orderBy(col("event_id"))

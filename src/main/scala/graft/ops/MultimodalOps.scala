@@ -41,9 +41,20 @@ object MultimodalOps {
       .select(
         col("doc_id"),
         lit("text/plain").as("format"),
-        length(col("text")).cast("long").as("n_bytes"),
-        encode(col("text"), "UTF-8").as("payload")
+        // null text ingests as EMPTY media (0 bytes, empty payload): the
+        // typed MediaRow has a primitive n_bytes, so a null here would
+        // fault in the encoder before any decode-side guard could run;
+        // the oracles apply the same coalesce
+        length(coalesce(col("text"), lit(""))).cast("long").as("n_bytes"),
+        encode(coalesce(col("text"), lit("")), "UTF-8").as("payload")
       )
+
+  /** Null payload (belt-and-braces; mediaTable already coalesces) decodes
+    * as empty media.
+    */
+  private def decodeText(payload: Array[Byte]): String =
+    if (payload == null) ""
+    else new String(payload, java.nio.charset.StandardCharsets.UTF_8)
 
   /** STUB decode + feature extraction: an 8-bin normalized code-point
     * histogram (bucket = (cp mod 256) >> 5, counted over Unicode code points
@@ -53,11 +64,6 @@ object MultimodalOps {
     * features; everything around this loop — batching, schema, partition
     * locality — is the production path.
     */
-  /** Null payload (a doc with null text) decodes as empty media. */
-  private def decodeText(payload: Array[Byte]): String =
-    if (payload == null) ""
-    else new String(payload, java.nio.charset.StandardCharsets.UTF_8)
-
   def extractFeatures(rows: Iterator[MediaRow]): Iterator[MediaFeatures] =
     rows.map { r =>
       val text = decodeText(r.payload)
@@ -150,7 +156,7 @@ object MultimodalOps {
 
   val oracles: Map[String, String] = Map(
     "q_multimodal_resize" ->
-      s"""WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+      s"""WITH d AS (SELECT doc_id, coalesce(text, '') AS text, length(coalesce(text, '')) AS n FROM documents),
          |cp AS (
          |  SELECT doc_id, ord(substr(text, CAST(i AS INTEGER), 1)) AS c
          |  FROM d, unnest(range(1, n + 1)) AS u(i)
@@ -162,7 +168,7 @@ object MultimodalOps {
          |GROUP BY d.doc_id, d.n
          |ORDER BY d.doc_id""".stripMargin,
     "q_multimodal_frames" ->
-      s"""WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+      s"""WITH d AS (SELECT doc_id, coalesce(text, '') AS text, length(coalesce(text, '')) AS n FROM documents),
          |f AS (
          |  SELECT doc_id, ord(substr(text, CAST(fi * $FrameSize + 1 AS INTEGER), 1)) AS c
          |  FROM d, unnest(range(0, (n + ${FrameSize - 1}) // $FrameSize)) AS u(fi)
@@ -178,7 +184,7 @@ object MultimodalOps {
       val bins = (0 until HistBins)
         .map(b => s"round(CAST(count(CASE WHEN bin = $b THEN 1 END) AS DOUBLE) / greatest(d.n, 1), 4) AS f$b")
         .mkString(", ")
-      s"""WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+      s"""WITH d AS (SELECT doc_id, coalesce(text, '') AS text, length(coalesce(text, '')) AS n FROM documents),
          |cp AS (
          |  SELECT doc_id, (ord(substr(text, CAST(i AS INTEGER), 1)) % 256) // 32 AS bin
          |  FROM d, unnest(range(1, n + 1)) AS u(i))

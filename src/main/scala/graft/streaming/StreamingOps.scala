@@ -100,7 +100,10 @@ object StreamingOps {
       pctOf(metric, e.value).foreach { pct =>
         recent = (recent :+ math.abs(pct)).takeRight(3)
         if (recent.size == 3 && recent.forall(_ > 2.0))
-          out += TrendAlarm(userId, metric, e.event_id, recent.min)
+          // round like the batch twin (round(min_abs_pct, 4)) so the two
+          // output contracts agree digit-for-digit
+          out += TrendAlarm(userId, metric, e.event_id,
+            BigDecimal(recent.min).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
       }
     }
     state.update(TrendState(recent))
@@ -198,12 +201,10 @@ object StreamingOps {
         col("event_id"),
         timestamp_micros(col("ts_us")).as("time"),
         col("node_id").as("metric"),
-        when(col("value").isin("true", "false"), lit(null).cast("double"))
-          .otherwise(expr("try_cast(value AS DOUBLE)")).as("value_num"),
-        when(col("value") === "true", "True")
-          .when(col("value") === "false", "False")
-          .when(expr("try_cast(value AS DOUBLE)").isNull, col("value"))
-          .as("value_str"),
+        // the shared dispatch rule — same column logic as the
+        // oracle-checked batch q_type_dispatch
+        graft.ops.DataflowOps.dispatchNum("value").as("value_num"),
+        graft.ops.DataflowOps.dispatchStr("value").as("value_str"),
         col("user_id")
       )
       .join(broadcast(contextDf), Seq("user_id"), "left")
