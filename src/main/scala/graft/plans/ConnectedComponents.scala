@@ -21,6 +21,11 @@ import org.apache.spark.sql.functions._
   * Rounds are materialized with `localCheckpoint` — iterative DataFrame
   * loops otherwise accumulate an exponentially deep plan that chokes the
   * optimizer, and checkpointing caps each round's lineage at one step.
+  * Checkpoints are LAZY (`eager = false`): the round's convergence
+  * fingerprint is the single action that materializes them, so each round
+  * costs exactly one driver round-trip (an eager checkpoint would run a
+  * separate materialization job first — 2× the per-round job-submission
+  * floor, which dominated this operator's bench cost at fixture scale).
   */
 object ConnectedComponents {
 
@@ -55,7 +60,7 @@ object ConnectedComponents {
       (r.getLong(0), r.getLong(1))
     }
 
-    var cur = in.localCheckpoint()
+    var cur = in.localCheckpoint(eager = false)
     var prev = fingerprint(cur)
     var round = 0
     var converged = prev._1 == 0L
@@ -66,11 +71,13 @@ object ConnectedComponents {
         .union(cur.select(col("v").as("s"), col("u").as("d")))
       val mins = sym.groupBy(col("s")).agg(min(col("d")).as("md"))
         .select(col("s"), least(col("md"), col("s")).as("m"))
+      // no distinct here: duplicate edges are harmless to small-star's min
+      // aggregation and the round-end distinct dedups — one fewer shuffle
+      // per round
       val ls = sym.join(mins, "s")
         .where(col("d") > col("s"))
         .select(least(col("d"), col("m")).as("u"), greatest(col("d"), col("m")).as("v"))
         .where(col("u") =!= col("v"))
-        .distinct()
 
       // small-star: for each node v (as the larger endpoint), link all its
       // smaller neighbors and itself to their minimum — stars flatten.
@@ -81,7 +88,7 @@ object ConnectedComponents {
         .where(col("a") =!= col("b"))
         .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
 
       val fp = fingerprint(ss)
       converged = fp == prev
