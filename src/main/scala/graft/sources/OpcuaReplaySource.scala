@@ -32,12 +32,18 @@ import java.util
   * Scale notes. An OPC-UA subscription is a SINGLE ordered notification
   * channel at ~10-20 values/s (the reference's measured envelope), so each
   * micro-batch is planned as one input partition: parallelism correctly
-  * begins downstream, at the first shuffle. The replay buffer lives on the
-  * driver (bounded by `maxRows`); a production source would instead hold
-  * the client session in the partition reader and buffer executor-side,
-  * but offsets, admission control (`ReadLimit`), Trigger.AvailableNow
-  * drain-and-stop, and checkpoint/restart — the parts Spark's contract
-  * cares about — are identical and are what this class exercises.
+  * begins downstream, at the first shuffle.
+  *
+  * The replay log lives EXECUTOR-SIDE: at stream init one Spark job sorts
+  * the fixture into a single (ts, event_id)-ordered parquet file under the
+  * source's checkpoint directory (idempotent — a restart reuses it via
+  * _SUCCESS), and after that the driver holds only the file path and the
+  * footer row count. Each micro-batch's InputPartition carries just a
+  * [start, end) row range; the partition reader opens the sorted file on
+  * the executor, skips whole row groups below `start` via footer metadata,
+  * and reads exactly the range. No rows are ever collected to or shipped
+  * from the driver — the earlier design's driver-side buffer (the one
+  * driver-side materialization in the product path) is gone.
   */
 class OpcuaReplaySource extends TableProvider with DataSourceRegister {
 
@@ -62,26 +68,48 @@ object OpcuaReplaySource {
     StructField("value", DoubleType)
   ))
 
-  /** One replayed notification; ts in epoch micros. */
-  case class ReplayRow(eventId: Long, tsUs: Long, userId: Long, metric: String, value: Double)
-
-  /** Fixture rows in (ts, event_id) order — the subscription's publish
-    * order. Loaded through Tables.events so the nanos-long legacy handling
-    * stays in one place.
+  /** Materialize the ordered replay log as ONE sorted parquet file under
+    * `scratchDir` (the source's checkpoint area) and return
+    * (sortedFilePath, totalRows).
+    *
+    * The sort+write runs as a Spark job — executors do the work; the
+    * single output file is the subscription's publish order at rest
+    * (a global sort's range partitions concatenate in order under
+    * coalesce(1)). The row count comes from the parquet footer: the
+    * driver reads METADATA, never rows. Idempotent across restarts: an
+    * existing _SUCCESS means the log is already prepared and is reused.
+    * The prepared log is always the FULL fixture — any `maxRows` admission
+    * cap is applied to OFFSETS by the stream, never baked into the file,
+    * so a restart with a different cap (e.g. the crash-recovery tests'
+    * capped first run) still sees the whole log.
     */
-  def loadRows(path: String, maxRows: Option[Int]): Array[ReplayRow] = {
-    val spark = SparkSession.active
+  def prepareReplayLog(
+      spark: SparkSession,
+      path: String,
+      scratchDir: String): (String, Long) = {
     val dir = new java.io.File(path).getParent
-    val df = graft.Tables.events(spark, dir)
-      .select(
-        col("event_id"), unix_micros(col("ts")).as("ts_us"), col("user_id"),
-        col("event_type").as("metric"), col("value"))
-      .orderBy(col("ts_us"), col("event_id"))
-    val limited = maxRows.map(df.limit).getOrElse(df)
-    limited.collect().map { r =>
-      ReplayRow(r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
-        if (r.isNullAt(4)) Double.NaN else r.getDouble(4))
+    val scratch = new org.apache.hadoop.fs.Path(scratchDir)
+    val fs = scratch.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(new org.apache.hadoop.fs.Path(scratch, "_SUCCESS"))) {
+      // Loaded through Tables.events so the nanos-long legacy handling
+      // stays in one place.
+      graft.Tables.events(spark, dir)
+        .select(
+          col("event_id"), unix_micros(col("ts")).as("ts_us"), col("user_id"),
+          col("event_type").as("metric"), col("value"))
+        .orderBy(col("ts_us"), col("event_id"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(scratchDir)
     }
+    val file = fs.listStatus(scratch)
+      .find(st => st.isFile && st.getPath.getName.startsWith("part-"))
+      .getOrElse(throw new IllegalStateException(s"no parquet part file in $scratchDir"))
+      .getPath
+    val footer = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        file, spark.sessionState.newHadoopConf()))
+    val fileRows = try footer.getRecordCount finally footer.close()
+    (file.toString, fileRows)
   }
 }
 
@@ -107,7 +135,7 @@ private[sources] class ReplayScan(options: CaseInsensitiveStringMap) extends Sca
       .getOrElse(throw new IllegalArgumentException("opcua-replay requires option 'path'"))
     val rowsPerBatch = Option(options.get("rowsPerBatch")).map(_.toInt).getOrElse(1000)
     val maxRows = Option(options.get("maxRows")).map(_.toInt)
-    new ReplayMicroBatchStream(path, rowsPerBatch, maxRows)
+    new ReplayMicroBatchStream(path, rowsPerBatch, maxRows, checkpointLocation)
   }
 
   override def toBatch: Batch =
@@ -119,12 +147,18 @@ private[sources] case class ReplayOffset(idx: Long) extends Offset {
   override def json(): String = idx.toString
 }
 
-private[sources] class ReplayMicroBatchStream(path: String, rowsPerBatch: Int, maxRows: Option[Int])
+private[sources] class ReplayMicroBatchStream(
+    path: String, rowsPerBatch: Int, maxRows: Option[Int], checkpointLocation: String)
     extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
-  private lazy val rows: Array[OpcuaReplaySource.ReplayRow] =
-    OpcuaReplaySource.loadRows(path, maxRows)
-  private def total: Long = rows.length.toLong
+  // Driver state after init: one file path + one row count. Nothing else.
+  private lazy val (sortedFile: String, fileRows: Long) =
+    OpcuaReplaySource.prepareReplayLog(
+      SparkSession.active, path, checkpointLocation + "/replay-log")
+
+  // admission cap applied to offsets only — the prepared log is the full
+  // fixture regardless of the cap
+  private def total: Long = maxRows.fold(fileRows)(m => math.min(fileRows, m.toLong))
 
   // Trigger.AvailableNow: pin the drain target before the run starts so the
   // query stops at a fixed end even if the upstream keeps growing.
@@ -158,33 +192,102 @@ private[sources] class ReplayMicroBatchStream(path: String, rowsPerBatch: Int, m
   override def stop(): Unit = ()
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[ReplayOffset].idx.toInt
-    val e = math.min(end.asInstanceOf[ReplayOffset].idx, total).toInt
+    val s = start.asInstanceOf[ReplayOffset].idx
+    val e = math.min(end.asInstanceOf[ReplayOffset].idx, total)
     if (e <= s) Array.empty
-    // one partition per batch: a subscription is a single ordered channel
-    else Array(ReplayInputPartition(rows.slice(s, e)))
+    // one partition per batch: a subscription is a single ordered channel;
+    // the descriptor is offsets-only — rows are read executor-side
+    else Array(ReplayRangePartition(sortedFile, s, e))
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = new PartitionReaderFactory {
-    override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-      val part = partition.asInstanceOf[ReplayInputPartition]
-      new PartitionReader[InternalRow] {
-        private var i = -1
-        override def next(): Boolean = { i += 1; i < part.rows.length }
-        override def get(): InternalRow = {
-          val r = part.rows(i)
-          new GenericInternalRow(Array[Any](
-            r.eventId, r.tsUs, r.userId, UTF8String.fromString(r.metric),
-            if (r.value.isNaN) null else r.value))
-        }
-        override def close(): Unit = ()
-      }
-    }
-  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ReplayRangeReaderFactory
 }
 
-/** The batch's slice of the replay log travels in the partition descriptor
-  * (same technique as Spark's own memory/rate test sources).
+/** Offsets-only partition descriptor: the executor reads rows
+  * [start, end) of the sorted replay log itself.
   */
-private[sources] case class ReplayInputPartition(rows: Array[OpcuaReplaySource.ReplayRow])
+private[sources] case class ReplayRangePartition(file: String, start: Long, end: Long)
     extends InputPartition
+
+private[sources] class ReplayRangeReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new ReplayRangeReader(partition.asInstanceOf[ReplayRangePartition])
+}
+
+/** Executor-side range reader over the sorted replay log. Whole row groups
+  * below `start` are skipped via footer metadata (no page I/O); only the
+  * groups overlapping [start, end) are decoded, and in-group rows before
+  * `start` are discarded by the record reader. This is the production
+  * shape: per-batch work is O(rows in range + one footer), independent of
+  * how far into the log the stream has progressed.
+  */
+private[sources] class ReplayRangeReader(p: ReplayRangePartition)
+    extends PartitionReader[InternalRow] {
+
+  import org.apache.parquet.example.data.Group
+  import org.apache.parquet.example.data.simple.convert.GroupRecordConverter
+  import org.apache.parquet.io.ColumnIOFactory
+
+  private val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+    org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(p.file),
+      new org.apache.hadoop.conf.Configuration()))
+  private val schema = reader.getFooter.getFileMetaData.getSchema
+  private val columnIO = new ColumnIOFactory().getColumnIO(schema)
+  private val blockRows: Array[Long] = {
+    val it = reader.getFooter.getBlocks.iterator()
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+    while (it.hasNext) buf += it.next().getRowCount
+    buf.toArray
+  }
+
+  private var blockIdx = 0
+  private var pos = 0L // global index of the next unread row under the cursor
+  private var inGroupRemaining = 0L
+  private var rr: org.apache.parquet.io.RecordReader[Group] = _
+  private var current: Group = _
+
+  /** Position the record reader inside a row group containing `pos`,
+    * skipping whole groups that end at or before the range start.
+    */
+  private def ensureGroup(): Boolean = {
+    while (inGroupRemaining == 0 && blockIdx < blockRows.length) {
+      if (pos + blockRows(blockIdx) <= p.start) {
+        reader.skipNextRowGroup()
+        pos += blockRows(blockIdx)
+      } else {
+        val pages = reader.readNextRowGroup()
+        rr = columnIO.getRecordReader(pages, new GroupRecordConverter(schema))
+        inGroupRemaining = blockRows(blockIdx)
+      }
+      blockIdx += 1
+    }
+    inGroupRemaining > 0
+  }
+
+  override def next(): Boolean = {
+    // fast-forward in-group rows before the range start
+    while (pos < p.start) {
+      if (!ensureGroup()) return false
+      rr.read(); pos += 1; inGroupRemaining -= 1
+    }
+    if (pos >= p.end || !ensureGroup()) return false
+    current = rr.read(); pos += 1; inGroupRemaining -= 1
+    true
+  }
+
+  override def get(): InternalRow = {
+    def opt[A](field: String)(read: => A): Any =
+      if (current.getFieldRepetitionCount(field) == 0) null else read
+    new GenericInternalRow(Array[Any](
+      opt("event_id")(current.getLong("event_id", 0)),
+      opt("ts_us")(current.getLong("ts_us", 0)),
+      opt("user_id")(current.getLong("user_id", 0)),
+      opt("metric")(UTF8String.fromString(current.getString("metric", 0))),
+      opt("value")(current.getDouble("value", 0))
+    ))
+  }
+
+  override def close(): Unit = reader.close()
+}
