@@ -112,6 +112,12 @@ object RelationalOps {
       .select(col("ts").as("time"), col("value"), col("event_id"))
       .orderBy(col("time"), col("event_id"))
 
+  /** The minute-grain MV content (no ordering) — the shape
+    * MaterializedViews persists day-partitioned for the mvRead scan path.
+    */
+  private[graft] def minuteMv(s: SparkSession, dir: String): DataFrame =
+    bucketAggBase(s, dir, "1 minute")
+
   private def bucketAggBase(s: SparkSession, dir: String, grain: String): DataFrame =
     ev(s, dir)
       .filter(col("value").isNotNull)
@@ -184,11 +190,23 @@ object RelationalOps {
       )
       .orderBy(col("bucket"), col("metric"))
 
-  /** MV scan + metric filter + bucket range + sort (machine_dashboard.json:1120). */
+  /** MV scan + metric filter + bucket range + sort (machine_dashboard.json:1120).
+    *
+    * Reads the MATERIALIZED day-partitioned MV (the reference dashboard
+    * reads the persisted `machine_stats_minute`, never a recompute): the
+    * bucket range is mirrored onto the `day` partition column so the scan
+    * prunes whole day directories (PartitionFilters — PlanSpec asserts it),
+    * and the metric equality pushes into parquet row-group stats, which the
+    * writer's (metric, bucket) sort-within-partitions makes selective.
+    * At 100 TB this is the difference between touching 14 day directories
+    * and scanning the full MV history. The DuckDB oracle keeps the
+    * recompute definition — materialize-then-read must equal it exactly.
+    */
   def mvRead(s: SparkSession, dir: String): DataFrame =
-    bucketAggBase(s, dir, "1 minute")
+    s.read.parquet(graft.pipeline.MaterializedViews.minuteMvDir(s, dir))
       .filter(
-        col("metric") === "click" &&
+        col("day").between("2024-01-08", "2024-01-22") &&
+          col("metric") === "click" &&
           col("bucket").between(
             lit("2024-01-08 00:00:00").cast("timestamp"),
             lit("2024-01-22 00:00:00").cast("timestamp")

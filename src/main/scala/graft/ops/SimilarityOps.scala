@@ -138,24 +138,44 @@ object SimilarityOps {
     */
   val EmbedCosineThreshold = 0.4
 
-  /** Number of leading dimensions whose signs sub-bucket each label block
-    * in `dedupEmbed`. Axis-aligned random-hyperplane LSH: vectors in the
-    * same sub-bucket agree on the signs of the first k dims. The scale
-    * knob: block size ≈ N_label / 2^k, so k grows with the corpus (k=0
-    * recovers plain label blocking); pairs across sub-buckets are traded
-    * for the bound, the standard blocking recall tradeoff.
+  /** Target rows per (label, sign-bucket) block in `dedupEmbed`: the
+    * block-local scoring loop is quadratic, so this bounds per-block work
+    * at ~TargetBlockRows² dot products regardless of corpus size.
     */
-  val SubBucketBits = 2
+  val TargetBlockRows = 64L
+
+  /** Data-derived sub-bucket width for `dedupEmbed`: the number k of
+    * leading dimensions whose signs sub-bucket each label block, chosen so
+    * the AVERAGE block shrinks to ≤ TargetBlockRows:
+    *
+    *   avgBlock = ceil(n / labels);  k = min(16, ceil(log2(ceil(avgBlock / target))))
+    *
+    * k grows with the corpus (k=0 recovers plain label blocking at small
+    * n) — the fixed-constant version this replaces left blocks O(N_label).
+    * Integer-only arithmetic (ceil-log2 via the bit length of m-1, no
+    * floating log2) so the DuckDB oracle reproduces k EXACTLY from the
+    * same two counts; a float log2 could straddle an integer boundary
+    * differently in the two engines.
+    */
+  private[graft] def subBucketBits(n: Long, labels: Long): Int = {
+    val l = math.max(1L, labels)
+    val avgBlock = (n + l - 1) / l
+    val m = (avgBlock + TargetBlockRows - 1) / TargetBlockRows
+    if (m <= 1) 0 else math.min(16, 64 - java.lang.Long.numberOfLeadingZeros(m - 1))
+  }
 
   /** Embedding-cosine near-duplicate pairs, blocked on the COMPOSITE key
-    * (label, sign-bits of the first `SubBucketBits` dims). Label alone (the
-    * corpus's coarse partition key) is an unbounded block: label
+    * (label, sign-bits of the first k dims), k data-derived by
+    * `subBucketBits` from two corpus counts (one metadata-scale driver
+    * aggregate — the same statistic AQE-style planning reads). Label alone
+    * (the corpus's coarse partition key) is an unbounded block: label
     * cardinality is a property of the data, not the corpus size, so blocks
     * grow O(N) and the block-local loop O(N²). The sign sub-bucket bounds
-    * the block at ~N_label/2^k with k a config constant — each block
-    * scores against itself only, blocks are shuffled once by the blocking
-    * key, never all-pairs across the corpus. The oracle applies the
-    * identical composite key, so results hash-match by construction.
+    * the average block at TargetBlockRows because k scales with n/labels —
+    * each block scores against itself only, blocks are shuffled once by
+    * the blocking key, never all-pairs across the corpus. The oracle
+    * applies the identical composite key (same integer formula in SQL),
+    * so results hash-match by construction.
     *
     * The block-local quadratic loop runs as `flatMapGroups` over primitive
     * double arrays — one shuffle of the raw vectors, then pure JVM
@@ -168,7 +188,11 @@ object SimilarityOps {
   def dedupEmbed(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val thr = EmbedCosineThreshold
-    val bits = SubBucketBits
+    val bits = {
+      val st = Tables.embeddings(s, dir)
+        .agg(count(lit(1)), count_distinct(col("label"))).head()
+      subBucketBits(st.getLong(0), st.getLong(1))
+    }
     Tables.embeddings(s, dir)
       .select(col("label"), col("vec_id"), col("embedding"))
       .as[(Int, Long, Array[Float])]
@@ -209,13 +233,8 @@ object SimilarityOps {
       .orderBy(col("i"), col("j"))
   }
 
-  /** Sub-bucket equality for the oracle: both sides agree on the signs of
-    * the first SubBucketBits dims (1-indexed arrays in DuckDB).
-    */
-  private val subBucketSql: String =
-    (0 until SubBucketBits)
-      .map(i => s"(a.embedding[${i + 1}] >= 0) = (b.embedding[${i + 1}] >= 0)")
-      .mkString(" AND ")
+  // (the oracle's sub-bucket key is computed in-query from the same two
+  // counts via the identical integer ceil-log2 formula — see q_dedup_embed)
 
   /** The sign bucket in DuckDB SQL — mirrors `signBucket`. */
   private val signBucketSql: String =
@@ -244,13 +263,21 @@ object SimilarityOps {
          |ORDER BY cos_sim DESC, b.vec_id
          |LIMIT 10""".stripMargin,
     "q_dedup_embed" ->
-      s"""WITH n AS (
-         |  SELECT vec_id, label, embedding, CAST(embedding AS DOUBLE[]) AS v,
-         |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
-         |  FROM embeddings)
+      s"""WITH p AS (
+         |  SELECT least(16, CASE WHEN m <= 1 THEN 0 ELSE length(bin(m - 1)) END) AS k
+         |  FROM (
+         |    SELECT ((count(*) + count(DISTINCT label) - 1) // count(DISTINCT label)
+         |            + ${TargetBlockRows - 1}) // $TargetBlockRows AS m
+         |    FROM embeddings)),
+         |n AS (
+         |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+         |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm,
+         |         coalesce(list_sum(list_transform(range(1, p.k + 1),
+         |           i -> CASE WHEN embedding[i] >= 0 THEN power(2.0, i - 1) ELSE 0.0 END)), 0.0) AS bucket
+         |  FROM embeddings, p)
          |SELECT a.vec_id AS i, b.vec_id AS j, a.label AS label,
          |       round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cos_sim
-         |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id AND $subBucketSql
+         |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id AND a.bucket = b.bucket
          |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= $EmbedCosineThreshold
          |ORDER BY i, j""".stripMargin,
     "q_sim_topk_ivf" ->

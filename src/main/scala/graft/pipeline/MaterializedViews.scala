@@ -1,0 +1,43 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Batch materialization of the continuous aggregates AT REST — the
+  * day-partitioned parquet table the dashboard's MV reads actually scan.
+  *
+  * In the reference the dashboard never recomputes `machine_stats_minute`;
+  * it reads the persisted continuous aggregate
+  * (grafana/dashboards/machine_dashboard.json:1120 FROM machine_stats_minute)
+  * that TimescaleDB's refresh policy maintains (database/init.sql:37-54).
+  * The streaming twin of that refresh loop is `MvRefreshJob`; this object is
+  * the batch producer of the same layout, used by the `q_mv_read` read path
+  * so the registered query exercises a real scan of written MV parquet —
+  * day partition pruning, parquet stats — instead of a recompute.
+  *
+  * Write-once per JVM per fixture dir (rewritten fresh on first use in each
+  * JVM): the MV is maintained continuously in a deployment, so its refresh
+  * cost does not belong to every dashboard read.
+  */
+object MaterializedViews {
+
+  private val prepared = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Day-partitioned minute-grain MV for `sfDir`; returns its directory. */
+  def minuteMvDir(spark: SparkSession, sfDir: String): String = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val out = s"${sys.props("java.io.tmpdir")}/graft-mv-minute-$key"
+    if (prepared.add(out)) {
+      graft.ops.RelationalOps.minuteMv(spark, sfDir)
+        // day partitioning at rest = the hypertable chunk layout
+        // (init.sql:11): a bucket-range dashboard predicate prunes whole
+        // day directories before any row-group I/O
+        .withColumn("day", date_format(col("bucket"), "yyyy-MM-dd"))
+        .repartition(col("day"))
+        .sortWithinPartitions(col("metric"), col("bucket"))
+        .write.mode("overwrite").partitionBy("day").parquet(out)
+    }
+    out
+  }
+}

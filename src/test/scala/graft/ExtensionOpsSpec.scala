@@ -194,11 +194,16 @@ class ExtensionOpsSpec extends SparkSuite {
       assert(r.getAs[Double]("cos_sim") >= SimilarityOps.EmbedCosineThreshold - 1e-4)
     }
     // composite blocking key: every pair agrees on label AND the sign bits
-    // of the first SubBucketBits dims (the bound that keeps blocks
-    // ~N_label/2^k instead of O(N))
-    val signs = Tables.embeddings(spark, SfDir).collect()
+    // of the first k dims, k data-derived from the corpus counts (the
+    // bound that keeps average blocks ~TargetBlockRows instead of O(N))
+    val emb = Tables.embeddings(spark, SfDir)
+    val st = emb.agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)),
+      org.apache.spark.sql.functions.count_distinct(col("label"))).head()
+    val k = SimilarityOps.subBucketBits(st.getLong(0), st.getLong(1))
+    val signs = emb.collect()
       .map(r => r.getAs[Long]("vec_id") ->
-        (0 until SimilarityOps.SubBucketBits)
+        (0 until k)
           .map(d => r.getSeq[Float](r.fieldIndex("embedding"))(d) >= 0f))
       .toMap
     got.foreach { r =>

@@ -92,6 +92,18 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("SortMergeJoin"), "corpus shuffled for the probe join:\n" + p)
   }
 
+  test("q_mv_read: scans the materialized MV with day-partition pruning") {
+    val p = plan("q_mv_read")
+    // the bucket-range predicate lands on the day partition column at
+    // planning time — whole day directories are pruned before any I/O
+    assert(p.contains("PartitionFilters: [isnotnull(day"), s"no partition pruning:\n$p")
+    // the metric equality pushes into the parquet scan
+    assert(p.contains("EqualTo(metric,click)"), s"metric filter not pushed:\n$p")
+    // a recompute would aggregate the events table here — the read path
+    // must scan the written MV, not re-derive it
+    assert(!p.contains("HashAggregate"), s"mv_read recomputes the aggregate:\n$p")
+  }
+
   test("q_dedup_clusters: CC ran as joins — no GraphX RDD scans, no cross join") {
     val p = plan("q_dedup_clusters")
     assert(!p.contains("CartesianProduct"), p)

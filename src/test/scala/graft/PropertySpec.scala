@@ -142,6 +142,45 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("dedupEmbed sub-bucket bits: ceil-log2 formula, growth with corpus, block bound") {
+    import graft.ops.SimilarityOps.{subBucketBits, TargetBlockRows}
+    val T = TargetBlockRows
+    // exact boundary behavior of the integer ceil-log2
+    assert(subBucketBits(T * 4, 4) == 0, "avg block == target needs no split")
+    assert(subBucketBits(T * 4 + 4, 4) == 1, "one row over target splits once")
+    assert(subBucketBits(T * 2 * 4, 4) == 1)
+    assert(subBucketBits(T * 2 * 4 + 4, 4) == 2)
+    assert(subBucketBits(0, 0) == 0 && subBucketBits(5, 0) == 0, "degenerate inputs safe")
+    assert(subBucketBits(Long.MaxValue / 4, 1) == 16, "clamped at 16 bits")
+    // monotone growth: 2x the corpus never shrinks k, and k covers the
+    // growth — avgBlock / 2^k stays <= target for every scale
+    var last = 0
+    for (e <- 6 to 40) {
+      val n = 1L << e
+      val k = subBucketBits(n, 4)
+      assert(k >= last, s"k shrank at n=2^$e")
+      last = k
+      val avg = (n + 3) / 4
+      // the bound holds until the 16-bit clamp engages (beyond it, block
+      // size grows again — at that corpus scale labels themselves would be
+      // re-partitioned upstream)
+      assert((avg >> k) <= T || k == 16, s"avg block ${(avg >> k)} exceeds target at n=2^$e")
+    }
+    // on the real fixture: the composite (label, sign-bucket) key bounds
+    // observed blocks near the target (signs are not perfectly balanced,
+    // so allow 4x slack over the average-case bound)
+    val emb = Tables.embeddings(spark, SfDir)
+    val st = emb.agg(count(lit(1)), count_distinct(col("label"))).head()
+    val k = subBucketBits(st.getLong(0), st.getLong(1))
+    val bucket = (0 until k)
+      .map(i => when(element_at(col("embedding"), i + 1) >= 0f, lit(1 << i)).otherwise(lit(0)))
+      .foldLeft(lit(0))(_ + _)
+    val maxBlock = emb.groupBy(col("label"), bucket.as("bucket"))
+      .agg(count(lit(1)).as("n")).agg(max(col("n"))).head().getLong(0)
+    assert(maxBlock <= math.max(T * 4, (st.getLong(0) / math.max(1, st.getLong(1)) >> k) * 4),
+      s"fixture block of $maxBlock rows far above target $T (k=$k)")
+  }
+
   test("rolling fingerprint: composition fp(A++B) == (fp(A)*B^|B| + fp(B)) mod p") {
     val rnd = new scala.util.Random(1213)
     val P = BigInt(2147483647L)
