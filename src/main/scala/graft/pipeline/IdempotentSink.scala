@@ -25,4 +25,25 @@ object IdempotentSink {
       df.write
         .mode("overwrite")
         .parquet(s"$outDir/batch_id=$batchId")
+
+  /** Day-partitioned variant with retention scheduled in the job loop — the
+    * hypertable layout (day dirs under each batch dir, both partition
+    * columns at read time) plus the reference's `drop_chunks` policy
+    * applied after every committed batch: keep the newest `retainDays`
+    * days, delete older day directories (metadata-only, no rewrite).
+    * Retention runs AFTER the batch's own write, so a replayed batch that
+    * re-creates an expired day is re-expired on its own commit.
+    */
+  def parquetAppendByDay(
+      outDir: String, tsCol: String, retainDays: Option[Int]): (DataFrame, Long) => Unit =
+    (df: DataFrame, batchId: Long) => {
+      import org.apache.spark.sql.functions.{col, date_format}
+      df.withColumn("day", date_format(col(tsCol), "yyyy-MM-dd"))
+        .write
+        .mode("overwrite")
+        .partitionBy("day")
+        .parquet(s"$outDir/batch_id=$batchId")
+      retainDays.foreach(n =>
+        PartitionedWriter.retainLastDays(df.sparkSession, outDir, n))
+    }
 }

@@ -27,6 +27,12 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object IngestJob {
 
+  /** `retentionDays`: when set, the sink writes day-partitioned (the
+    * hypertable chunk layout) and the job loop applies the reference's
+    * retention policy (drop_chunks ≙ PartitionedWriter.retainLastDays)
+    * after every committed batch — the fact table at rest never holds more
+    * than the newest N days.
+    */
   case class Config(
       eventsPath: String,
       sfDir: String,
@@ -34,7 +40,8 @@ object IngestJob {
       checkpointDir: String,
       trigger: Trigger = Trigger.ProcessingTime("30 seconds"),
       rowsPerBatch: Int = 1000,
-      maxRows: Option[Int] = None)
+      maxRows: Option[Int] = None,
+      retentionDays: Option[Int] = None)
 
   def start(spark: SparkSession, cfg: Config): StreamingQuery = {
     val src = ReplayStreams.source(spark, cfg.eventsPath, cfg.rowsPerBatch, cfg.maxRows)
@@ -65,8 +72,12 @@ object IngestJob {
         expr("try_cast(value AS DOUBLE)").as("value_num"),
         col("user_id"), col("operator"), col("segment"))
 
+    val sink =
+      if (cfg.retentionDays.isDefined)
+        IdempotentSink.parquetAppendByDay(cfg.outDir, "ts", cfg.retentionDays)
+      else IdempotentSink.parquetAppend(cfg.outDir)
     enriched.writeStream
-      .foreachBatch(IdempotentSink.parquetAppend(cfg.outDir))
+      .foreachBatch(sink)
       .option("checkpointLocation", cfg.checkpointDir)
       .outputMode("append")
       .trigger(cfg.trigger)

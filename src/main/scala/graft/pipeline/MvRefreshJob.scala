@@ -27,13 +27,34 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object MvRefreshJob {
 
+  /** `grain` + `endOffset` select the refresh policy: the minute defaults
+    * are init.sql:51-54 (30 s refresh, 1-minute end offset); `hourly` below
+    * is init.sql:31-34 (30 min refresh, 1-hour end offset — the 3-day
+    * start_offset needs no streaming analog: append mode never revisits
+    * closed buckets, which is exactly what a bounded refresh window is for).
+    */
   case class Config(
       eventsPath: String,
       outDir: String,
       checkpointDir: String,
       trigger: Trigger = Trigger.ProcessingTime("30 seconds"),
       rowsPerBatch: Int = 1000,
-      maxRows: Option[Int] = None)
+      maxRows: Option[Int] = None,
+      grain: String = "1 minute",
+      endOffset: String = "1 minute")
+
+  object Config {
+    /** The hourly continuous-aggregate policy (init.sql:31-34). */
+    def hourly(
+        eventsPath: String,
+        outDir: String,
+        checkpointDir: String,
+        trigger: Trigger = Trigger.ProcessingTime("30 minutes"),
+        rowsPerBatch: Int = 1000,
+        maxRows: Option[Int] = None): Config =
+      Config(eventsPath, outDir, checkpointDir, trigger, rowsPerBatch, maxRows,
+        grain = "1 hour", endOffset = "1 hour")
+  }
 
   def configureStateStore(spark: SparkSession): Unit =
     spark.conf.set(
@@ -43,8 +64,8 @@ object MvRefreshJob {
   def start(spark: SparkSession, cfg: Config): StreamingQuery = {
     val src = ReplayStreams.source(spark, cfg.eventsPath, cfg.rowsPerBatch, cfg.maxRows)
 
-    // the streaming twin of q_mv_minute (RelationalOps.mvMinute)
-    val mv = StreamingOps.mvMinuteStream(src)
+    // the streaming twin of q_mv_minute / q_mv_hourly (RelationalOps)
+    val mv = StreamingOps.mvStream(src, cfg.grain, cfg.endOffset)
 
     mv
       // day partitioning at rest = the hypertable chunk layout

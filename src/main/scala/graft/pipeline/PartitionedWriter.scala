@@ -54,13 +54,48 @@ object PartitionedWriter {
     val path = new org.apache.hadoop.fs.Path(outDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(path)) Seq.empty
-    else
-      fs.listStatus(path).toSeq
-        .filter(_.isDirectory)
-        .map(_.getPath)
-        .filter(_.getName.startsWith("day="))
-        .filter(_.getName.stripPrefix("day=") < cutoff)
-        .map { p => fs.delete(p, true); p.getName.stripPrefix("day=") }
-        .sorted
+    else {
+      // day= dirs live either at the top level (PartitionedWriter layout)
+      // or one level down inside batch_id= dirs (IdempotentSink layout)
+      val parents = {
+        val children = fs.listStatus(path).toSeq.filter(_.isDirectory).map(_.getPath)
+        val batchDirs = children.filter(_.getName.startsWith("batch_id="))
+        if (batchDirs.nonEmpty) batchDirs else Seq(path)
+      }
+      parents.flatMap { parent =>
+        fs.listStatus(parent).toSeq
+          .filter(_.isDirectory)
+          .map(_.getPath)
+          .filter(_.getName.startsWith("day="))
+          .filter(_.getName.stripPrefix("day=") < cutoff)
+          .map { p => fs.delete(p, true); p.getName.stripPrefix("day=") }
+      }.distinct.sorted
+    }
+  }
+
+  /** The reference's retention policy shape ("keep the last N days"),
+    * scheduled from the ingest job loop: derive the cutoff from the newest
+    * day AT REST (a directory listing — metadata only, no data scan) and
+    * drop everything older. Returns the dropped day values.
+    */
+  def retainLastDays(spark: SparkSession, outDir: String, nDays: Int): Seq[String] = {
+    require(nDays >= 1, s"retention must keep at least one day, got $nDays")
+    val path = new org.apache.hadoop.fs.Path(outDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) Seq.empty
+    else {
+      val children = fs.listStatus(path).toSeq.filter(_.isDirectory).map(_.getPath)
+      val batchDirs = children.filter(_.getName.startsWith("batch_id="))
+      val parents = if (batchDirs.nonEmpty) batchDirs else Seq(path)
+      val days = parents.flatMap(parent =>
+        fs.listStatus(parent).toSeq.filter(_.isDirectory)
+          .map(_.getPath.getName).filter(_.startsWith("day="))
+          .map(_.stripPrefix("day=")))
+      if (days.isEmpty) Seq.empty
+      else {
+        val cutoff = java.time.LocalDate.parse(days.max).minusDays(nDays - 1L).toString
+        dropDaysBefore(spark, outDir, cutoff)
+      }
+    }
   }
 }

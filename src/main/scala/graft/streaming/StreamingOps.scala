@@ -30,15 +30,18 @@ object StreamingOps {
   case class TrendState(recent: List[Double])
   case class EdgeState(below: Boolean)
 
-  /** Minute-grain continuous aggregate, streaming form. Append mode: a bucket
-    * row is emitted exactly once, when the watermark passes its end — the
-    * incremental-refresh semantics of init.sql:51-54.
+  /** Continuous aggregate, streaming form, parameterized by grain and end
+    * offset — the two knobs that distinguish the reference's two refresh
+    * policies (init.sql:51-54 minute: 1-min end offset; init.sql:31-34
+    * hourly: 1-hour end offset). Append mode: a bucket row is emitted
+    * exactly once, when the watermark passes its end — the watermark IS the
+    * end_offset: the in-progress bucket is never materialized.
     */
-  def mvMinuteStream(events: DataFrame): DataFrame =
+  def mvStream(events: DataFrame, grain: String, endOffset: String): DataFrame =
     events
-      .withWatermark("ts", "1 minute")
+      .withWatermark("ts", endOffset)
       .filter(col("value").isNotNull)
-      .groupBy(window(col("ts"), "1 minute"), col("metric"))
+      .groupBy(window(col("ts"), grain), col("metric"))
       .agg(
         avg(col("value")).as("avg_value"),
         min(col("value")).as("min_value"),
@@ -49,6 +52,10 @@ object StreamingOps {
         col("window.start").as("bucket"), col("metric"),
         col("avg_value"), col("min_value"), col("max_value"), col("sample_count")
       )
+
+  /** The minute-grain policy (init.sql:51-54). */
+  def mvMinuteStream(events: DataFrame): DataFrame =
+    mvStream(events, "1 minute", "1 minute")
 
   val outputModeAppend: OutputMode = OutputMode.Append()
 

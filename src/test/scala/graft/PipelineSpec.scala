@@ -89,6 +89,80 @@ class PipelineSpec extends SparkSuite {
     }
   }
 
+  test("mv refresh job at hourly grain: kill/restart equals hourly batch recompute") {
+    val out = tmp("mvh_out")
+    val ckpt = tmp("mvh_ckpt")
+    val total = Tables.events(spark, SfDir).count().toInt
+    MvRefreshJob.configureStateStore(spark)
+    try {
+      // the hourly policy (init.sql:31-34): 1 h grain, 1 h end offset —
+      // killed halfway and resumed, like the minute-grain test
+      val q1 = MvRefreshJob.start(spark, MvRefreshJob.Config.hourly(
+        eventsPath, out, ckpt, trigger = Trigger.AvailableNow(),
+        rowsPerBatch = 2000, maxRows = Some(total / 2)))
+      q1.awaitTermination(120000)
+      val q2 = MvRefreshJob.start(spark, MvRefreshJob.Config.hourly(
+        eventsPath, out, ckpt, trigger = Trigger.AvailableNow(), rowsPerBatch = 2000))
+      q2.awaitTermination(120000)
+
+      val got = spark.read.parquet(out)
+        .select("bucket", "metric", "avg_value", "min_value", "max_value", "sample_count")
+      assert(got.groupBy("bucket", "metric").count().filter(col("count") > 1).count() == 0)
+
+      val ev = Tables.events(spark, SfDir).filter(col("value").isNotNull)
+      val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+      val expected = ev
+        .groupBy(window(col("ts"), "1 hour"), col("event_type").as("metric"))
+        .agg(
+          avg(col("value")).as("avg_value"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"),
+          count(col("value")).as("sample_count"))
+        // buckets closed by the final 1-hour watermark
+        .filter(unix_micros(col("window.end")) <= unix_micros(lit(maxTs)) - 3600L * 1000000L)
+        .select(col("window.start").as("bucket"), col("metric"),
+          col("avg_value"), col("min_value"), col("max_value"), col("sample_count"))
+      assert(got.exceptAll(expected).count() == 0, "no spurious hourly buckets")
+      assert(expected.exceptAll(got).count() == 0, "no missing closed hourly buckets")
+    } finally {
+      spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+    }
+  }
+
+  test("ingest job with retention: at-rest fact table keeps exactly the last N days") {
+    import graft.pipeline.IngestJob
+    val out = tmp("ingest_ret_out"); val ckpt = tmp("ingest_ret_ckpt")
+    val retain = 5
+    val q = IngestJob.start(spark, IngestJob.Config(
+      eventsPath, SfDir, out, ckpt, trigger = Trigger.AvailableNow(),
+      rowsPerBatch = 4000, retentionDays = Some(retain)))
+    q.awaitTermination(120000)
+
+    val allDays = Tables.events(spark, SfDir)
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .distinct().collect().map(_.getString(0)).sorted
+    assert(allDays.length > retain, "fixture spans more days than the retention window")
+    val expectedDays = allDays.takeRight(retain).toSet
+
+    val got = spark.read.parquet(out)
+    val gotDays = got.select(col("day").cast("string")).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(gotDays == expectedDays,
+      s"retention kept $gotDays, expected the newest $retain days $expectedDays")
+
+    // retained rows are complete and untouched: equal to the batch
+    // recompute restricted to the retained window
+    val expected = Tables.events(spark, SfDir)
+      .filter(date_format(col("ts"), "yyyy-MM-dd").isin(expectedDays.toSeq: _*))
+      .count()
+    assert(got.count() == expected, "retained days complete after drops")
+
+    // a day-pruned read of a dropped day touches nothing
+    assert(got.filter(col("day").cast("string") === allDays.head).count() == 0)
+  }
+
   test("alarm job: restart from checkpoint restores ring-buffer state exactly") {
     import graft.pipeline.AlarmJob
     val total = Tables.events(spark, SfDir).count().toInt
