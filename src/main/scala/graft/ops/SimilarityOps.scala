@@ -32,8 +32,10 @@ object SimilarityOps {
   }
 
   /** Exact top-10 cosine neighbors of vec_id 0. */
-  def simTopK(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(s, dir)
+  def simTopK(s: SparkSession, dir: String): DataFrame =
+    simTopKOn(Tables.embeddings(s, dir), 10)
+
+  def simTopKOn(emb: DataFrame, k: Int): DataFrame = {
     val query = emb.filter(col("vec_id") === 0).select(col("embedding").as("q"))
     emb
       .filter(col("vec_id") =!= 0)
@@ -41,7 +43,7 @@ object SimilarityOps {
       .withColumn("cos_sim", round(cosineSim(col("embedding"), col("q")), 4))
       .select(col("vec_id"), col("label"), col("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
-      .limit(10)
+      .limit(k)
   }
 
   private val LshPlanes = 8
@@ -71,8 +73,10 @@ object SimilarityOps {
     * broadcast handful of bucket ids and the bucket equi-join replaces the
     * full scan — candidate volume scales as N × probes / 2^planes.
     */
-  def simTopKLsh(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
-    val emb = Tables.embeddings(s, dir)
+  def simTopKLsh(s: SparkSession, dir: String, k: Int = 10): DataFrame =
+    simTopKLshOn(Tables.embeddings(s, dir), k)
+
+  def simTopKLshOn(emb: DataFrame, k: Int): DataFrame = {
     val bucketed = emb.withColumn("bucket", signBucket(col("embedding")))
     val probes = bucketed.filter(col("vec_id") === 0)
       .select(col("bucket"), col("embedding").as("q"))

@@ -142,6 +142,38 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("LSH top-k: multi-probe recall >= 0.9 vs exact on randomized embeddings") {
+    import graft.ops.SimilarityOps
+    // Randomized corpus (fixed seed) in the regime ANN serves: true near
+    // neighbors of the query (small per-dim noise) buried in a large
+    // random background. The hamming-1 probe ring tolerates one flipped
+    // sign plane; noise at sd 0.15 against query dims >= 0.5 in magnitude
+    // makes 2+ flips vanishingly rare, so recall should be ~1.0 — 0.9 is
+    // the contract.
+    val rnd = new scala.util.Random(42)
+    val d = 64
+    val k = 10
+    // query: leading (bucketed) dims bounded away from the hyperplanes
+    val q = Array.tabulate(d) { i =>
+      val g = rnd.nextGaussian()
+      if (i < 8) ((if (g >= 0) 0.5 else -0.5) + g).toFloat else g.toFloat
+    }
+    val neighbors = (1 to 20).map { id =>
+      (id.toLong, 1, q.map(x => (x + 0.15 * rnd.nextGaussian()).toFloat))
+    }
+    val background = (21 to 2000).map { id =>
+      (id.toLong, 2, Array.fill(d)(rnd.nextGaussian().toFloat))
+    }
+    val rows = Seq((0L, 0, q)) ++ neighbors ++ background
+    import spark.implicits._
+    val emb = rows.toDF("vec_id", "label", "embedding")
+    val exact = SimilarityOps.simTopKOn(emb, k).collect().map(_.getLong(0)).toSet
+    val lsh = SimilarityOps.simTopKLshOn(emb, k).collect().map(_.getLong(0)).toSet
+    assert(exact.size == k)
+    val recall = exact.intersect(lsh).size.toDouble / k
+    assert(recall >= 0.9, s"LSH recall $recall below 0.9: exact=$exact lsh=$lsh")
+  }
+
   test("dedupEmbed sub-bucket bits: ceil-log2 formula, growth with corpus, block bound") {
     import graft.ops.SimilarityOps.{subBucketBits, TargetBlockRows}
     val T = TargetBlockRows
