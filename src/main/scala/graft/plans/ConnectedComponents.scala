@@ -60,11 +60,27 @@ object ConnectedComponents {
       (r.getLong(0), r.getLong(1))
     }
 
+    // Size the rounds' shuffle partitions from the edge count the
+    // convergence fingerprint already measures — the driver-side analog of
+    // AQE coalescing, but with an EXACT statistic and no per-stage
+    // materialization: ~100k edges per partition, clamped to the session's
+    // configured width. A near-dup edge set is orders of magnitude smaller
+    // than the corpus (and shrinks every round), so fixed-width rounds
+    // would pay full task-scheduling fan-out on near-empty shuffles.
+    // Restored in the finally; the session conf is read at plan time of
+    // each round's single action inside this loop.
+    val spark = edges.sparkSession
+    val confKey = "spark.sql.shuffle.partitions"
+    val configured = spark.conf.get(confKey).toInt
+    def partitionsFor(edgeCount: Long): Int =
+      math.max(1, math.min(configured, (edgeCount / 100000L).toInt + 1))
+
     var cur = in.localCheckpoint(eager = false)
     var prev = fingerprint(cur)
     var round = 0
     var converged = prev._1 == 0L
-    while (!converged && round < MaxRounds) {
+    try while (!converged && round < MaxRounds) {
+      spark.conf.set(confKey, partitionsFor(prev._1).toString)
       // large-star: around each node s, link every larger neighbor d to
       // m = min(neighborhood(s) ∪ {s}) — long chains collapse toward minima.
       val sym = cur.select(col("u").as("s"), col("v").as("d"))
@@ -95,7 +111,7 @@ object ConnectedComponents {
       prev = fp
       cur = ss
       round += 1
-    }
+    } finally spark.conf.set(confKey, configured.toString)
 
     // A partially-contracted edge set would silently yield split clusters
     // if read as a star forest — refuse instead. MaxRounds is far above
