@@ -10,13 +10,27 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `PushedFilters` / `ReadSchema`).
   */
 object Tables {
+
+  // Memoized base relations per (session, dir, name): the fixtures are
+  // immutable, and re-running spark.read.parquet per query re-reads the
+  // footer schema and rebuilds the relation every time — the catalog-table
+  // resolution a deployment gets for free. WeakHashMap on the session so a
+  // stopped session's entries are collectable.
+  private val relCache =
+    new java.util.WeakHashMap[SparkSession, scala.collection.concurrent.TrieMap[String, DataFrame]]()
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     // The driver's fixtures carry TIMESTAMP(NANOS) columns, which Spark 4
     // rejects outright; read them as long nanos and convert below. Set once
     // per session — mutating conf on every call invalidates cached plans.
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     if (!spark.conf.getOption(key).contains("true")) spark.conf.set(key, "true")
-    spark.read.parquet(s"$dir/$name.parquet")
+    val perSession = relCache.synchronized {
+      var m = relCache.get(spark)
+      if (m == null) { m = scala.collection.concurrent.TrieMap.empty; relCache.put(spark, m) }
+      m
+    }
+    perSession.getOrElseUpdate(s"$dir/$name", spark.read.parquet(s"$dir/$name.parquet"))
   }
 
   /** The time-series fact table. Stand-in for the reference's `opcua_data`
