@@ -14,8 +14,9 @@ object Tables {
   // Memoized base relations per (session, dir, name): the fixtures are
   // immutable, and re-running spark.read.parquet per query re-reads the
   // footer schema and rebuilds the relation every time — the catalog-table
-  // resolution a deployment gets for free. WeakHashMap on the session so a
-  // stopped session's entries are collectable.
+  // resolution a deployment gets for free. (The cached DataFrames reference
+  // their session, so entries live for the session object's lifetime —
+  // bounded by the handful of sessions a JVM creates, a few relations each.)
   private val relCache =
     new java.util.WeakHashMap[SparkSession, scala.collection.concurrent.TrieMap[String, DataFrame]]()
 

@@ -34,7 +34,11 @@ object MaterializedViews {
         // (init.sql:11): a bucket-range dashboard predicate prunes whole
         // day directories before any row-group I/O
         .withColumn("day", date_format(col("bucket"), "yyyy-MM-dd"))
-        .repartition(col("day"))
+        // (day, metric) task keying like PartitionedWriter: day alone would
+        // be one task per day — a single writer for a whole day's MV rows
+        // at scale; metric in the key restores write parallelism and the
+        // sort clusters row groups for the metric-equality read predicate
+        .repartition(col("day"), col("metric"))
         .sortWithinPartitions(col("metric"), col("bucket"))
         .write.mode("overwrite").partitionBy("day").parquet(out)
     }

@@ -104,6 +104,17 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("HashAggregate"), s"mv_read recomputes the aggregate:\n$p")
   }
 
+  test("q_dedup_embed: one blocking-key shuffle, never an all-pairs join") {
+    val p = plan("q_dedup_embed")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"embed dedup plans an all-pairs join:\n$p")
+    // the corpus moves once: a single hash exchange on the composite
+    // (label, sign-bucket) grouping key feeding the block-local scorer
+    // (the only other exchange is the final orderBy's rangepartitioning)
+    assert("hashpartitioning".r.findAllIn(p).size == 1,
+      s"embed dedup shuffles the corpus more than once:\n$p")
+  }
+
   test("q_dedup_clusters: CC ran as joins — no GraphX RDD scans, no cross join") {
     val p = plan("q_dedup_clusters")
     assert(!p.contains("CartesianProduct"), p)
