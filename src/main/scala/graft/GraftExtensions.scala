@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimilarity, NGramHashes}
+import graft.functions.{CosineSimilarity, MinHashSig, NGramHashes, WordShingleHashes}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 
 /** SparkSessionExtensions injector for the engine's native functions.
@@ -19,6 +19,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((CosineSimilarity.identifier, CosineSimilarity.info, CosineSimilarity.builder))
     ext.injectFunction((NGramHashes.identifier, NGramHashes.info, NGramHashes.builder))
+    ext.injectFunction((WordShingleHashes.identifier, WordShingleHashes.info, WordShingleHashes.builder))
+    ext.injectFunction((MinHashSig.identifier, MinHashSig.info, MinHashSig.builder))
   }
 }
 
@@ -26,5 +28,7 @@ object GraftExtensions {
   def register(spark: SparkSession): Unit = {
     CosineSimilarity.register(spark.sessionState.functionRegistry)
     NGramHashes.register(spark.sessionState.functionRegistry)
+    WordShingleHashes.register(spark.sessionState.functionRegistry)
+    MinHashSig.register(spark.sessionState.functionRegistry)
   }
 }

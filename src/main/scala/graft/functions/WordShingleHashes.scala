@@ -1,0 +1,117 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.{FunctionRegistry, TypeCheckResult}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression: the distinct word-n-gram shingle hashes of a
+  * string, reduced mod a prime — the per-document shingle set of the MinHash
+  * dedup operator computed IN-ROW.
+  *
+  * This replaces a 4-operator pipeline (`split` → `transform/sequence/slice`
+  * HOFs → `explode` → `groupBy(collect_set)`): the explode multiplied the
+  * row count by the shingle count and the groupBy shuffled that whole stream
+  * back together just to undo the explode. At 100 TB that shuffle carries
+  * ~200× the corpus row count; in-row computation carries zero — the only
+  * shuffles left in the operator are the banded candidate join and the
+  * verification lookups.
+  *
+  * Semantics are bit-identical to the pipeline it replaces because it calls
+  * the SAME engine primitives on the raw `UTF8String`:
+  * `trim()` → `split("\s+", -1)` (Spark's StringSplit semantics) →
+  * `concatWs(" ", tok_i..tok_{i+n-1})` → `XxHash64Function.hash(_, 42)` →
+  * `floorMod(_, prime)` (Spark's pmod), de-duped in first-seen order.
+  * Fewer than n tokens yields an empty array; null yields null.
+  */
+case class WordShingleHashes(child: Expression, n: Int, prime: Long)
+    extends UnaryExpression {
+
+  require(n > 0, s"word_shingle_hashes n must be positive, got $n")
+  require(prime > 1, s"word_shingle_hashes prime must be > 1, got $prime")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t =>
+        TypeCheckResult.TypeCheckFailure(
+          s"word_shingle_hashes requires a string argument, got ${t.sql}")
+    }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "word_shingle_hashes"
+
+  override def nullSafeEval(s: Any): Any =
+    WordShingleHashes.compute(s.asInstanceOf[UTF8String], n, prime)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WordShingleHashes.compute($c, $n, ${prime}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingleHashes =
+    copy(child = newChild)
+}
+
+object WordShingleHashes {
+
+  private val WhitespaceRegex = UTF8String.fromString("\\s+")
+  private val Space = UTF8String.fromString(" ")
+
+  /** Static entry point shared by interpreted eval and generated code. */
+  def compute(s: UTF8String, n: Int, prime: Long): ArrayData = {
+    // the exact primitives of split(trim(text), "\s+") with Spark's
+    // default limit -1
+    val toks = s.trim().split(WhitespaceRegex, -1)
+    if (toks.length < n) UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    else {
+      val set = new java.util.LinkedHashSet[java.lang.Long]()
+      var i = 0
+      while (i <= toks.length - n) {
+        val parts = new Array[UTF8String](n)
+        var k = 0
+        while (k < n) { parts(k) = toks(i + k); k += 1 }
+        val shingle = UTF8String.concatWs(Space, parts: _*)
+        val h = XxHash64Function.hash(shingle, StringType, 42L)
+        set.add(java.lang.Math.floorMod(h, prime))
+        i += 1
+      }
+      val out = new Array[Long](set.size)
+      val it = set.iterator()
+      var o = 0
+      while (it.hasNext) { out(o) = it.next(); o += 1 }
+      UnsafeArrayData.fromPrimitiveArray(out)
+    }
+  }
+
+  val identifier: FunctionIdentifier = FunctionIdentifier("word_shingle_hashes")
+
+  val info: ExpressionInfo = new ExpressionInfo(
+    classOf[WordShingleHashes].getCanonicalName,
+    null,
+    "word_shingle_hashes",
+    "_FUNC_(s, n, p) - distinct xxhash64-mod-p hashes of the word n-gram shingles of s.",
+    "")
+
+  val builder: Seq[Expression] => Expression = { children =>
+    require(children.length == 3, "word_shingle_hashes expects exactly 3 arguments")
+    def constLong(e: Expression, what: String): Long = {
+      require(e.foldable, s"word_shingle_hashes $what must be a constant, got ${e.sql}")
+      e.eval() match {
+        case v: java.lang.Number => v.longValue()
+        case other => throw new IllegalArgumentException(
+          s"word_shingle_hashes $what must be an integer, got $other")
+      }
+    }
+    WordShingleHashes(
+      children.head,
+      constLong(children(1), "n").toInt,
+      constLong(children(2), "prime"))
+  }
+
+  def register(registry: FunctionRegistry): Unit =
+    registry.registerFunction(identifier, info, builder)
+}

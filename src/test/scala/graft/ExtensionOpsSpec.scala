@@ -43,6 +43,56 @@ class ExtensionOpsSpec extends SparkSuite {
     assert(got.exceptAll(exact).count() == 0 && exact.exceptAll(got).count() == 0)
   }
 
+  test("word_shingle_hashes/minhash_sig: in-row natives == SQL-composed pipeline") {
+    import graft.ops.DedupOps
+    import spark.implicits._
+    // fixture docs + adversarial shapes: multi-space runs, tabs/newlines
+    // (Spark trim strips only ' '), non-BMP text, exactly-3 tokens,
+    // 2 tokens (no shingles), repeated shingles (distinct), empty string
+    val edge = Seq(
+      (9001L, "a  b\tc   d"), (9002L, "x y"), (9003L, "one two three"),
+      (9004L, "\nlead ing newline tokens"), (9005L, "😀 a 😀 a 😀 a 😀"),
+      (9006L, "r r r r r r"), (9007L, ""), (9008L, "   ")
+    ).toDF("doc_id", "text")
+    val docs = Tables.documents(spark, SfDir).select("doc_id", "text").unionAll(edge)
+    // the SQL-composed reference pipeline the natives replaced
+    val sqlXs = docs
+      .withColumn("toks", split(trim(col("text")), "\\s+"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', slice(toks, i, 3)))"
+      )).as("shingle"))
+      .select(col("doc_id"), pmod(xxhash64(col("shingle")), lit(2147483647L)).as("x"))
+      .groupBy("doc_id").agg(collect_set(col("x")).as("xs"))
+      .select(col("doc_id"), sort_array(col("xs")).as("xs"))
+    val nativeXs = docs
+      .select(col("doc_id"), DedupOps.shingleHashSet(col("text")).as("xs0"))
+      .filter(size(col("xs0")) > 0)
+      .select(col("doc_id"), sort_array(col("xs0")).as("xs"))
+    assert(sqlXs.exceptAll(nativeXs).count() == 0 && nativeXs.exceptAll(sqlXs).count() == 0,
+      "native shingle sets differ from the SQL pipeline")
+    // signature: matches a direct reimplementation of h_i(x) = (a_i x + b_i) mod p
+    def mix(seed: Long): Long = {
+      var z = seed + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    val p = 2147483647L
+    val as = Array.tabulate(128)(i => (mix(2L * i + 1) & Long.MaxValue) % (p - 1) + 1)
+    val bs = Array.tabulate(128)(i => (mix(2L * i + 2) & Long.MaxValue) % p)
+    val sigRow = spark.sql(
+      "SELECT minhash_sig(word_shingle_hashes('alpha beta gamma delta', 3, 2147483647), 128, 2147483647) AS sig"
+    ).head().getSeq[Long](0)
+    val xs = nativeXs.filter(col("doc_id") === 9003L) // sanity: expression registered in SQL
+    assert(xs.count() == 1)
+    val shingleHashes = spark.sql(
+      "SELECT word_shingle_hashes('alpha beta gamma delta', 3, 2147483647) AS xs"
+    ).head().getSeq[Long](0)
+    val expected = (0 until 128).map(i => shingleHashes.map(x => (as(i) * x + bs(i)) % p).min)
+    assert(sigRow == expected, "signature differs from the reference formula")
+  }
+
   test("dedup clusters: pair-consistent, linear output, min-id representative") {
     val clusters = DedupOps.dedupClusters(spark, SfDir).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
