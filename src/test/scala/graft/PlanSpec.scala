@@ -70,6 +70,17 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("q_dedup_minhash: in-row native signature — corpus never exploded pre-banding") {
+    val p = plan("q_dedup_minhash")
+    assert(p.contains("word_shingle_hashes") && p.contains("minhash_sig"),
+      "native in-row expressions missing from plan:\n" + p)
+    assert(!p.toLowerCase.contains("scalaudf"), "signature fell back to a UDF:\n" + p)
+    // the old pipeline exploded the corpus into a ~200x shingle stream and
+    // shuffled it back through an aggregation; the in-row form must plan
+    // neither — the only aggregation left is the candidate distinct
+    assert(!p.contains("collect_set"), "shingle aggregation reappeared:\n" + p)
+  }
+
   test("q_dedup_ngram: gram extraction is the native codegen expression, not a UDF") {
     val p = plan("q_dedup_ngram")
     assert(p.contains("ngram_hashes"), "native expression missing from plan:\n" + p)

@@ -174,6 +174,54 @@ class PropertySpec extends SparkSuite {
     assert(recall >= 0.9, s"LSH recall $recall below 0.9: exact=$exact lsh=$lsh")
   }
 
+  test("minhash banding: exact precision, recall >= 0.95 vs brute-force Jaccard") {
+    import graft.ops.DedupOps
+    // Randomized corpus (fixed seed) with mutated twins whose token-mutation
+    // rates straddle the 0.6 shingle-Jaccard threshold. With 64 bands of
+    // r=2 and a pairwise-independent hash family, the false-negative odds
+    // for a qualifying pair are (1-J^2)^64 <= (1-0.36)^64 ~ 4e-13 — recall
+    // must be ~1.0. A degenerate (linearly-derived) family collapses that
+    // bound to ~(1-J) ~ 0.4 per pair, which this test catches at ~15 true
+    // pairs with odds ~1 - 0.6^15.
+    val rnd = new scala.util.Random(77)
+    val vocab = Vector.tabulate(500)(i => s"w$i")
+    val bases = (0 until 80).map { i =>
+      (i.toLong, Seq.fill(30 + rnd.nextInt(50))(vocab(rnd.nextInt(vocab.size))))
+    }
+    val twins = bases.take(60).map { case (id, toks) =>
+      val rate = 0.02 + 0.3 * rnd.nextDouble()
+      (1000L + id, toks.map(t => if (rnd.nextDouble() < rate) vocab(rnd.nextInt(vocab.size)) else t))
+    }
+    val all = (bases ++ twins).map { case (id, toks) => (id, toks.mkString(" ")) }
+    // ground truth by brute force over the SAME shingle-hash sets the
+    // operator verifies against (WordShingleHashes is A/B-tested above
+    // against the SQL-composed pipeline, so this is not circular)
+    def xs(text: String): Set[Long] = {
+      val a = graft.functions.WordShingleHashes.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString(text), 3, 2147483647L)
+      (0 until a.numElements()).map(a.getLong).toSet
+    }
+    val sets = all.map { case (id, t) => id -> xs(t) }.toMap
+    val ids = all.map(_._1)
+    val truth = (for {
+      ai <- ids.indices.iterator
+      bi <- (ai + 1 until ids.size).iterator
+      si = sets(ids(ai)); sj = sets(ids(bi))
+      if si.nonEmpty && sj.nonEmpty
+      inter = (si & sj).size
+      if inter.toDouble / (si.size + sj.size - inter) >= DedupOps.JaccardThreshold
+    } yield (math.min(ids(ai), ids(bi)), math.max(ids(ai), ids(bi)))).toSet
+    assert(truth.size >= 10, s"fixture degenerate: only ${truth.size} true pairs")
+    import spark.implicits._
+    val got = DedupOps.minhashPairsOn(all.toDF("doc_id", "text"))
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.catalog.clearCache()
+    // the exact-Jaccard verify step makes precision exact by construction
+    assert((got -- truth).isEmpty, s"false positives: ${got -- truth}")
+    val recall = truth.intersect(got).size.toDouble / truth.size
+    assert(recall >= 0.95, s"banding recall $recall; missed ${truth -- got}")
+  }
+
   test("dedupEmbed sub-bucket bits: ceil-log2 formula, growth with corpus, block bound") {
     import graft.ops.SimilarityOps.{subBucketBits, TargetBlockRows}
     val T = TargetBlockRows
