@@ -6,7 +6,8 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
       .config("spark.ui.enabled", "false")
       // shuffle/spill on tmpfs: the backing virtual disk has multi-second
       // latency bursts under host contention that stall shuffle-heavy

@@ -189,6 +189,72 @@ object StreamingOps {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(recoveryFlatMap)
   }
 
+  case class BandedDoc(band: Int, bh: Int, doc_id: Long)
+  case class BucketDocs(docIds: List[Long])
+  case class CandPair(i: Long, j: Long)
+
+  /** Per-bucket incremental candidate emission: a new doc pairs with every
+    * doc already resident in its (band, bandHash) bucket, exactly once.
+    * Within a micro-batch, docs are processed in doc_id order so output is
+    * deterministic under any batch split. State per bucket is the doc-id
+    * list — LSH buckets are small by construction (that is the point of
+    * banding), and at 100 TB the state store is RocksDB, keyed by the same
+    * (band, bh) the batch join shuffles on.
+    */
+  def minhashCandidateFlatMap(
+      key: (Int, Int),
+      rows: Iterator[BandedDoc],
+      state: GroupState[BucketDocs]
+  ): Iterator[CandPair] = {
+    var seen = state.getOption.map(_.docIds).getOrElse(Nil)
+    val out = scala.collection.mutable.ListBuffer.empty[CandPair]
+    rows.toSeq.sortBy(_.doc_id).foreach { d =>
+      if (!seen.contains(d.doc_id)) { // re-delivery safe
+        seen.foreach { s =>
+          out += CandPair(math.min(s, d.doc_id), math.max(s, d.doc_id))
+        }
+        seen = d.doc_id :: seen
+      }
+    }
+    state.update(BucketDocs(seen))
+    out.iterator
+  }
+
+  /** Streaming twin of the MinHash candidate generation: documents arriving
+    * on a stream are signed IN-ROW (the same WordShingleHashes / MinHashSig
+    * natives as the batch op — identical buckets, hence identical candidate
+    * set), banded, and checked against the bucket's resident docs in the
+    * state store. Emits each candidate pair once per shared band; the
+    * consumer dedups (i, j) and verifies exact Jaccard in a periodic batch
+    * pass — the standard incremental-dedup split: candidate generation must
+    * see every arriving doc immediately, verification is embarrassingly
+    * batch. Input: streaming (doc_id, text).
+    */
+  def minhashCandidatesStream(docs: DataFrame): Dataset[CandPair] = {
+    import docs.sparkSession.implicits._
+    import graft.ops.DedupOps
+    val banded = DedupOps.bandedDocIds(
+      docs
+        .select(col("doc_id"), DedupOps.shingleHashSet(col("text")).as("xs"))
+        .filter(size(col("xs")) > 0)
+        .withColumn("sig", DedupOps.minhashSigCol(col("xs"))))
+      .as[BandedDoc]
+    banded
+      .groupByKey(b => (b.band, b.bh))
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(minhashCandidateFlatMap)
+  }
+
+  /** Streaming exact dedup: first-arrival survivor per normalized-text
+    * digest via `dropDuplicates` on the state store — the streaming form of
+    * TextOps.dedupExact (which keeps min doc_id; a stream has arrival order
+    * instead). State is one 128-bit digest per distinct document, uniformly
+    * keyed — no skew.
+    */
+  def dedupExactStream(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), md5(graft.ops.TextOps.normText(col("text"))).as("fingerprint"))
+      .dropDuplicates("fingerprint")
+
   /** Ingest dataflow (§3.1): JSON envelope → flatten → type dispatch →
     * broadcast enrichment. `contextDf` is the (tiny) slowly-changing
     * dimension looked up at stream time (hydration_agent/main.py:73-74).

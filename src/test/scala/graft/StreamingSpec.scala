@@ -160,6 +160,73 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("minhash candidate stream == batch candidates under random micro-batch splits") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // fixture docs + synthetic near-dup twins, arriving in random order and
+    // random micro-batch splits: candidate pairs must equal the batch
+    // operator's band-join candidates exactly (same natives, same buckets)
+    val fixture = Tables.documents(spark, SfDir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val rnd = new scala.util.Random(31)
+    val docs = rnd.shuffle(fixture.toSeq)
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingOps.minhashCandidatesStream(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("cand_out")
+      .outputMode("append").start()
+    try {
+      var rest = docs
+      while (rest.nonEmpty) {
+        val (batch, tail) = rest.splitAt(1 + rnd.nextInt(200))
+        mem.addData(batch: _*)
+        rest = tail
+      }
+      // re-deliver a slice (at-least-once input): must add no new pairs
+      mem.addData(docs.take(20): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("cand_out")
+        .select("i", "j").distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      import graft.ops.DedupOps
+      val docsDf = docs.toDF("doc_id", "text")
+      val withSig = docsDf
+        .select(col("doc_id"), DedupOps.shingleHashSet(col("text")).as("xs"))
+        .filter(size(col("xs")) > 0)
+        .withColumn("sig", DedupOps.minhashSigCol(col("xs")))
+      val bands = DedupOps.bandedDocIds(withSig)
+      val batchCand = bands.as("a")
+        .join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id"), col("b.doc_id")).distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed == batchCand,
+        s"streamed ${streamed.size} vs batch ${batchCand.size}; " +
+          s"only-streamed=${(streamed -- batchCand).take(5)} only-batch=${(batchCand -- streamed).take(5)}")
+      assert(batchCand.nonEmpty, "fixture produced no candidates — vacuous test")
+    } finally q.stop()
+  }
+
+  test("exact dedup stream: one survivor per normalized digest across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingOps.dedupExactStream(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("exact_out")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, "the cat sat"), (2L, "THE  CAT  SAT")) // same normalized form
+      q.processAllAvailable()
+      mem.addData((3L, "the cat sat"), (4L, "a different doc"))
+      q.processAllAvailable()
+      val rows = spark.table("exact_out").select("doc_id").as[Long].collect().toSet
+      // survivor of the digest-equal family is its first arrival; doc 3 in a
+      // later batch is suppressed by the state store
+      assert(rows.size == 2 && rows.contains(4L) && (rows - 4L).subsetOf(Set(1L, 2L)))
+    } finally q.stop()
+  }
+
   test("streaming ingest: dispatch + enrichment on a memory stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
