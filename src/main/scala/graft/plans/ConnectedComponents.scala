@@ -18,6 +18,13 @@ import org.apache.spark.sql.functions._
   * every round. No vertex-program runtime, no RDD serialization: everything
   * stays in Tungsten rows with whole-stage codegen.
   *
+  * Hybrid finish: star contraction only shrinks the edge set, and once the
+  * remainder fits a broadcast-sized driver budget (2^20 edges ≈ 16 MB,
+  * conf-overridable) a single union-find replaces any number of further
+  * rounds — the distributed rounds do the heavy contraction at scale, the
+  * scheduling-bound tail finishes locally, exactly as Spark itself
+  * driver-collects broadcast-join sides below a byte threshold.
+  *
   * Rounds are materialized with `localCheckpoint` — iterative DataFrame
   * loops otherwise accumulate an exponentially deep plan that chokes the
   * optimizer, and checkpointing caps each round's lineage at one step.
@@ -30,6 +37,58 @@ import org.apache.spark.sql.functions._
 object ConnectedComponents {
 
   private val MaxRounds = 100
+
+  /** Edge count at or below which the remaining graph is solved with a
+    * driver-side union-find instead of more distributed rounds. 2^20 edges
+    * is ~16 MB of id pairs — the same order as Spark's own
+    * autoBroadcastJoinThreshold driver-collect, and far below what one
+    * executor core chews through in the time a single round's
+    * stage-scheduling costs. The star-contraction rounds only SHRINK the
+    * edge set (toward one edge per non-root node), so at 100 TB the
+    * distributed rounds do the heavy contraction and the tail — where each
+    * round would shuffle kilobytes across 1000 executors — finishes
+    * locally. Override with conf `graft.cc.localFinishEdges` (0 disables).
+    */
+  private val DefaultLocalFinishEdges = 1L << 20
+
+  /** Iterative union-find with path compression; attaching the larger root
+    * under the smaller makes every find() return the component minimum —
+    * the same label the distributed star forest converges to.
+    */
+  private def localFinish(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    val dt = df.schema("u").dataType
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrDefault(r, r) != r) r = parent.getOrDefault(r, r)
+      var c = x
+      while (parent.getOrDefault(c, c) != c) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    val nodes = new java.util.TreeSet[java.lang.Long]()
+    df.collect().foreach { row =>
+      val a = row.get(0).asInstanceOf[Number].longValue()
+      val b = row.get(1).asInstanceOf[Number].longValue()
+      nodes.add(a); nodes.add(b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+    }
+    val out = new java.util.ArrayList[org.apache.spark.sql.Row](nodes.size)
+    val it = nodes.iterator()
+    while (it.hasNext) {
+      val n: Long = it.next()
+      val c = find(n)
+      out.add(dt match {
+        case org.apache.spark.sql.types.IntegerType =>
+          org.apache.spark.sql.Row(n.toInt, c.toInt)
+        case _ => org.apache.spark.sql.Row(n, c)
+      })
+    }
+    spark.createDataFrame(out, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("node", dt, nullable = false),
+      org.apache.spark.sql.types.StructField("comp", dt, nullable = false))))
+  }
 
   /** Component assignment for every node that appears in `edges`.
     *
@@ -75,8 +134,16 @@ object ConnectedComponents {
     def partitionsFor(edgeCount: Long): Int =
       math.max(1, math.min(configured, (edgeCount / 100000L).toInt + 1))
 
+    val dt = in.schema("u").dataType
+    val integral = dt == org.apache.spark.sql.types.LongType ||
+      dt == org.apache.spark.sql.types.IntegerType
+    val localMax =
+      if (!integral) 0L
+      else spark.conf.get("graft.cc.localFinishEdges", DefaultLocalFinishEdges.toString).toLong
+
     var cur = in.localCheckpoint(eager = false)
     var prev = fingerprint(cur)
+    if (prev._1 > 0L && prev._1 <= localMax) return localFinish(cur)
     var round = 0
     var converged = prev._1 == 0L
     try while (!converged && round < MaxRounds) {
@@ -108,6 +175,10 @@ object ConnectedComponents {
 
       val fp = fingerprint(ss)
       converged = fp == prev
+      // rounds only shrink the edge set and every round preserves the node
+      // set and its components — once the remainder fits the local budget,
+      // one union-find beats any number of further distributed rounds
+      if (!converged && fp._1 > 0L && fp._1 <= localMax) return localFinish(ss)
       prev = fp
       cur = ss
       round += 1

@@ -27,10 +27,38 @@ class ConnectedComponentsSpec extends SparkSuite {
 
   private def check(edges: Seq[(Long, Long)]): Unit = {
     import spark.implicits._
-    val got = ConnectedComponents.components(edges.toDF("a", "b"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val want = unionFind(0, edges)
-    assert(got == want, s"CC mismatch: got $got want $want")
+    // threshold 0 forces the distributed star-contraction rounds; the
+    // default takes the driver union-find at test sizes — both must agree
+    // with the ground truth
+    for (threshold <- Seq("0", (1L << 20).toString)) {
+      spark.conf.set("graft.cc.localFinishEdges", threshold)
+      try {
+        val got = ConnectedComponents.components(edges.toDF("a", "b"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == want, s"CC mismatch (localFinishEdges=$threshold): got $got want $want")
+      } finally spark.conf.unset("graft.cc.localFinishEdges")
+    }
+  }
+
+  test("mid-loop local finish: rounds shrink the edge set below the budget") {
+    import spark.implicits._
+    val edges = (1L to 200L).sliding(2).map(s => (s.head, s.last)).toSeq
+    val want = unionFind(0, edges)
+    spark.conf.set("graft.cc.localFinishEdges", "100") // 199 initial edges: rounds first
+    try {
+      val got = ConnectedComponents.components(edges.toDF("a", "b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want)
+    } finally spark.conf.unset("graft.cc.localFinishEdges")
+  }
+
+  test("int-typed node ids keep their type through the local finish") {
+    import spark.implicits._
+    val got = ConnectedComponents.components(Seq((7, 3), (3, 9)).toDF("a", "b"))
+    assert(got.schema("node").dataType == org.apache.spark.sql.types.IntegerType)
+    assert(got.collect().map(r => r.getInt(0) -> r.getInt(1)).toMap ==
+      Map(3 -> 3, 7 -> 3, 9 -> 3))
   }
 
   test("chains, stars, cycles, isolated pairs") {

@@ -129,11 +129,13 @@ class PlanSpec extends SparkSuite {
   test("q_dedup_clusters: CC ran as joins — no GraphX RDD scans, no cross join") {
     val p = plan("q_dedup_clusters")
     assert(!p.contains("CartesianProduct"), p)
-    // the pair graph enters the final plan as a materialized checkpoint
-    // scan (LogicalRDD → "Scan ExistingRDD"), NOT a recompute of the whole
-    // minhash pipeline — whose signature/shingle aggregation (collect_set)
-    // must therefore be absent from this plan
-    assert(p.contains("ExistingRDD"), "pair graph not materialized:\n" + p)
+    // the component table enters the final plan as materialized data — a
+    // LocalTableScan when the pair graph fit the union-find local budget,
+    // a checkpoint scan (ExistingRDD) when the distributed rounds ran — NOT
+    // a recompute of the whole minhash pipeline, whose signature/shingle
+    // aggregation (collect_set) must be absent from this plan
+    assert(p.contains("LocalTableScan") || p.contains("ExistingRDD"),
+      "pair graph/component table not materialized:\n" + p)
     assert(!p.contains("collect_set"), "minhash pipeline recomputed inside clusters:\n" + p)
   }
 }
