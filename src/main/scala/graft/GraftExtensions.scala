@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimilarity, MinHashSig, NGramHashes, WordShingleHashes}
+import graft.functions.{CosineSimilarity, MinHashSig, NGramHashes, SimHashSig, WordShingleHashes}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 
 /** SparkSessionExtensions injector for the engine's native functions.
@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((NGramHashes.identifier, NGramHashes.info, NGramHashes.builder))
     ext.injectFunction((WordShingleHashes.identifier, WordShingleHashes.info, WordShingleHashes.builder))
     ext.injectFunction((MinHashSig.identifier, MinHashSig.info, MinHashSig.builder))
+    ext.injectFunction((SimHashSig.identifier, SimHashSig.info, SimHashSig.builder))
   }
 }
 
@@ -30,5 +31,6 @@ object GraftExtensions {
     NGramHashes.register(spark.sessionState.functionRegistry)
     WordShingleHashes.register(spark.sessionState.functionRegistry)
     MinHashSig.register(spark.sessionState.functionRegistry)
+    SimHashSig.register(spark.sessionState.functionRegistry)
   }
 }

@@ -93,6 +93,28 @@ class ExtensionOpsSpec extends SparkSuite {
     assert(sigRow == expected, "signature differs from the reference formula")
   }
 
+  test("simhash_sig: in-row native == SQL-composed pipeline (distinct-token md5 fold)") {
+    import graft.ops.DedupOps
+    import spark.implicits._
+    val edge = Seq(
+      (9101L, "a  b\tc   d"), (9102L, "x y"), (9103L, "one two three"),
+      (9104L, "\nlead ing newline tokens"), (9105L, "😀 a 😀 a 😀 a 😀"),
+      (9106L, "r r r r r r"), (9107L, ""), (9108L, "   "), (9109L, "solo")
+    ).toDF("doc_id", "text")
+    val docs = Tables.documents(spark, SfDir).select("doc_id", "text").unionAll(edge)
+    // the SQL-composed reference pipeline the native replaced
+    val simAgg = udaf(new TestSimHashFold(60))
+    val sqlSims = docs
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .distinct()
+      .withColumn("h", expr("CAST(conv(substring(md5(tok), 1, 15), 16, 10) AS BIGINT)"))
+      .groupBy(col("doc_id")).agg(simAgg(col("h")).as("sim"))
+    val nativeSims = docs.select(col("doc_id"), DedupOps.simhashSigCol(col("text")).as("sim"))
+    assert(sqlSims.exceptAll(nativeSims).count() == 0 &&
+      nativeSims.exceptAll(sqlSims).count() == 0,
+      "native simhash signatures differ from the SQL pipeline")
+  }
+
   test("dedup clusters: pair-consistent, linear output, min-id representative") {
     val clusters = DedupOps.dedupClusters(spark, SfDir).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
@@ -320,4 +342,33 @@ class ExtensionOpsSpec extends SparkSuite {
       .head()
     assert(r.getInt(0) == 4 && r.getInt(1) == 2)
   }
+}
+
+/** Reference fold for the simhash A/B test: the typed Aggregator pipeline
+  * the native SimHashSig expression replaced — kept here as the oracle the
+  * in-row form must reproduce bit-for-bit.
+  */
+private[graft] class TestSimHashFold(bits: Int)
+    extends org.apache.spark.sql.expressions.Aggregator[Long, Array[Int], Long] {
+  import org.apache.spark.sql.Encoder
+  import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+  override def zero: Array[Int] = new Array[Int](bits)
+  override def reduce(buf: Array[Int], h: Long): Array[Int] = {
+    var b = 0
+    while (b < bits) { buf(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1); b += 1 }
+    buf
+  }
+  override def merge(b1: Array[Int], b2: Array[Int]): Array[Int] = {
+    var b = 0
+    while (b < bits) { b1(b) += b2(b); b += 1 }
+    b1
+  }
+  override def finish(buf: Array[Int]): Long = {
+    var sim = 0L
+    var b = 0
+    while (b < bits) { if (buf(b) > 0) sim |= (1L << b); b += 1 }
+    sim
+  }
+  override def bufferEncoder: Encoder[Array[Int]] = ExpressionEncoder[Array[Int]]()
+  override def outputEncoder: Encoder[Long] = ExpressionEncoder[Long]()
 }
