@@ -43,6 +43,29 @@ object Tables {
     * file, so oracle timestamps agree. A double-division here would lose
     * precision (2^53 < nano-epoch range) — keep it integral.
     */
+  /** Fan a compute-heavy per-row stage out across every core when the scan
+    * behind it cannot. Parquet split parallelism is row-group-granular: a
+    * table whose planning-time size is below (cores × row-group bytes) may
+    * scan as a handful of populated tasks — the driver fixtures are single
+    * row groups, i.e. ONE task — and any expensive projection behind it
+    * (minhash signatures, per-token md5, JSON round-trips) then runs
+    * serially no matter how many cores the session has. The round-robin
+    * rebalance this inserts costs one shuffle hop bounded by the same
+    * statistic that gates it (< cores × 128 MB — less than one shuffle
+    * wave), while the hashing it spreads costs orders of magnitude more
+    * CPU per byte. A production-scale table exceeds the bound and keeps
+    * its scan partitioning untouched — the same planning-time
+    * size-statistic decision Spark's own autoBroadcastJoinThreshold makes
+    * at join sites. (AQE's REBALANCE hint expresses the same intent but
+    * only acts under AQE; this works in any session.)
+    */
+  def fanOut(df: DataFrame): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    val rowGroupBytes = 128L << 20
+    val size = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (size < BigInt(cores) * rowGroupBytes) df.repartition(cores) else df
+  }
+
   def events(spark: SparkSession, dir: String): DataFrame = {
     val df = load(spark, dir, "events")
     if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)

@@ -94,7 +94,10 @@ object DataflowOps {
     * oracle checks the round-trip is lossless against the raw table.
     */
   def srcMqtt(s: SparkSession, dir: String): DataFrame =
-    payloadJson(ev(s, dir))
+    // fanOut: the envelope encode+decode (two Jackson passes per row) is
+    // the expensive stage, and a single-row-group fixture scans as one
+    // task (Tables.fanOut — no-op on a production-sized table)
+    payloadJson(Tables.fanOut(ev(s, dir)))
       .select(from_json(col("payload"), envelopeSchema).as("m"))
       .select(
         col("m.event_id").as("event_id"),
@@ -120,7 +123,7 @@ object DataflowOps {
     * records with the JSON value deserialized.
     */
   def srcKafka(s: SparkSession, dir: String): DataFrame =
-    payloadJson(ev(s, dir))
+    payloadJson(Tables.fanOut(ev(s, dir)))
       .select(
         lit("machine_events").as("topic"),
         (col("event_id") % 4).cast("int").as("partition"),

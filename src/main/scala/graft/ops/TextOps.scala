@@ -24,7 +24,9 @@ object TextOps {
     * whitespace; stopword list is a fixed tiny function-word set.
     */
   def textStats(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    // Tables.fanOut on every per-row text op: regex/hash projections behind
+    // a single-row-group scan would otherwise run on one core (no-op at scale)
+    Tables.fanOut(Tables.documents(s, dir))
       .withColumn("toks", split(trim(col("text")), "\\s+"))
       .select(
         col("doc_id"),
@@ -49,7 +51,7 @@ object TextOps {
     * so no skew.
     */
   def dedupExact(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    Tables.fanOut(Tables.documents(s, dir))
       .withColumn("fp", md5(normText(col("text"))))
       .groupBy(col("fp"))
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
@@ -70,7 +72,7 @@ object TextOps {
       (length(col("text")) - length(expr(s"replace(text, '$bg', '')"))) / bg.length
     def score(bgs: Seq[String]) =
       bgs.map(occurrences).reduce(_ + _).cast("double") / length(col("text"))
-    val scored = Tables.documents(s, dir)
+    val scored = Tables.fanOut(Tables.documents(s, dir))
       .withColumn("s_en", score(Profiles("en")))
       .withColumn("s_de", score(Profiles("de")))
       .withColumn("s_fr", score(Profiles("fr")))
@@ -111,7 +113,7 @@ object TextOps {
     * acc*B + h < 2^52: no long overflow, portable to the oracle.
     */
   def fingerprint(s: SparkSession, dir: String): DataFrame =
-    fingerprintOn(Tables.documents(s, dir))
+    fingerprintOn(Tables.fanOut(Tables.documents(s, dir)))
 
   def fingerprintOn(docs: DataFrame): DataFrame =
     docs
@@ -134,7 +136,7 @@ object TextOps {
     * engines, so the oracle hash-matches. Pure projection, no shuffle.
     */
   def qualityScore(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir)
+    val d = Tables.fanOut(Tables.documents(s, dir))
       .withColumn("toks", split(trim(col("text")), "\\s+"))
       .withColumn("n_chars", length(col("text")).cast("double"))
       .withColumn("n_tokens", size(col("toks")).cast("long"))
@@ -162,7 +164,7 @@ object TextOps {
     * budget estimation before real tokenization.
     */
   def tokenCount(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    Tables.fanOut(Tables.documents(s, dir))
       .select(
         col("doc_id"),
         col("lang"),

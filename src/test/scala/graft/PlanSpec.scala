@@ -126,6 +126,25 @@ class PlanSpec extends SparkSuite {
       s"embed dedup shuffles the corpus more than once:\n$p")
   }
 
+  test("Tables.fanOut: rebalances a row-group-bound scan, no-op above the size bound") {
+    // small input (fixture scan: planning-time bytes << cores × 128 MB):
+    // a rebalance exchange must appear so the per-row stage behind it can
+    // use every core even though the file is a single row group
+    val small = Tables.fanOut(Tables.documents(spark, SfDir))
+    assert(small.queryExecution.explainString(FormattedMode)
+      .contains("RoundRobinPartitioning"),
+      "fanOut left a row-group-bound scan serial")
+    // large input (planning-time stats above cores × 128 MB): partitioning
+    // must pass through untouched — at production scale the scan already
+    // fans out and the rebalance would be a full extra shuffle of the table
+    val big = spark.range((4L << 30) / 8 * spark.sparkContext.defaultParallelism).toDF("doc_id")
+    assert(big.queryExecution.optimizedPlan.stats.sizeInBytes >
+      BigInt(spark.sparkContext.defaultParallelism) * (128L << 20))
+    assert(!Tables.fanOut(big).queryExecution.explainString(FormattedMode)
+      .contains("RoundRobinPartitioning"),
+      "fanOut shuffled a production-sized input")
+  }
+
   test("q_dedup_clusters: CC ran as joins — no GraphX RDD scans, no cross join") {
     val p = plan("q_dedup_clusters")
     assert(!p.contains("CartesianProduct"), p)
