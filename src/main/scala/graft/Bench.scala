@@ -6,8 +6,16 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      // 8 shuffle partitions, not one per core: a fixture-scale shuffle
+      // carries a few MB, so the per-task scheduling floor dominates a
+      // 32-way exchange (measured: dedup family 5.6 s -> 3.8 s at width 8
+      // with identical plans). Pre-shuffle compute still fans out across
+      // all cores (scan splits / Tables.fanOut); this is only the
+      // post-exchange width. Production sessions (GraftSession) get the
+      // same effect dynamically from AQE partition coalescing — this
+      // constant is the static stand-in for the AQE-off bench session.
       .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", math.min(cpus.toInt, 8).toString))
       .config("spark.ui.enabled", "false")
       // shuffle/spill on tmpfs: the backing virtual disk has multi-second
       // latency bursts under host contention that stall shuffle-heavy
