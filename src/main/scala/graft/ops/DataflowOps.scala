@@ -79,7 +79,7 @@ object DataflowOps {
     * props payload.
     */
   def xformEnvelope(s: SparkSession, dir: String): DataFrame =
-    ev(s, dir)
+    Tables.fanOut(ev(s, dir)) // per-row JSON attribute extraction below
       .select(
         col("event_id"),
         col("event_type").as("node_id"),
@@ -192,7 +192,7 @@ object DataflowOps {
     * (Python str() capitalization — :86), never 1.0/0.0.
     */
   def typeDispatch(s: SparkSession, dir: String): DataFrame =
-    typeDispatchOn(ev(s, dir))
+    typeDispatchOn(Tables.fanOut(ev(s, dir)))
 
   /** The value type-dispatch rule (kafka_db_agent/main.py:83-89) on a raw
     * string column, by name — the SINGLE source for all three call sites
@@ -226,7 +226,7 @@ object DataflowOps {
   def snkJdbc(s: SparkSession, dir: String): DataFrame = {
     val operators = Tables.customer(s, dir)
       .select(col("c_custkey"), col("c_name").as("operator"))
-    ev(s, dir)
+    Tables.fanOut(ev(s, dir))
       .withColumn("raw", rawValue)
       .join(broadcast(operators), col("user_id") === col("c_custkey"), "left")
       .select(
