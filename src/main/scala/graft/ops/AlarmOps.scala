@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.Tables
+import graft.Tables.ResultOrdering
 import graft.model.Model
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -43,7 +44,7 @@ object AlarmOps {
         col("event_type").as("metric"),
         round(col("pct"), 4).as("deviation_pct")
       )
-      .orderBy(col("event_id"))
+      .resultOrder(col("event_id"))
 
   /** Trend alarm — 3 consecutive deviations beyond 2%
     * (opcua_server/main.py:14-40, ring buffer of 3 at :31-34, all-3 rule at
@@ -71,7 +72,7 @@ object AlarmOps {
         col("event_type").as("metric"),
         round(col("min_abs_pct"), 4).as("min_abs_pct")
       )
-      .orderBy(col("event_id"))
+      .resultOrder(col("event_id"))
   }
 
   def edgeAlarmOn(events: DataFrame, threshold: Double): DataFrame = {
@@ -86,7 +87,7 @@ object AlarmOps {
       .withColumn("prev", lag(col("value"), 1).over(w))
       .filter(col("value") < threshold && (col("prev").isNull || col("prev") >= threshold))
       .select(col("event_id"), col("user_id"), col("value"), col("prev"))
-      .orderBy(col("event_id"))
+      .resultOrder(col("event_id"))
   }
 
   /** Edge-triggered low-level alarm (opcua_server/main.py:319-332): fire once
@@ -119,7 +120,7 @@ object AlarmOps {
       )
       .filter(col("alarm_type").isNotNull)
       .select(col("event_id"), col("alarm_type"), col("event_type").as("metric"), col("value"))
-      .orderBy(col("event_id"))
+      .resultOrder(col("event_id"))
 
   /** Auto-recovery rule (opcua_server/main.py:411-431): an entity in Error
     * state (latest 'error' value > 100) recovers iff all three feed metrics'
@@ -147,7 +148,7 @@ object AlarmOps {
           col("last_click") > 5 && col("last_view") > 5 && col("last_purchase") > 5
       )
       .select(col("user_id"), col("last_error"), col("last_click"), col("last_view"), col("last_purchase"))
-      .orderBy(col("user_id"))
+      .resultOrder(col("user_id"))
 
   /** Derived order-progress metric (opcua_server/main.py:335-364):
     * progress = min(100, completed/total*100) per entity over time.
@@ -165,7 +166,7 @@ object AlarmOps {
         col("completed"),
         round(least(lit(100.0), col("completed") / 30 * 100), 4).as("progress_pct")
       )
-      .orderBy(col("event_id"))
+      .resultOrder(col("event_id"))
   }
 
   /** Bounded alarm log — keep the most recent 20 per metric
@@ -177,7 +178,7 @@ object AlarmOps {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 20)
       .select(col("event_id"), col("event_type").as("metric"), col("ts").as("time"), col("value"))
-      .orderBy(col("metric"), col("event_id"))
+      .resultOrder(col("metric"), col("event_id"))
   }
 
   val oracles: Map[String, String] = {

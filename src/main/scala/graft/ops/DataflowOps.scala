@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.Tables
+import graft.Tables.ResultOrdering
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -56,7 +57,7 @@ object DataflowOps {
         col("value"),
         col("ts").as("source_ts")
       )
-      .orderBy(col("event_id"))
+      .resultOrder(col("event_id"))
 
   /** Dynamic node discovery (opcua_mqtt_agent/main.py:115-125): the distinct
     * variable registry with the value type INFERRED from the samples — a
@@ -72,7 +73,7 @@ object DataflowOps {
         min(col("ts")).as("first_seen"),
         when(count(col("value")) > 0, "Double").otherwise("String").as("datatype"))
       .select(col("node_id"), col("n_samples"), col("first_seen"), col("datatype"))
-      .orderBy(col("node_id"))
+      .resultOrder(col("node_id"))
 
   /** Record construction / projection with timestamp fallback
     * (opcua_mqtt_agent/main.py:35-52) + JSON attribute extraction from the
@@ -87,7 +88,7 @@ object DataflowOps {
         coalesce(col("ts"), lit("2024-02-01 00:00:00").cast("timestamp")).as("timestamp"),
         expr("try_cast(get_json_object(props, '$.k') AS INT)").as("k")
       )
-      .orderBy(col("event_id"))
+      .resultOrder(col("event_id"))
 
   /** MQTT source surrogate (hydration_agent/main.py:64-71): serialize each
     * record to the JSON envelope, then parse it back with from_json — the
@@ -105,7 +106,7 @@ object DataflowOps {
         col("m.value").as("value"),
         timestamp_micros(col("m.ts_us")).as("ts")
       )
-      .orderBy(col("event_id"))
+      .resultOrder(col("event_id"))
 
   /** MQTT sink surrogate (opcua_mqtt_agent/main.py:54-59): QoS-0 publish
     * stats per topic/node.
@@ -117,7 +118,7 @@ object DataflowOps {
       .withColumn("topic", lit("machine/data"))
       .withColumn("qos", lit(0))
       .select(col("node_id"), col("topic"), col("qos"), col("n_msgs"), col("checksum"))
-      .orderBy(col("node_id"))
+      .resultOrder(col("node_id"))
 
   /** Kafka source surrogate (kafka_db_agent/main.py:50-57): topic-partitioned
     * records with the JSON value deserialized.
@@ -136,7 +137,7 @@ object DataflowOps {
         col("m.value").as("value"),
         timestamp_micros(col("m.ts_us")).as("ts")
       )
-      .orderBy(col("msg_offset"))
+      .resultOrder(col("msg_offset"))
 
   /** Kafka sink surrogate (hydration_agent/main.py:54-57,86): per-partition
     * producer batch stats for topic `machine_events`.
@@ -147,7 +148,7 @@ object DataflowOps {
       .agg(count(lit(1)).as("n_records"), graft.model.Model.exactSum(col("value"), 2).as("checksum"))
       .withColumn("topic", lit("machine_events"))
       .select(col("topic"), col("partition"), col("n_records"), col("checksum"))
-      .orderBy(col("partition"))
+      .resultOrder(col("partition"))
 
   /** Stream-static enrichment join ("hydration", hydration_agent/main.py:68-86):
     * attach operator context to every event. The dim side is explicitly
@@ -170,7 +171,7 @@ object DataflowOps {
         col("segment"),
         lit("2025-10-01").as("last_maintenance")
       )
-      .orderBy(col("event_id"))
+      .resultOrder(col("event_id"))
   }
 
   /** Raw dynamic value per event, pre-dispatch — numbers arrive as decimal
@@ -217,7 +218,7 @@ object DataflowOps {
         dispatchNum("raw").as("value_num"),
         dispatchStr("raw").as("value_str")
       )
-      .orderBy(col("event_id"))
+      .resultOrder(col("event_id"))
 
   /** DB sink surrogate (kafka_db_agent/main.py:92-103): the exact 5-column
     * opcua_data projection a foreachBatch append would write — dispatch +
@@ -237,7 +238,7 @@ object DataflowOps {
         dispatchStr("raw").as("value_str"),
         col("operator")
       )
-      .orderBy(col("event_id"))
+      .resultOrder(col("event_id"))
   }
 
   private val dispatchNumSql =

@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.Tables
+import graft.Tables.ResultOrdering
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -96,7 +97,7 @@ object MultimodalOps {
     val flat = (0 until HistBins).map(i => round(col("features").getItem(i), 4).as(s"f$i"))
     multimodalFeaturesTyped(s, dir)
       .select(Seq(col("doc_id"), col("format"), col("n_chars")) ++ flat: _*)
-      .orderBy(col("doc_id"))
+      .resultOrder(col("doc_id"))
   }
 
   case class ResizedMedia(doc_id: Long, format: String, orig_units: Long,
@@ -145,13 +146,13 @@ object MultimodalOps {
   def multimodalResize(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     mediaTable(s, dir).as[MediaRow].mapPartitions(resizeStub).toDF()
-      .orderBy(col("doc_id"))
+      .resultOrder(col("doc_id"))
   }
 
   def multimodalFrames(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     mediaTable(s, dir).as[MediaRow].mapPartitions(frameSampleStub).toDF()
-      .orderBy(col("doc_id"))
+      .resultOrder(col("doc_id"))
   }
 
   val oracles: Map[String, String] = Map(

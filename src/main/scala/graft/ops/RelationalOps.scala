@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.Tables
+import graft.Tables.ResultOrdering
 import graft.model.Model
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -29,7 +30,7 @@ object RelationalOps {
     ev(s, dir)
       .filter(col("event_type") === "click")
       .select(col("event_id"), col("ts"), col("user_id"), col("value"))
-      .orderBy(col("event_id"))
+      .resultOrder(col("event_id"))
 
   /** Top-1 by time ("last value") — 10 of the 19 panels
     * (machine_dashboard.json:177). Plans as TakeOrderedAndProject: O(1) per
@@ -63,7 +64,7 @@ object RelationalOps {
         col("r.ts").as("time"),
         coalesce(col("r.value_str"), col("r.value").cast("string")).as("value")
       )
-      .orderBy(col("metric"))
+      .resultOrder(col("metric"))
 
   /** IN-list predicate (machine_dashboard.json:283). */
   def inList(s: SparkSession, dir: String): DataFrame =
@@ -71,7 +72,7 @@ object RelationalOps {
       .filter(col("event_type").isin("click", "purchase", "signup"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), Model.exactSum(col("value"), 2).as("total"))
-      .orderBy(col("event_type"))
+      .resultOrder(col("event_type"))
 
   /** COALESCE(value_str, CAST(value_num AS TEXT)) projection
     * (machine_dashboard.json:283).
@@ -83,7 +84,7 @@ object RelationalOps {
         col("event_id"),
         coalesce(col("value_str"), col("value").cast("string")).as("value")
       )
-      .orderBy(col("event_id"))
+      .resultOrder(col("event_id"))
 
   /** Time-range predicate (Grafana $__timeFilter, machine_dashboard.json:659).
     * At scale this is the partition-pruning driver.
@@ -97,7 +98,7 @@ object RelationalOps {
         )
       )
       .select(col("event_id"), col("ts"), col("event_type"), col("value"))
-      .orderBy(col("event_id"))
+      .resultOrder(col("event_id"))
 
   /** Ordered time-series projection (machine_dashboard.json:659). */
   def rawTimeseries(s: SparkSession, dir: String): DataFrame =
@@ -110,7 +111,7 @@ object RelationalOps {
           )
       )
       .select(col("ts").as("time"), col("value"), col("event_id"))
-      .orderBy(col("time"), col("event_id"))
+      .resultOrder(col("time"), col("event_id"))
 
   /** The minute-grain MV content (no ordering) — the shape
     * MaterializedViews persists day-partitioned for the mvRead scan path.
@@ -143,7 +144,7 @@ object RelationalOps {
     * per task — the only layout that survives 100 TB.
     */
   def bucketAgg(s: SparkSession, dir: String): DataFrame =
-    bucketAggBase(s, dir, "1 hour").orderBy(col("bucket"), col("metric"))
+    bucketAggBase(s, dir, "1 hour").resultOrder(col("bucket"), col("metric"))
 
   /** IS NOT NULL pre-aggregation filter (init.sql:28,47) over a genuinely
     * nullable value_num (error rows are string-typed → null value_num).
@@ -157,14 +158,14 @@ object RelationalOps {
       .filter(col("value_num").isNotNull)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), Model.exactAvg4("value_num").as("avg_value"))
-      .orderBy(col("event_type"))
+      .resultOrder(col("event_type"))
 
   /** Minute-grain continuous aggregate, batch recompute of
     * `machine_stats_minute` (init.sql:37-48). The streaming twin (watermarked
     * windowed agg) lives in graft.streaming.
     */
   def mvMinute(s: SparkSession, dir: String): DataFrame =
-    bucketAggBase(s, dir, "1 minute").orderBy(col("bucket"), col("metric"))
+    bucketAggBase(s, dir, "1 minute").resultOrder(col("bucket"), col("metric"))
 
   /** Hourly continuous aggregate over its refresh window of the last 3 days
     * of data (init.sql:18-34: start_offset 3 days).
@@ -188,7 +189,7 @@ object RelationalOps {
         col("max_value"),
         col("sample_count")
       )
-      .orderBy(col("bucket"), col("metric"))
+      .resultOrder(col("bucket"), col("metric"))
 
   /** MV scan + metric filter + bucket range + sort (machine_dashboard.json:1120).
     *
@@ -213,7 +214,7 @@ object RelationalOps {
           )
       )
       .select(col("bucket").as("time"), col("avg_value"), col("min_value"), col("max_value"))
-      .orderBy(col("time"))
+      .resultOrder(col("time"))
 
   /** The alarm feed — hardest query in the reference
     * (machine_dashboard.json:948): CTE scalar aggregate + theta cross-join +
@@ -269,7 +270,7 @@ object RelationalOps {
       lit(null).cast("double").as("value_num"),
       col("props").as("value_str")
     )
-    numeric.unionAll(strings).orderBy(col("event_id"), col("metric"))
+    numeric.unionAll(strings).resultOrder(col("event_id"), col("metric"))
   }
 
   val oracles: Map[String, String] = Map(

@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.Tables
+import graft.Tables.ResultOrdering
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -28,7 +29,7 @@ object SessionOps {
         col("n_events"),
         col("total_value")
       )
-      .orderBy(col("user_id"), col("session_start"))
+      .resultOrder(col("user_id"), col("session_start"))
 
   /** Distinct-user cardinality per metric. The oracle-checked column is the
     * exact count; `approx_n_users` (HyperLogLog++, the operator that matters
@@ -40,7 +41,7 @@ object SessionOps {
     Tables.events(s, dir)
       .groupBy(col("event_type"))
       .agg(count_distinct(col("user_id")).as("n_users"))
-      .orderBy(col("event_type"))
+      .resultOrder(col("event_type"))
 
   val oracles: Map[String, String] = Map(
     "q_sessionize" ->

@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.Tables
+import graft.Tables.ResultOrdering
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -234,7 +235,7 @@ object SimilarityOps {
           BigDecimal(cos).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
       }
       .toDF("i", "j", "label", "cos_sim")
-      .orderBy(col("i"), col("j"))
+      .resultOrder(col("i"), col("j"))
   }
 
   // (the oracle's sub-bucket key is computed in-query from the same two

@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.Tables
+import graft.Tables.ResultOrdering
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -43,7 +44,7 @@ object TextOps {
         ).as("stop_ratio"),
         md5(normText(col("text"))).as("fingerprint")
       )
-      .orderBy(col("doc_id"))
+      .resultOrder(col("doc_id"))
 
   /** Exact dedup on normalized text (hash-groupBy): keep the smallest doc_id
     * per normalized form. One shuffle on the md5 of the normalized text —
@@ -56,7 +57,7 @@ object TextOps {
       .groupBy(col("fp"))
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
       .select(col("doc_id"), col("n_copies"), col("fp").as("fingerprint"))
-      .orderBy(col("doc_id"))
+      .resultOrder(col("doc_id"))
 
   /** Char-bigram language-ID heuristic: score each language by the
     * frequency of a tiny fixed bigram profile, pick the argmax (first-wins
@@ -88,7 +89,7 @@ object TextOps {
           .otherwise("es").as("predicted"),
         round(best, 6).as("score")
       )
-      .orderBy(col("doc_id"))
+      .resultOrder(col("doc_id"))
   }
 
   private val Profiles: Map[String, Seq[String]] = Map(
@@ -127,7 +128,7 @@ object TextOps {
             |  CAST(0 AS BIGINT),
             |  (acc, h) -> (acc * 1000003 + h) % 2147483647)""".stripMargin).as("fp")
       )
-      .orderBy(col("doc_id"))
+      .resultOrder(col("doc_id"))
 
   /** Composite document-quality score from length, punctuation density and
     * stopword rate — the cheap heuristic filter LLM pipelines run before
@@ -156,7 +157,7 @@ object TextOps {
           (lit(0.5) + least(col("stop_ratio"), lit(0.5))),
         4
       ).as("quality")
-    ).orderBy(col("doc_id"))
+    ).resultOrder(col("doc_id"))
   }
 
   /** Token counting two ways: whitespace words and a BPE-ish subword count
@@ -176,7 +177,7 @@ object TextOps {
           4
         ).as("chars_per_token")
       )
-      .orderBy(col("doc_id"))
+      .resultOrder(col("doc_id"))
 
   val oracles: Map[String, String] = Map(
     "q_fingerprint" ->
