@@ -109,7 +109,9 @@ object TextOps {
     * (the one hash both engines compute identically). Order-sensitive —
     * unlike the md5-of-whole-text fingerprint, token-level edits shift only
     * the tail of the fold, which is what makes it the standard chunking /
-    * shift-detection primitive. Pure projection: one scan, no shuffle,
+    * shift-detection primitive. Pure projection — at production scale one
+    * scan with no shuffle (fanOut/resultOrder exchanges are size-gated
+    * fixture-scale aids),
     * embarrassingly parallel at 100 TB. acc < 2^31 and B ~ 2^20 keep
     * acc*B + h < 2^52: no long overflow, portable to the oracle.
     */
@@ -134,7 +136,8 @@ object TextOps {
     * stopword rate — the cheap heuristic filter LLM pipelines run before
     * expensive classifiers. Deliberately rational arithmetic only
     * (multiply/divide/least), no transcendentals: IEEE-exact on both
-    * engines, so the oracle hash-matches. Pure projection, no shuffle.
+    * engines, so the oracle hash-matches. Pure projection — no shuffle at
+    * production scale (size-gated fanOut/resultOrder exchanges aside).
     */
   def qualityScore(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.fanOut(Tables.documents(s, dir))
