@@ -75,6 +75,9 @@ object SparkEntry {
     // multimodal plumbing: deterministic stubs (histogram features, stride
     // resize, frame sampling) over the binary payload column, flattened to
     // scalar columns and oracle-checked (payload stays library-side)
+    // §2E training-data curation (CurationOps)
+    "q_sample_stratified" -> (CurationOps.sampleStratified _),
+    "q_token_budget" -> (CurationOps.tokenBudget _),
     "q_multimodal_features" -> (MultimodalOps.multimodalFeatures _),
     "q_multimodal_resize" -> (MultimodalOps.multimodalResize _),
     "q_multimodal_frames" -> (MultimodalOps.multimodalFrames _)
@@ -85,5 +88,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     DataflowOps.oracles ++ RelationalOps.oracles ++ AlarmOps.oracles ++
       TextOps.oracles ++ DedupOps.oracles ++ SimilarityOps.oracles ++
-      SessionOps.oracles ++ MultimodalOps.oracles
+      SessionOps.oracles ++ MultimodalOps.oracles ++ CurationOps.oracles
 }

@@ -1,0 +1,140 @@
+package graft.ops
+
+import graft.Tables
+import graft.Tables.ResultOrdering
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** §2E training-data curation operators: the selection steps a pipeline
+  * runs AFTER cleaning/dedup to assemble a training mix from the
+  * `documents` corpus.
+  *
+  * Both are deterministic by construction (content-hash sampling, total
+  * tie-broken orderings) — a rebuilt mix is byte-identical across runs,
+  * engines and cluster layouts, which is what makes training data
+  * reproducible and is why both are hash-checked against the DuckDB
+  * oracle rather than rows-only.
+  */
+object CurationOps {
+
+  /** Per-language keep-rates in per-mille — the mix weights. A real
+    * pipeline derives these from the target data mixture; the values are
+    * operator config, not plan shape.
+    */
+  val SampleRatesPerMille: Map[String, Int] =
+    Map("en" -> 250, "de" -> 500, "fr" -> 750, "es" -> 1000)
+
+  /** Deterministic stratified sampling: keep a doc iff the integer value
+    * of the first 6 hex chars of md5(doc_id) modulo 1000 falls under its
+    * language's per-mille rate.
+    *
+    * Content-hash sampling beats RNG sampling for corpus work: the same
+    * doc is kept or dropped regardless of partitioning, run order, or
+    * engine (no seed state to ship), so downstream incremental rebuilds
+    * see a stable subset. md5 is the one hash both engines compute
+    * identically (same trick as the simhash oracle); 6 hex chars < 2^24
+    * so the conv-to-long is exact in both.
+    *
+    * Scale: pure scan + projection + filter — no shuffle, no skew concern
+    * (md5 buckets are uniform per language by construction). The
+    * per-language rate lookup is a literal CASE chain, not a join.
+    */
+  def sampleStratified(s: SparkSession, dir: String): DataFrame = {
+    val bucket = (conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
+      .cast("long") % 1000).as("bucket")
+    val rate = SampleRatesPerMille.foldLeft(lit(0)) { case (acc, (lang, r)) =>
+      when(col("lang") === lang, r).otherwise(acc)
+    }
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), bucket)
+      .filter(col("bucket") < rate)
+      .resultOrder(col("doc_id"))
+  }
+
+  /** Per-language token budget for `tokenBudget` — how many whitespace
+    * tokens of each language the mix may contain.
+    */
+  val TokensPerLang = 10000L
+
+  /** Quality-ranked selection under a token budget: rank each language's
+    * docs by the q_quality_score quality value (tie-broken by doc_id), and
+    * keep docs while the running token total stays within the language's
+    * budget — the greedy knapsack every mix-building pipeline runs.
+    *
+    * Determinism: quality is the already-oracle-exact rounded score, the
+    * window order is total (quality DESC, doc_id), and the running sum is
+    * a ROWS frame — so the cut point is identical in both engines.
+    *
+    * Scale: one shuffle on lang, then an ordered within-partition scan.
+    * Language cardinality is small, so each partition is a full per-lang
+    * sort — the honest cost of an exact global ranking. At 100 TB a mix
+    * builder would first threshold on an approximate quality histogram
+    * (percentile_approx) to cut the corpus to ~budget size, then run this
+    * exact ranking on the survivors; the operator's semantics (and the
+    * oracle) are the exact step.
+    */
+  def tokenBudget(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.fanOut(Tables.documents(s, dir))
+      .withColumn("toks", split(trim(col("text")), "\\s+"))
+      .withColumn("n_chars", length(col("text")).cast("double"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("punct_ratio",
+        (col("n_chars") - length(regexp_replace(col("text"), "[.,;:!?]", ""))) / col("n_chars"))
+      .withColumn("stop_ratio",
+        size(expr("filter(toks, t -> t IN ('the', 'a'))")).cast("double") / col("n_tokens"))
+      .withColumn("quality",
+        round(
+          least(col("n_tokens").cast("double") / 100.0, lit(1.0)) *
+            (lit(1.0) - col("punct_ratio")) *
+            (lit(0.5) + least(col("stop_ratio"), lit(0.5))),
+          4))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("quality").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= TokensPerLang)
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("quality"), col("cum_tokens"))
+      .resultOrder(col("lang"), col("cum_tokens"))
+  }
+
+  private val ratesCaseSql: String =
+    SampleRatesPerMille
+      .map { case (lang, r) => s"WHEN lang = '$lang' THEN $r" }
+      .mkString("CASE ", " ", " ELSE 0 END")
+
+  val oracles: Map[String, String] = Map(
+    "q_sample_stratified" ->
+      s"""SELECT doc_id, lang,
+         |  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 1000 AS bucket
+         |FROM documents
+         |WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 1000
+         |      < ($ratesCaseSql)
+         |ORDER BY doc_id""".stripMargin,
+    "q_token_budget" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, text,
+         |         string_split_regex(trim(text), '\\s+') AS toks,
+         |         CAST(length(text) AS DOUBLE) AS n_chars
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len(toks) AS BIGINT) AS n_tokens,
+         |    (n_chars - length(regexp_replace(text, '[.,;:!?]', '', 'g'))) / n_chars AS punct_ratio,
+         |    CAST(len(list_filter(toks, t -> t IN ('the', 'a'))) AS DOUBLE) / len(toks) AS stop_ratio
+         |  FROM t),
+         |q AS (
+         |  SELECT doc_id, lang, n_tokens,
+         |    round(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+         |          * (1.0 - punct_ratio) * (0.5 + least(stop_ratio, 0.5)), 4) AS quality
+         |  FROM r),
+         |c AS (
+         |  SELECT doc_id, lang, n_tokens, quality,
+         |    CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY quality DESC, doc_id
+         |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+         |  FROM q)
+         |SELECT doc_id, lang, n_tokens, quality, cum_tokens
+         |FROM c WHERE cum_tokens <= ${TokensPerLang}
+         |ORDER BY lang, cum_tokens""".stripMargin
+  )
+}
