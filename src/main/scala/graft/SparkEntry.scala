@@ -78,6 +78,7 @@ object SparkEntry {
     // §2E training-data curation (CurationOps)
     "q_sample_stratified" -> (CurationOps.sampleStratified _),
     "q_token_budget" -> (CurationOps.tokenBudget _),
+    "q_decontaminate" -> (CurationOps.decontaminate _),
     "q_multimodal_features" -> (MultimodalOps.multimodalFeatures _),
     "q_multimodal_resize" -> (MultimodalOps.multimodalResize _),
     "q_multimodal_frames" -> (MultimodalOps.multimodalFrames _)

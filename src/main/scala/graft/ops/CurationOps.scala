@@ -98,12 +98,66 @@ object CurationOps {
       .resultOrder(col("lang"), col("cum_tokens"))
   }
 
+  /** The held-out evaluation corpus: docs from this source are the
+    * "benchmark" whose content must not leak into training data. In a
+    * deployment this is the eval-suite text itself; the fixture nominates
+    * one of the twenty sources.
+    */
+  val EvalSource = "src0"
+
+  /** Benchmark decontamination: flag every training doc (source ≠
+    * EvalSource) that shares at least one character 8-gram with any eval
+    * doc, reporting how many distinct grams and eval docs it collides
+    * with. This is the standard pre-training hygiene step (n-gram-overlap
+    * decontamination of eval sets), expressed with the same native
+    * `ngram_hashes` gram extraction as q_dedup_ngram.
+    *
+    * Scale: the eval side is SMALL by construction (a benchmark is MBs
+    * against a 100 TB corpus), so its distinct (gram, eval_doc) set is
+    * explicitly `broadcast` — the training gram stream joins it map-side
+    * and never shuffles. Per-gram fan-out is bounded by the eval set's
+    * size, not the corpus's, so no df-cap is needed (unlike the dedup
+    * pair join, which is quadratic per gram in corpus df).
+    */
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.TextOps.normText
+    val grams = Tables.fanOut(
+      Tables.documents(s, dir).select(col("doc_id"), col("source"), col("text")))
+      .select(col("doc_id"), col("source"),
+        explode(DedupOps.ngramHashSet(normText(col("text")))).as("gram"))
+    val evalGrams = grams.filter(col("source") === EvalSource)
+      .select(col("gram"), col("doc_id").as("eval_doc"))
+    grams.filter(col("source") =!= EvalSource)
+      .join(broadcast(evalGrams), "gram")
+      .groupBy(col("doc_id"))
+      .agg(
+        count_distinct(col("gram")).as("n_shared_grams"),
+        count_distinct(col("eval_doc")).as("n_eval_docs"))
+      .resultOrder(col("doc_id"))
+  }
+
   private val ratesCaseSql: String =
     SampleRatesPerMille
       .map { case (lang, r) => s"WHEN lang = '$lang' THEN $r" }
       .mkString("CASE ", " ", " ELSE 0 END")
 
   val oracles: Map[String, String] = Map(
+    "q_decontaminate" ->
+      s"""WITH n AS (
+         |  SELECT doc_id, source, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+         |  FROM documents
+         |  WHERE length(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) >= ${DedupOps.NgramLen}),
+         |g AS (
+         |  SELECT DISTINCT doc_id, source, substr(t, CAST(i AS INTEGER), ${DedupOps.NgramLen}) AS gram
+         |  FROM n, unnest(range(1, length(t) - ${DedupOps.NgramLen - 2})) AS u(i)),
+         |e AS (SELECT gram, doc_id AS eval_doc FROM g WHERE source = '$EvalSource'),
+         |tr AS (SELECT doc_id, gram FROM g WHERE source <> '$EvalSource')
+         |SELECT tr.doc_id,
+         |       count(DISTINCT tr.gram) AS n_shared_grams,
+         |       count(DISTINCT e.eval_doc) AS n_eval_docs
+         |FROM tr JOIN e USING (gram)
+         |GROUP BY tr.doc_id
+         |ORDER BY tr.doc_id""".stripMargin,
     "q_sample_stratified" ->
       s"""SELECT doc_id, lang,
          |  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 1000 AS bucket

@@ -126,6 +126,14 @@ class PlanSpec extends SparkSuite {
       s"embed dedup shuffles the corpus more than once:\n$p")
   }
 
+  test("q_decontaminate: eval grams broadcast, native gram extraction, no corpus shuffle join") {
+    val p = plan("q_decontaminate")
+    assert(p.contains("ngram_hashes"), "native expression missing from plan:\n" + p)
+    assert(p.contains("BroadcastHashJoin"), "eval gram set not broadcast:\n" + p)
+    assert(!p.contains("SortMergeJoin"), "training gram stream shuffled for the eval join:\n" + p)
+    assert(!p.toLowerCase.contains("scalaudf"), "gram extraction fell back to a UDF:\n" + p)
+  }
+
   test("Tables.fanOut: rebalances a row-group-bound scan, no-op above the size bound") {
     // small input (fixture scan: planning-time bytes << cores × 128 MB):
     // a rebalance exchange must appear so the per-row stage behind it can
