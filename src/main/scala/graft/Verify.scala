@@ -9,7 +9,10 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // 8-wide shuffles for the same reason as Bench: fixture-scale
+      // exchanges are scheduling-bound, and correctness is width-blind
+      .config("spark.sql.shuffle.partitions",
+        math.min(cpus.toInt, 8).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // tmpfs shuffle dir — see Bench.scala: the backing virtual disk
