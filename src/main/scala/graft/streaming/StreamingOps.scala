@@ -255,6 +255,34 @@ object StreamingOps {
       .select(col("doc_id"), md5(graft.ops.TextOps.normText(col("text"))).as("fingerprint"))
       .dropDuplicates("fingerprint")
 
+  /** Streaming benchmark decontamination: flag each arriving doc against a
+    * STATIC eval-set gram table — the online form of
+    * CurationOps.decontaminate, run as admission control in front of a
+    * training-data store. Stream-static broadcast join: the eval grams are
+    * a fixed broadcast table (a benchmark is MBs), the per-doc gram
+    * explode is in-row via the native ngram_hashes expression, and the
+    * aggregation state is one small row per FLAGGED doc (each doc_id
+    * arrives once, so the per-key state never grows after its batch —
+    * same state profile as dedupExactStream's digest store).
+    */
+  def decontaminateStream(docs: DataFrame, evalDocs: DataFrame): DataFrame = {
+    val evalGrams = evalDocs
+      .select(explode(graft.ops.DedupOps.ngramHashSet(
+        graft.ops.TextOps.normText(col("text")))).as("gram"),
+        col("doc_id").as("eval_doc"))
+    docs
+      .select(col("doc_id"),
+        explode(graft.ops.DedupOps.ngramHashSet(
+          graft.ops.TextOps.normText(col("text")))).as("gram"))
+      .join(broadcast(evalGrams), "gram")
+      .groupBy(col("doc_id"))
+      // streaming aggregation cannot plan COUNT(DISTINCT); the set state
+      // is equivalent and bounded by the doc's eval matches, not the stream
+      .agg(
+        size(collect_set(col("gram"))).cast("long").as("n_shared_grams"),
+        size(collect_set(col("eval_doc"))).cast("long").as("n_eval_docs"))
+  }
+
   /** Ingest dataflow (§3.1): JSON envelope → flatten → type dispatch →
     * broadcast enrichment. `contextDf` is the (tiny) slowly-changing
     * dimension looked up at stream time (hydration_agent/main.py:73-74).

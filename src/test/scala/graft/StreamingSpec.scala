@@ -208,6 +208,46 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("decontamination stream: flags equal the batch operator under micro-batch splits") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evalDocs = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"),
+      (101L, "pack my box with five dozen liquor jugs")
+    ).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "the quick brown fox jumps high today"), // shares grams with 100
+      (2L, "entirely unrelated content with nothing in common whatsoever"),
+      (3L, "pack my box with five dozen bottles") // shares grams with 101
+    )
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingOps.decontaminateStream(
+        mem.toDF().toDF("doc_id", "text"), evalDocs)
+      .writeStream.format("memory").queryName("decon_out")
+      .outputMode("complete").start()
+    try {
+      mem.addData(train(0))
+      q.processAllAvailable()
+      mem.addData(train(1), train(2)) // second micro-batch
+      q.processAllAvailable()
+      val streamed = spark.table("decon_out")
+        .select("doc_id", "n_shared_grams", "n_eval_docs").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // batch reference: same join+agg on the full static data
+      val batch = train.toDF("doc_id", "text")
+        .select(col("doc_id"), explode(graft.ops.DedupOps.ngramHashSet(
+          graft.ops.TextOps.normText(col("text")))).as("gram"))
+        .join(evalDocs.select(explode(graft.ops.DedupOps.ngramHashSet(
+          graft.ops.TextOps.normText(col("text")))).as("gram"),
+          col("doc_id").as("eval_doc")), "gram")
+        .groupBy("doc_id")
+        .agg(count_distinct(col("gram")).as("g"), count_distinct(col("eval_doc")).as("e"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed == batch, s"streamed $streamed vs batch $batch")
+      assert(streamed.map(_._1) == Set(1L, 3L), s"expected docs 1 and 3 flagged: $streamed")
+    } finally q.stop()
+  }
+
   test("exact dedup stream: one survivor per normalized digest across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
