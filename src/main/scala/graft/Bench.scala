@@ -93,8 +93,7 @@ object Bench {
       try pipeline.MaterializedViews.minuteMvDir(spark, sfDir)
       catch { case _: Throwable => () }
     val results = selected.map { case (name, fn) =>
-      var lastErr: Option[String] = None
-      val times = (1 to reps).map { _ =>
+      val samples = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         // noop sink: materializes every projected column and the final sort
         // (count() lets Catalyst prune projections and drop the orderBy)
@@ -104,11 +103,14 @@ object Bench {
         val dt = (System.nanoTime() - t0) / 1e9
         // drop blocks cached inside the op so queries are measured independently
         spark.catalog.clearCache()
-        lastErr = err
-        dt
+        (dt, err)
       }
-      // reps > 1: report the warm minimum (local probing only)
-      (name, times.min, lastErr)
+      // the minimum over SUCCESSFUL reps only: a rep that threw after 10 ms
+      // must never bench as the query's time (the errored-query-improves-
+      // the-total hole, rep-level edition). All-failed -> keep the error.
+      val good = samples.collect { case (t, None) => t }
+      if (good.nonEmpty) (name, good.min, None)
+      else (name, samples.map(_._1).min, samples.last._2)
     }
     // Host-contention defense. This container's wall-clock swings 10-40x on
     // identical binaries with the CPU idle (PERF.md: a 0.45 s JSON

@@ -11,14 +11,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Tables {
 
-  // Memoized base relations per (session, dir, name): the fixtures are
-  // immutable, and re-running spark.read.parquet per query re-reads the
-  // footer schema and rebuilds the relation every time — the catalog-table
-  // resolution a deployment gets for free. (The cached DataFrames reference
-  // their session, so entries live for the session object's lifetime —
-  // bounded by the handful of sessions a JVM creates, a few relations each.)
-  private val relCache =
-    new java.util.WeakHashMap[SparkSession, scala.collection.concurrent.TrieMap[String, DataFrame]]()
+  // Memoized parquet SCHEMAS per path (global and session-free): the
+  // fixtures are immutable, and re-running spark.read.parquet per query
+  // re-infers the footer schema on every call; supplying the cached schema
+  // skips that I/O. Only the StructType is cached — an earlier version
+  // cached whole DataFrames in a WeakHashMap keyed by session, but a
+  // DataFrame strongly references its session through its QueryExecution,
+  // which is exactly the value->key self-reference the WeakHashMap javadoc
+  // warns defeats collection: every stopped session would have leaked for
+  // the JVM's lifetime. A StructType references nothing.
+  private val schemaCache =
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.types.StructType]
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     // The driver's fixtures carry TIMESTAMP(NANOS) columns, which Spark 4
@@ -26,12 +29,9 @@ object Tables {
     // per session — mutating conf on every call invalidates cached plans.
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     if (!spark.conf.getOption(key).contains("true")) spark.conf.set(key, "true")
-    val perSession = relCache.synchronized {
-      var m = relCache.get(spark)
-      if (m == null) { m = scala.collection.concurrent.TrieMap.empty; relCache.put(spark, m) }
-      m
-    }
-    perSession.getOrElseUpdate(s"$dir/$name", spark.read.parquet(s"$dir/$name.parquet"))
+    val path = s"$dir/$name.parquet"
+    val schema = schemaCache.getOrElseUpdate(path, spark.read.parquet(path).schema)
+    spark.read.schema(schema).parquet(path)
   }
 
   /** The time-series fact table. Stand-in for the reference's `opcua_data`

@@ -75,20 +75,10 @@ object CurationOps {
     * oracle) are the exact step.
     */
   def tokenBudget(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.fanOut(Tables.documents(s, dir))
-      .withColumn("toks", split(trim(col("text")), "\\s+"))
-      .withColumn("n_chars", length(col("text")).cast("double"))
-      .withColumn("n_tokens", size(col("toks")).cast("long"))
-      .withColumn("punct_ratio",
-        (col("n_chars") - length(regexp_replace(col("text"), "[.,;:!?]", ""))) / col("n_chars"))
-      .withColumn("stop_ratio",
-        size(expr("filter(toks, t -> t IN ('the', 'a'))")).cast("double") / col("n_tokens"))
-      .withColumn("quality",
-        round(
-          least(col("n_tokens").cast("double") / 100.0, lit(1.0)) *
-            (lit(1.0) - col("punct_ratio")) *
-            (lit(0.5) + least(col("stop_ratio"), lit(0.5))),
-          4))
+    // quality columns come from TextOps.withQualityColumns — the one
+    // definition of the score, shared with the oracle-checked
+    // q_quality_score so the ranking cannot drift from it
+    val d = TextOps.withQualityColumns(Tables.fanOut(Tables.documents(s, dir)))
     val w = Window.partitionBy(col("lang"))
       .orderBy(col("quality").desc, col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -139,8 +139,14 @@ object TextOps {
     * engines, so the oracle hash-matches. Pure projection — no shuffle at
     * production scale (size-gated fanOut/resultOrder exchanges aside).
     */
-  def qualityScore(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.fanOut(Tables.documents(s, dir))
+  /** The quality columns (n_tokens, punct_ratio, stop_ratio, quality) —
+    * the SINGLE definition shared by qualityScore and
+    * CurationOps.tokenBudget, so the budget ranking can never drift from
+    * the oracle-checked score (CurationOpsSpec asserts the rank-prefix
+    * invariant against exactly this formula).
+    */
+  private[graft] def withQualityColumns(docs: DataFrame): DataFrame =
+    docs
       .withColumn("toks", split(trim(col("text")), "\\s+"))
       .withColumn("n_chars", length(col("text")).cast("double"))
       .withColumn("n_tokens", size(col("toks")).cast("long"))
@@ -148,18 +154,22 @@ object TextOps {
         (col("n_chars") - length(regexp_replace(col("text"), "[.,;:!?]", ""))) / col("n_chars"))
       .withColumn("stop_ratio",
         size(expr("filter(toks, t -> t IN ('the', 'a'))")).cast("double") / col("n_tokens"))
+      .withColumn("quality",
+        round(
+          least(col("n_tokens").cast("double") / 100.0, lit(1.0)) *
+            (lit(1.0) - col("punct_ratio")) *
+            (lit(0.5) + least(col("stop_ratio"), lit(0.5))),
+          4))
+
+  def qualityScore(s: SparkSession, dir: String): DataFrame = {
+    val d = withQualityColumns(Tables.fanOut(Tables.documents(s, dir)))
     d.select(
       col("doc_id"),
       col("lang"),
       col("n_tokens"),
       round(col("punct_ratio"), 4).as("punct_ratio"),
       round(col("stop_ratio"), 4).as("stop_ratio"),
-      round(
-        least(col("n_tokens").cast("double") / 100.0, lit(1.0)) *
-          (lit(1.0) - col("punct_ratio")) *
-          (lit(0.5) + least(col("stop_ratio"), lit(0.5))),
-        4
-      ).as("quality")
+      col("quality")
     ).resultOrder(col("doc_id"))
   }
 

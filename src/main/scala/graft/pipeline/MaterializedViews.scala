@@ -21,14 +21,20 @@ import org.apache.spark.sql.functions._
   */
 object MaterializedViews {
 
-  private val prepared = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val prepared = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  /** Day-partitioned minute-grain MV for `sfDir`; returns its directory. */
+  /** Day-partitioned minute-grain MV for `sfDir`; returns its directory.
+    *
+    * `computeIfAbsent` (not check-then-act): a concurrent caller BLOCKS
+    * until the write commits instead of reading a half-written directory,
+    * and a failed write leaves no mapping so the next call retries rather
+    * than permanently poisoning the key for the JVM.
+    */
   def minuteMvDir(spark: SparkSession, sfDir: String): String = {
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString
     val out = s"${sys.props("java.io.tmpdir")}/graft-mv-minute-$key"
-    if (prepared.add(out)) {
+    prepared.computeIfAbsent(out, _ => {
       graft.ops.RelationalOps.minuteMv(spark, sfDir)
         // day partitioning at rest = the hypertable chunk layout
         // (init.sql:11): a bucket-range dashboard predicate prunes whole
@@ -41,7 +47,7 @@ object MaterializedViews {
         .repartition(col("day"), col("metric"))
         .sortWithinPartitions(col("metric"), col("bucket"))
         .write.mode("overwrite").partitionBy("day").parquet(out)
-    }
-    out
+      out
+    })
   }
 }

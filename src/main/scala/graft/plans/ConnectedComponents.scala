@@ -99,6 +99,26 @@ object ConnectedComponents {
     * @return DataFrame (node, comp) — one row per distinct node in `edges`.
     */
   def components(edges: DataFrame): DataFrame = {
+    // Conf-isolated loop session: the rounds size their shuffles from the
+    // live edge count, which means setting spark.sql.shuffle.partitions
+    // per round. Doing that on the CALLER's session is a race (concurrent
+    // queries get planned with the loop's narrow widths, and two
+    // overlapping components() calls can permanently clobber each other's
+    // restore) — so the loop runs in newSession(): same SparkContext,
+    // shared cache/catalog, separate SQLConf. The caller's runtime width
+    // is copied in as the clamp; the clone is discarded at return.
+    val caller = edges.sparkSession
+    val loopSession = caller.newSession()
+    loopSession.conf.set(
+      "spark.sql.shuffle.partitions", caller.conf.get("spark.sql.shuffle.partitions"))
+    val result = componentsLoop(
+      org.apache.spark.sql.graftbridge.ofRows(loopSession, edges.queryExecution.analyzed))
+    // re-bind the (materialized) component table to the caller's session so
+    // downstream plans compose under the caller's own configuration
+    org.apache.spark.sql.graftbridge.ofRows(caller, result.queryExecution.analyzed)
+  }
+
+  private def componentsLoop(edges: DataFrame): DataFrame = {
     val in = edges.toDF("a", "b")
       .select(
         least(col("a"), col("b")).as("u"),

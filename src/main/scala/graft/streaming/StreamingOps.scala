@@ -266,10 +266,14 @@ object StreamingOps {
     * same state profile as dedupExactStream's digest store).
     */
   def decontaminateStream(docs: DataFrame, evalDocs: DataFrame): DataFrame = {
+    // cache: a stream-static join re-evaluates the static side every
+    // micro-batch; materializing the gram table once makes each trigger a
+    // broadcast reuse instead of a fresh scan + explode
     val evalGrams = evalDocs
       .select(explode(graft.ops.DedupOps.ngramHashSet(
         graft.ops.TextOps.normText(col("text")))).as("gram"),
         col("doc_id").as("eval_doc"))
+      .cache()
     docs
       .select(col("doc_id"),
         explode(graft.ops.DedupOps.ngramHashSet(
