@@ -12,12 +12,16 @@ import org.apache.spark.unsafe.types.UTF8String
 /** Native Catalyst expression: the k-function MinHash signature of an
   * in-row shingle-hash set.
   *
-  * h_i(x) = (a_i * x + b_i) mod p with p = 2^31-1 and a_i, b_i derived
+  * h_i(x) = (a_i * (x mod p) + b_i) mod p with p = 2^31-1 and a_i, b_i derived
   * from i by the splitmix64 finalizer — deterministic across
   * runs/partitions, pairwise independent across i (coefficients linear in
   * i would make every minimum depend on one argmin event and collapse the
   * banded-LSH false-negative bound from (1-J^r)^b to ~(1-J)).
-  * a_i, x < 2^31 keeps a_i * x + b_i < 2^62: no long overflow.
+  * The input hashes arrive as raw 64-bit values (word_shingle_hashes keeps
+  * them raw so the downstream exact-Jaccard verification compares in a
+  * 2^64 space); the permutation's mod-p reduction happens here, where the
+  * algebra needs it. a_i, (x mod p) < 2^31 keeps the product < 2^62: no
+  * long overflow.
   *
   * Computed in-row over the `word_shingle_hashes` array: together they
   * replace the explode + groupBy(aggregator) pass — the signature never
@@ -82,7 +86,7 @@ object MinHashSig {
     val out = Array.fill(numHashes)(Long.MaxValue)
     var j = 0
     while (j < n) {
-      val x = xs.getLong(j)
+      val x = java.lang.Math.floorMod(xs.getLong(j), prime)
       var i = 0
       while (i < numHashes) {
         val h = (as(i) * x + bs(i)) % prime

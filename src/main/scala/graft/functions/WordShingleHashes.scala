@@ -10,8 +10,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expression: the distinct word-n-gram shingle hashes of a
-  * string, reduced mod a prime — the per-document shingle set of the MinHash
-  * dedup operator computed IN-ROW.
+  * string — the per-document shingle set of the MinHash dedup operator
+  * computed IN-ROW. Hashes are the RAW 64-bit xxhash64 values: the exact
+  * Jaccard verification downstream compares these sets, and raw-64 keeps
+  * per-pair collision odds at ~n²/2^64 (an earlier mod-p fold here put the
+  * verification set in a 2^31 space, whose ~n²/2^32 collisions would show
+  * at verify scales beyond the fixture). The MinHash permutation's mod-p
+  * reduction happens inside minhash_sig, where the algebra needs it.
   *
   * This replaces a 4-operator pipeline (`split` → `transform/sequence/slice`
   * HOFs → `explode` → `groupBy(collect_set)`): the explode multiplied the
@@ -24,15 +29,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * Semantics are bit-identical to the pipeline it replaces because it calls
   * the SAME engine primitives on the raw `UTF8String`:
   * `trim()` → `split("\s+", -1)` (Spark's StringSplit semantics) →
-  * `concatWs(" ", tok_i..tok_{i+n-1})` → `XxHash64Function.hash(_, 42)` →
-  * `floorMod(_, prime)` (Spark's pmod), de-duped in first-seen order.
+  * `concatWs(" ", tok_i..tok_{i+n-1})` → `XxHash64Function.hash(_, 42)`,
+  * de-duped in first-seen order.
   * Fewer than n tokens yields an empty array; null yields null.
   */
-case class WordShingleHashes(child: Expression, n: Int, prime: Long)
+case class WordShingleHashes(child: Expression, n: Int)
     extends UnaryExpression {
 
   require(n > 0, s"word_shingle_hashes n must be positive, got $n")
-  require(prime > 1, s"word_shingle_hashes prime must be > 1, got $prime")
 
   override def checkInputDataTypes(): TypeCheckResult =
     child.dataType match {
@@ -47,10 +51,10 @@ case class WordShingleHashes(child: Expression, n: Int, prime: Long)
   override def prettyName: String = "word_shingle_hashes"
 
   override def nullSafeEval(s: Any): Any =
-    WordShingleHashes.compute(s.asInstanceOf[UTF8String], n, prime)
+    WordShingleHashes.compute(s.asInstanceOf[UTF8String], n)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.WordShingleHashes.compute($c, $n, ${prime}L)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.WordShingleHashes.compute($c, $n)")
 
   override protected def withNewChildInternal(newChild: Expression): WordShingleHashes =
     copy(child = newChild)
@@ -62,7 +66,7 @@ object WordShingleHashes {
   private val Space = UTF8String.fromString(" ")
 
   /** Static entry point shared by interpreted eval and generated code. */
-  def compute(s: UTF8String, n: Int, prime: Long): ArrayData = {
+  def compute(s: UTF8String, n: Int): ArrayData = {
     // the exact primitives of split(trim(text), "\s+") with Spark's
     // default limit -1
     val toks = s.trim().split(WhitespaceRegex, -1)
@@ -75,8 +79,7 @@ object WordShingleHashes {
         var k = 0
         while (k < n) { parts(k) = toks(i + k); k += 1 }
         val shingle = UTF8String.concatWs(Space, parts: _*)
-        val h = XxHash64Function.hash(shingle, StringType, 42L)
-        set.add(java.lang.Math.floorMod(h, prime))
+        set.add(XxHash64Function.hash(shingle, StringType, 42L))
         i += 1
       }
       val out = new Array[Long](set.size)
@@ -93,11 +96,11 @@ object WordShingleHashes {
     classOf[WordShingleHashes].getCanonicalName,
     null,
     "word_shingle_hashes",
-    "_FUNC_(s, n, p) - distinct xxhash64-mod-p hashes of the word n-gram shingles of s.",
+    "_FUNC_(s, n) - distinct xxhash64 hashes of the word n-gram shingles of s.",
     "")
 
   val builder: Seq[Expression] => Expression = { children =>
-    require(children.length == 3, "word_shingle_hashes expects exactly 3 arguments")
+    require(children.length == 2, "word_shingle_hashes expects exactly 2 arguments")
     def constLong(e: Expression, what: String): Long = {
       require(e.foldable, s"word_shingle_hashes $what must be a constant, got ${e.sql}")
       e.eval() match {
@@ -106,10 +109,7 @@ object WordShingleHashes {
           s"word_shingle_hashes $what must be an integer, got $other")
       }
     }
-    WordShingleHashes(
-      children.head,
-      constLong(children(1), "n").toInt,
-      constLong(children(2), "prime"))
+    WordShingleHashes(children.head, constLong(children(1), "n").toInt)
   }
 
   def register(registry: FunctionRegistry): Unit =

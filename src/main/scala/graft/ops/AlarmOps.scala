@@ -49,6 +49,12 @@ object AlarmOps {
   /** Trend alarm — 3 consecutive deviations beyond 2%
     * (opcua_server/main.py:14-40, ring buffer of 3 at :31-34, all-3 rule at
     * :37-39). The count == 3 guard keeps a 2-row prefix from firing.
+    *
+    * Immediate-alarm precedence (:35-36): `record` RETURNS on the >10%
+    * check before reaching the trend rule, so a cycle whose own |pct|
+    * exceeds 10 fires only the immediate alarm — it still enters the ring
+    * buffer (the append at :32 precedes the check) and can complete a
+    * LATER cycle's trend window, but never emits a trend row itself.
     */
   def deviationTrend(s: SparkSession, dir: String): DataFrame =
     deviationTrendOn(ev(s, dir))
@@ -65,7 +71,10 @@ object AlarmOps {
       .filter(col("target") =!= 0.0)
       .withColumn("n_in_window", count(lit(1)).over(w))
       .withColumn("min_abs_pct", min(abs(col("pct"))).over(w))
-      .filter(col("n_in_window") === Model.TrendWindow && col("min_abs_pct") > Model.TrendDeviationPct)
+      .filter(col("n_in_window") === Model.TrendWindow && col("min_abs_pct") > Model.TrendDeviationPct
+        // immediate precedence: a row that fires the >10% alarm never also
+        // fires the trend alarm (reference returns before the trend check)
+        && abs(col("pct")) <= Model.ImmediateDeviationPct)
       .select(
         col("event_id"),
         col("user_id"),
@@ -195,13 +204,14 @@ object AlarmOps {
         s"""WITH b AS ($base),
            |w AS (
            |  SELECT event_id, user_id, event_type,
+           |    abs($pctSql) AS abs_pct,
            |    count(*) OVER win AS n_in_window,
            |    min(abs($pctSql)) OVER win AS min_abs_pct
            |  FROM b WHERE t <> 0 AND value IS NOT NULL
            |  WINDOW win AS (PARTITION BY user_id, event_type ORDER BY ts, event_id
            |                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))
            |SELECT event_id, user_id, event_type AS metric, round(min_abs_pct, 4) AS min_abs_pct
-           |FROM w WHERE n_in_window = 3 AND min_abs_pct > 2
+           |FROM w WHERE n_in_window = 3 AND min_abs_pct > 2 AND abs_pct <= 10
            |ORDER BY event_id""".stripMargin,
       "q_feeder_low_edge" ->
         """WITH w AS (

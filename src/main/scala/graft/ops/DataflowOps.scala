@@ -60,18 +60,26 @@ object DataflowOps {
       .resultOrder(col("event_id"))
 
   /** Dynamic node discovery (opcua_mqtt_agent/main.py:115-125): the distinct
-    * variable registry with the value type INFERRED from the samples — a
-    * node whose stream carries numeric payloads registers as Double, a
-    * node with only string payloads (value_str carriers, Model.valueStr)
-    * as String, mirroring the reference's per-variant dispatch.
+    * variable registry with the value type INFERRED from the samples' OPC-UA
+    * variants, mirroring the reference's per-variant registration: any
+    * boolean sample registers the node Boolean, else any non-numeric
+    * (string-payload) sample registers it String, else Double. The variant
+    * of each sample is `rawValue` — the same §1.3 model the dispatch and
+    * sink ops use, so discovery and dispatch can never disagree on a
+    * node's type. (An earlier version keyed on count(value) > 0, which is
+    * true for every fixture node — the String branch was dead and the
+    * 'error' node, whose payloads are JSON strings, registered as Double.)
     */
   def srcSchemaDiscovery(s: SparkSession, dir: String): DataFrame =
     ev(s, dir)
+      .withColumn("raw", rawValue)
       .groupBy(col("event_type").as("node_id"))
       .agg(
         count(lit(1)).as("n_samples"),
         min(col("ts")).as("first_seen"),
-        when(count(col("value")) > 0, "Double").otherwise("String").as("datatype"))
+        when(sum(when(col("raw").isin("true", "false"), 1).otherwise(0)) > 0, "Boolean")
+          .when(sum(when(expr("try_cast(raw AS DOUBLE)").isNull, 1).otherwise(0)) > 0, "String")
+          .otherwise("Double").as("datatype"))
       .select(col("node_id"), col("n_samples"), col("first_seen"), col("datatype"))
       .resultOrder(col("node_id"))
 
@@ -200,23 +208,40 @@ object DataflowOps {
     * (batch dispatch, JDBC sink projection, streaming ingest), so a rule
     * change (e.g. new boolean spellings) cannot desynchronize the streaming
     * path from the oracle-checked batch path.
+    *
+    * The reference dispatches on the payload's TYPE
+    * (isinstance(val, (int, float)) and not bool), not on parseability:
+    * a string payload that merely LOOKS numeric ('123') stays value_str.
+    * `isStr` is that type channel — in the batch EAV model the §1.3
+    * str-variant carrier (event_type = 'error'), on the JSON wire whether
+    * the value was quoted. Flattening to one string column WITHOUT the
+    * channel (the earlier form) erased the string/number distinction the
+    * envelope still carries.
     */
-  def dispatchNum(name: String): org.apache.spark.sql.Column =
-    when(col(name).isin("true", "false"), lit(null).cast("double"))
+  def dispatchNum(name: String, isStr: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(isStr || col(name).isin("true", "false"), lit(null).cast("double"))
       .otherwise(expr(s"try_cast($name AS DOUBLE)"))
 
-  def dispatchStr(name: String): org.apache.spark.sql.Column =
-    when(col(name) === "true", "True")
+  def dispatchStr(name: String, isStr: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(isStr, col(name))
+      .when(col(name) === "true", "True")
       .when(col(name) === "false", "False")
       .when(expr(s"try_cast($name AS DOUBLE)").isNull, col(name))
+
+  /** The batch EAV model's string-variant channel (§1.3): 'error' nodes
+    * carry JSON-text payloads; every other node's payload is numeric or
+    * boolean.
+    */
+  private def isStrVariant: org.apache.spark.sql.Column =
+    col("event_type") === "error"
 
   def typeDispatchOn(events: DataFrame): DataFrame =
     events
       .withColumn("raw", rawValue)
       .select(
         col("event_id"),
-        dispatchNum("raw").as("value_num"),
-        dispatchStr("raw").as("value_str")
+        dispatchNum("raw", isStrVariant).as("value_num"),
+        dispatchStr("raw", isStrVariant).as("value_str")
       )
       .resultOrder(col("event_id"))
 
@@ -234,17 +259,18 @@ object DataflowOps {
         col("event_id"),
         col("ts").as("time"),
         col("event_type").as("metric"),
-        dispatchNum("raw").as("value_num"),
-        dispatchStr("raw").as("value_str"),
+        dispatchNum("raw", isStrVariant).as("value_num"),
+        dispatchStr("raw", isStrVariant).as("value_str"),
         col("operator")
       )
       .resultOrder(col("event_id"))
   }
 
   private val dispatchNumSql =
-    "CASE WHEN raw IN ('true','false') THEN NULL ELSE TRY_CAST(raw AS DOUBLE) END"
+    "CASE WHEN event_type = 'error' OR raw IN ('true','false') THEN NULL ELSE TRY_CAST(raw AS DOUBLE) END"
   private val dispatchStrSql =
-    """CASE WHEN raw = 'true' THEN 'True' WHEN raw = 'false' THEN 'False'
+    """CASE WHEN event_type = 'error' THEN raw
+      |     WHEN raw = 'true' THEN 'True' WHEN raw = 'false' THEN 'False'
       |     WHEN TRY_CAST(raw AS DOUBLE) IS NULL THEN raw END""".stripMargin
 
   val oracles: Map[String, String] = Map(
@@ -252,13 +278,16 @@ object DataflowOps {
       """SELECT event_id, event_type AS node_id, value, ts AS source_ts
         |FROM events ORDER BY event_id""".stripMargin,
     "src_schema_discovery" ->
-      """SELECT event_type AS node_id, count(*) AS n_samples, min(ts) AS first_seen,
-        |       CASE WHEN count(value) > 0 THEN 'Double' ELSE 'String' END AS datatype
-        |FROM events GROUP BY event_type ORDER BY node_id""".stripMargin,
+      s"""WITH r AS (SELECT event_type, ts, $rawValueSql AS raw FROM events)
+        |SELECT event_type AS node_id, count(*) AS n_samples, min(ts) AS first_seen,
+        |  CASE WHEN sum(CASE WHEN raw IN ('true', 'false') THEN 1 ELSE 0 END) > 0 THEN 'Boolean'
+        |       WHEN sum(CASE WHEN TRY_CAST(raw AS DOUBLE) IS NULL THEN 1 ELSE 0 END) > 0 THEN 'String'
+        |       ELSE 'Double' END AS datatype
+        |FROM r GROUP BY event_type ORDER BY node_id""".stripMargin,
     "xform_envelope" ->
       """SELECT event_id, event_type AS node_id, value,
         |       coalesce(ts, TIMESTAMP '2024-02-01 00:00:00') AS timestamp,
-        |       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |       TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
         |FROM events ORDER BY event_id""".stripMargin,
     "src_mqtt" ->
       """SELECT event_id, event_type AS node_id, value, ts
@@ -281,7 +310,7 @@ object DataflowOps {
         |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
         |ORDER BY e.event_id""".stripMargin,
     "q_type_dispatch" ->
-      s"""WITH t AS (SELECT event_id, $rawValueSql AS raw FROM events)
+      s"""WITH t AS (SELECT event_id, event_type, $rawValueSql AS raw FROM events)
          |SELECT event_id, $dispatchNumSql AS value_num, $dispatchStrSql AS value_str
          |FROM t ORDER BY event_id""".stripMargin,
     "snk_jdbc" ->

@@ -120,7 +120,14 @@ object RelationalOps {
     bucketAggBase(s, dir, "1 minute")
 
   private def bucketAggBase(s: SparkSession, dir: String, grain: String): DataFrame =
-    ev(s, dir)
+    bucketAggOn(ev(s, dir), grain)
+
+  /** The shared continuous-aggregate body (init.sql:20-29,37-48): one
+    * definition of the MV column set for minute, hourly and dashboard
+    * grains — a column change edits exactly one place.
+    */
+  private def bucketAggOn(events: DataFrame, grain: String): DataFrame =
+    events
       .filter(col("value").isNotNull)
       .groupBy(window(col("ts"), grain), col("event_type"))
       .agg(
@@ -167,28 +174,19 @@ object RelationalOps {
   def mvMinute(s: SparkSession, dir: String): DataFrame =
     bucketAggBase(s, dir, "1 minute").resultOrder(col("bucket"), col("metric"))
 
-  /** Hourly continuous aggregate over its refresh window of the last 3 days
-    * of data (init.sql:18-34: start_offset 3 days).
+  /** Hourly continuous aggregate over its refresh window — BOTH offsets of
+    * the policy (init.sql:31-34): start_offset 3 days AND end_offset
+    * 1 hour. The end offset matters: TimescaleDB only materializes buckets
+    * that close at or before now - end_offset, so the most recent hour of
+    * events is NOT yet visible in `machine_stats_hourly` (fixture "now" =
+    * 2024-01-31 00:00).
     */
   def mvHourly(s: SparkSession, dir: String): DataFrame =
-    ev(s, dir)
-      .filter(col("ts") >= lit("2024-01-28 00:00:00").cast("timestamp"))
-      .filter(col("value").isNotNull)
-      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(
-        Model.exactAvg4("value").as("avg_value"),
-        min(col("value")).as("min_value"),
-        max(col("value")).as("max_value"),
-        count(col("value")).as("sample_count")
-      )
-      .select(
-        col("window.start").as("bucket"),
-        col("event_type").as("metric"),
-        col("avg_value"),
-        col("min_value"),
-        col("max_value"),
-        col("sample_count")
-      )
+    bucketAggOn(
+      ev(s, dir)
+        .filter(col("ts") >= lit("2024-01-28 00:00:00").cast("timestamp"))
+        .filter(col("ts") < lit("2024-01-30 23:00:00").cast("timestamp")),
+      "1 hour")
       .resultOrder(col("bucket"), col("metric"))
 
   /** MV scan + metric filter + bucket range + sort (machine_dashboard.json:1120).
@@ -327,7 +325,8 @@ object RelationalOps {
         |  ${Model.exactAvg4Sql("value")} AS avg_value, min(value) AS min_value,
         |  max(value) AS max_value, count(value) AS sample_count
         |FROM events
-        |WHERE ts >= TIMESTAMP '2024-01-28 00:00:00' AND value IS NOT NULL
+        |WHERE ts >= TIMESTAMP '2024-01-28 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-30 23:00:00' AND value IS NOT NULL
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_mv_read" ->
       s"""WITH mv AS (

@@ -106,7 +106,10 @@ object StreamingOps {
     rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
       pctOf(metric, e.value).foreach { pct =>
         recent = (recent :+ math.abs(pct)).takeRight(3)
-        if (recent.size == 3 && recent.forall(_ > 2.0))
+        // immediate precedence (opcua_server/main.py:35-36): record()
+        // returns on the >10% check before the trend rule, so this cycle
+        // feeds the buffer but cannot emit a trend alarm itself
+        if (recent.size == 3 && recent.forall(_ > 2.0) && math.abs(pct) <= 10.0)
           // round like the batch twin (round(min_abs_pct, 4)) so the two
           // output contracts agree digit-for-digit
           out += TrendAlarm(userId, metric, e.event_id,
@@ -299,17 +302,23 @@ object StreamingOps {
       org.apache.spark.sql.types.StructField("ts_us", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType)
     ))
+    // the wire's type channel: whether the JSON value was a quoted string.
+    // from_json coerces numbers/bools to the StringType field, erasing the
+    // JSON type — the quote is the surviving evidence, and the reference
+    // dispatches on exactly that type (isinstance), not on parseability
     payloads
-      .select(from_json(col("payload"), schema).as("m"))
-      .select(col("m.*"))
+      .select(
+        from_json(col("payload"), schema).as("m"),
+        col("payload").rlike("\"value\"[ \t]*:[ \t]*\"").as("value_is_str"))
+      .select(col("m.*"), col("value_is_str"))
       .select(
         col("event_id"),
         timestamp_micros(col("ts_us")).as("time"),
         col("node_id").as("metric"),
         // the shared dispatch rule — same column logic as the
         // oracle-checked batch q_type_dispatch
-        graft.ops.DataflowOps.dispatchNum("value").as("value_num"),
-        graft.ops.DataflowOps.dispatchStr("value").as("value_str"),
+        graft.ops.DataflowOps.dispatchNum("value", col("value_is_str")).as("value_num"),
+        graft.ops.DataflowOps.dispatchStr("value", col("value_is_str")).as("value_str"),
         col("user_id")
       )
       .join(broadcast(contextDf), Seq("user_id"), "left")

@@ -62,7 +62,7 @@ class ExtensionOpsSpec extends SparkSuite {
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', slice(toks, i, 3)))"
       )).as("shingle"))
-      .select(col("doc_id"), pmod(xxhash64(col("shingle")), lit(2147483647L)).as("x"))
+      .select(col("doc_id"), xxhash64(col("shingle")).as("x"))
       .groupBy("doc_id").agg(collect_set(col("x")).as("xs"))
       .select(col("doc_id"), sort_array(col("xs")).as("xs"))
     val nativeXs = docs
@@ -82,14 +82,16 @@ class ExtensionOpsSpec extends SparkSuite {
     val as = Array.tabulate(128)(i => (mix(2L * i + 1) & Long.MaxValue) % (p - 1) + 1)
     val bs = Array.tabulate(128)(i => (mix(2L * i + 2) & Long.MaxValue) % p)
     val sigRow = spark.sql(
-      "SELECT minhash_sig(word_shingle_hashes('alpha beta gamma delta', 3, 2147483647), 128, 2147483647) AS sig"
+      "SELECT minhash_sig(word_shingle_hashes('alpha beta gamma delta', 3), 128, 2147483647) AS sig"
     ).head().getSeq[Long](0)
     val xs = nativeXs.filter(col("doc_id") === 9003L) // sanity: expression registered in SQL
     assert(xs.count() == 1)
     val shingleHashes = spark.sql(
-      "SELECT word_shingle_hashes('alpha beta gamma delta', 3, 2147483647) AS xs"
+      "SELECT word_shingle_hashes('alpha beta gamma delta', 3) AS xs"
     ).head().getSeq[Long](0)
-    val expected = (0 until 128).map(i => shingleHashes.map(x => (as(i) * x + bs(i)) % p).min)
+    // raw 64-bit inputs; the permutation reduces mod p internally
+    val expected = (0 until 128).map(i =>
+      shingleHashes.map(x => (as(i) * java.lang.Math.floorMod(x, p) + bs(i)) % p).min)
     assert(sigRow == expected, "signature differs from the reference formula")
   }
 

@@ -198,7 +198,7 @@ class PropertySpec extends SparkSuite {
     // against the SQL-composed pipeline, so this is not circular)
     def xs(text: String): Set[Long] = {
       val a = graft.functions.WordShingleHashes.compute(
-        org.apache.spark.unsafe.types.UTF8String.fromString(text), 3, 2147483647L)
+        org.apache.spark.unsafe.types.UTF8String.fromString(text), 3)
       (0 until a.numElements()).map(a.getLong).toSet
     }
     val sets = all.map { case (id, t) => id -> xs(t) }.toMap

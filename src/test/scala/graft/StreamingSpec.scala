@@ -277,18 +277,22 @@ class StreamingSpec extends SparkSuite {
       .outputMode("append").start()
     try {
       mem.addData(
-        """{"event_id":1,"node_id":"click","value":"6.55","ts_us":1704067200000000,"user_id":7}""",
-        """{"event_id":2,"node_id":"status","value":"true","ts_us":1704067201000000,"user_id":7}""",
-        """{"event_id":3,"node_id":"status","value":"Running","ts_us":1704067202000000,"user_id":7}"""
+        """{"event_id":1,"node_id":"click","value":6.55,"ts_us":1704067200000000,"user_id":7}""",
+        """{"event_id":2,"node_id":"status","value":true,"ts_us":1704067201000000,"user_id":7}""",
+        """{"event_id":3,"node_id":"status","value":"Running","ts_us":1704067202000000,"user_id":7}""",
+        """{"event_id":4,"node_id":"status","value":"123","ts_us":1704067203000000,"user_id":7}"""
       )
       q.processAllAvailable()
       val rows = spark.table("ingest_out")
         .select("event_id", "value_num", "value_str", "operator").collect()
         .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)), r.getString(3))).toSet
       assert(rows == Set(
-        (1L, Some(6.55), None, "John Doe"),
-        (2L, None, Some("True"), "John Doe"), // bool → capitalized string
-        (3L, None, Some("Running"), "John Doe")
+        (1L, Some(6.55), None, "John Doe"),   // JSON number → value_num
+        (2L, None, Some("True"), "John Doe"), // JSON bool → capitalized string
+        (3L, None, Some("Running"), "John Doe"),
+        // a JSON STRING that merely looks numeric stays value_str — the
+        // reference dispatches on isinstance, not parseability
+        (4L, None, Some("123"), "John Doe")
       ))
     } finally q.stop()
   }
