@@ -53,25 +53,33 @@ object PartitionedWriter {
   def dropDaysBefore(spark: SparkSession, outDir: String, cutoff: String): Seq[String] = {
     val path = new org.apache.hadoop.fs.Path(outDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(path)) Seq.empty
+    dayPartitionDirs(fs, path)
+      .filter(_.getName.stripPrefix("day=") < cutoff)
+      .map { p => fs.delete(p, true); p.getName.stripPrefix("day=") }
+      .distinct.sorted
+  }
+
+  /** The day-partition directories under `root` — the ONE definition of
+    * the at-rest layout shared by drop and retain: day= dirs live either
+    * at the top level (PartitionedWriter layout) or one level down inside
+    * batch_id= dirs (IdempotentSink layout). Retention deriving its cutoff
+    * from one layout while deleting against another would silently drop
+    * the wrong days.
+    */
+  private def dayPartitionDirs(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] =
+    if (!fs.exists(root)) Seq.empty
     else {
-      // day= dirs live either at the top level (PartitionedWriter layout)
-      // or one level down inside batch_id= dirs (IdempotentSink layout)
-      val parents = {
-        val children = fs.listStatus(path).toSeq.filter(_.isDirectory).map(_.getPath)
-        val batchDirs = children.filter(_.getName.startsWith("batch_id="))
-        if (batchDirs.nonEmpty) batchDirs else Seq(path)
-      }
-      parents.flatMap { parent =>
+      val children = fs.listStatus(root).toSeq.filter(_.isDirectory).map(_.getPath)
+      val batchDirs = children.filter(_.getName.startsWith("batch_id="))
+      val parents = if (batchDirs.nonEmpty) batchDirs else Seq(root)
+      parents.flatMap(parent =>
         fs.listStatus(parent).toSeq
           .filter(_.isDirectory)
           .map(_.getPath)
-          .filter(_.getName.startsWith("day="))
-          .filter(_.getName.stripPrefix("day=") < cutoff)
-          .map { p => fs.delete(p, true); p.getName.stripPrefix("day=") }
-      }.distinct.sorted
+          .filter(_.getName.startsWith("day=")))
     }
-  }
 
   /** The reference's retention policy shape ("keep the last N days"),
     * scheduled from the ingest job loop: derive the cutoff from the newest
@@ -82,20 +90,11 @@ object PartitionedWriter {
     require(nDays >= 1, s"retention must keep at least one day, got $nDays")
     val path = new org.apache.hadoop.fs.Path(outDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(path)) Seq.empty
+    val days = dayPartitionDirs(fs, path).map(_.getName.stripPrefix("day="))
+    if (days.isEmpty) Seq.empty
     else {
-      val children = fs.listStatus(path).toSeq.filter(_.isDirectory).map(_.getPath)
-      val batchDirs = children.filter(_.getName.startsWith("batch_id="))
-      val parents = if (batchDirs.nonEmpty) batchDirs else Seq(path)
-      val days = parents.flatMap(parent =>
-        fs.listStatus(parent).toSeq.filter(_.isDirectory)
-          .map(_.getPath.getName).filter(_.startsWith("day="))
-          .map(_.stripPrefix("day=")))
-      if (days.isEmpty) Seq.empty
-      else {
-        val cutoff = java.time.LocalDate.parse(days.max).minusDays(nDays - 1L).toString
-        dropDaysBefore(spark, outDir, cutoff)
-      }
+      val cutoff = java.time.LocalDate.parse(days.max).minusDays(nDays - 1L).toString
+      dropDaysBefore(spark, outDir, cutoff)
     }
   }
 }

@@ -109,8 +109,16 @@ object ConnectedComponents {
     // is copied in as the clamp; the clone is discarded at return.
     val caller = edges.sparkSession
     val loopSession = caller.newSession()
+    // newSession() starts from the STATIC (builder/SparkContext) conf — a
+    // caller's runtime spark.conf.set does not carry over. Copy every conf
+    // this loop reads, or runtime overrides are silently ignored (the
+    // localFinishEdges escape hatch and the tests that force distributed
+    // rounds both depend on it).
     loopSession.conf.set(
       "spark.sql.shuffle.partitions", caller.conf.get("spark.sql.shuffle.partitions"))
+    loopSession.conf.set(
+      "graft.cc.localFinishEdges",
+      caller.conf.get("graft.cc.localFinishEdges", DefaultLocalFinishEdges.toString))
     val result = componentsLoop(
       org.apache.spark.sql.graftbridge.ofRows(loopSession, edges.queryExecution.analyzed))
     // re-bind the (materialized) component table to the caller's session so
@@ -119,10 +127,17 @@ object ConnectedComponents {
   }
 
   private def componentsLoop(edges: DataFrame): DataFrame = {
-    val in = edges.toDF("a", "b")
+    val raw = edges.toDF("a", "b")
       .select(
         least(col("a"), col("b")).as("u"),
         greatest(col("a"), col("b")).as("v"))
+    // every distinct node in the INPUT — captured before self-loops are
+    // dropped, so a node appearing only as (x, x) still gets its
+    // singleton (x, x) row in the output, as the contract promises
+    val allNodes = raw
+      .select(explode(array(col("u"), col("v"))).as("node"))
+      .distinct()
+    val in = raw
       .where(col("u") =!= col("v"))
       .distinct()
 
@@ -163,7 +178,7 @@ object ConnectedComponents {
 
     var cur = in.localCheckpoint(eager = false)
     var prev = fingerprint(cur)
-    if (prev._1 > 0L && prev._1 <= localMax) return localFinish(cur)
+    if (prev._1 > 0L && prev._1 <= localMax) return withSingletons(allNodes, localFinish(cur))
     var round = 0
     var converged = prev._1 == 0L
     try while (!converged && round < MaxRounds) {
@@ -198,7 +213,7 @@ object ConnectedComponents {
       // rounds only shrink the edge set and every round preserves the node
       // set and its components — once the remainder fits the local budget,
       // one union-find beats any number of further distributed rounds
-      if (!converged && fp._1 > 0L && fp._1 <= localMax) return localFinish(ss)
+      if (!converged && fp._1 > 0L && fp._1 <= localMax) return withSingletons(allNodes, localFinish(ss))
       prev = fp
       cur = ss
       round += 1
@@ -214,8 +229,16 @@ object ConnectedComponents {
 
     // At convergence the edge set is a star forest: every edge is
     // (componentMin, node). Roots label themselves.
-    cur.select(col("v").as("node"), col("u").as("comp"))
+    val assigned = cur.select(col("v").as("node"), col("u").as("comp"))
       .union(cur.select(col("u").as("node"), col("u").as("comp")))
       .groupBy(col("node")).agg(min(col("comp")).as("comp"))
+    withSingletons(allNodes, assigned)
   }
+
+  /** Close the output over the full input node set: nodes whose only edges
+    * were self-loops never enter the contraction and label themselves.
+    */
+  private def withSingletons(allNodes: DataFrame, assigned: DataFrame): DataFrame =
+    allNodes.join(assigned, Seq("node"), "left")
+      .select(col("node"), coalesce(col("comp"), col("node")).as("comp"))
 }

@@ -201,7 +201,30 @@ private[sources] class ReplayMicroBatchStream(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ReplayRangeReaderFactory
+    // runs on the driver: capture the session's Hadoop conf so executors
+    // read the replay log with the same filesystem settings (credentials,
+    // scheme impls) the driver prepared it with — a blank Configuration on
+    // the executor would only work for plain local paths
+    new ReplayRangeReaderFactory(
+      new HadoopConfHolder(SparkSession.active.sessionState.newHadoopConf()))
+}
+
+/** Java-serializable wrapper for a Hadoop Configuration (the class itself
+  * is Writable, not Serializable) — same pattern as Spark's internal
+  * SerializableConfiguration, self-contained here because that class is
+  * private[spark].
+  */
+private[sources] class HadoopConfHolder(@transient var conf: org.apache.hadoop.conf.Configuration)
+    extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    conf.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    conf = new org.apache.hadoop.conf.Configuration(false)
+    conf.readFields(in)
+  }
 }
 
 /** Offsets-only partition descriptor: the executor reads rows
@@ -210,9 +233,10 @@ private[sources] class ReplayMicroBatchStream(
 private[sources] case class ReplayRangePartition(file: String, start: Long, end: Long)
     extends InputPartition
 
-private[sources] class ReplayRangeReaderFactory extends PartitionReaderFactory {
+private[sources] class ReplayRangeReaderFactory(confHolder: HadoopConfHolder)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new ReplayRangeReader(partition.asInstanceOf[ReplayRangePartition])
+    new ReplayRangeReader(partition.asInstanceOf[ReplayRangePartition], confHolder.conf)
 }
 
 /** Executor-side range reader over the sorted replay log. Whole row groups
@@ -222,7 +246,8 @@ private[sources] class ReplayRangeReaderFactory extends PartitionReaderFactory {
   * shape: per-batch work is O(rows in range + one footer), independent of
   * how far into the log the stream has progressed.
   */
-private[sources] class ReplayRangeReader(p: ReplayRangePartition)
+private[sources] class ReplayRangeReader(
+    p: ReplayRangePartition, hadoopConf: org.apache.hadoop.conf.Configuration)
     extends PartitionReader[InternalRow] {
 
   import org.apache.parquet.example.data.Group
@@ -231,8 +256,7 @@ private[sources] class ReplayRangeReader(p: ReplayRangePartition)
 
   private val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
     org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-      new org.apache.hadoop.fs.Path(p.file),
-      new org.apache.hadoop.conf.Configuration()))
+      new org.apache.hadoop.fs.Path(p.file), hadoopConf))
   private val schema = reader.getFooter.getFileMetaData.getSchema
   private val columnIO = new ColumnIOFactory().getColumnIO(schema)
   private val blockRows: Array[Long] = {

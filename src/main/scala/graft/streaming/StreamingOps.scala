@@ -43,7 +43,11 @@ object StreamingOps {
       .filter(col("value").isNotNull)
       .groupBy(window(col("ts"), grain), col("metric"))
       .agg(
-        avg(col("value")).as("avg_value"),
+        // the SAME order-independent decimal average as the batch MV
+        // (RelationalOps.bucketAggOn / Model.exactAvg4): a plain double
+        // avg is partition-order-dependent, so the streaming MV parquet
+        // would differ digit-for-digit from the oracle-checked batch MV
+        graft.model.Model.exactAvg4("value").as("avg_value"),
         min(col("value")).as("min_value"),
         max(col("value")).as("max_value"),
         count(col("value")).as("sample_count")
@@ -261,33 +265,53 @@ object StreamingOps {
   /** Streaming benchmark decontamination: flag each arriving doc against a
     * STATIC eval-set gram table — the online form of
     * CurationOps.decontaminate, run as admission control in front of a
-    * training-data store. Stream-static broadcast join: the eval grams are
-    * a fixed broadcast table (a benchmark is MBs), the per-doc gram
-    * explode is in-row via the native ngram_hashes expression, and the
-    * aggregation state is one small row per FLAGGED doc (each doc_id
-    * arrives once, so the per-key state never grows after its batch —
-    * same state profile as dedupExactStream's digest store).
+    * training-data store.
+    *
+    * The eval side is pinned ONCE as a local relation: a benchmark is MBs,
+    * and a stream-static join re-evaluates its static plan every trigger —
+    * as a LocalRelation the grams are extracted exactly once at stream
+    * build and only re-broadcast per batch (no per-trigger file scan, no
+    * cache lifecycle to manage). Per-doc gram extraction is the in-row
+    * native expression.
+    *
+    * Aggregation is flatMapGroupsWithState in APPEND mode — the mode every
+    * other job in this pipeline runs (a plain streaming groupBy cannot run
+    * in append without an event-time watermark, and doc_id is not event
+    * time). A doc's grams all arrive in its own micro-batch, so the group
+    * completes immediately; the state is one boolean per flagged doc,
+    * which makes source redelivery idempotent (emit once per doc).
     */
   def decontaminateStream(docs: DataFrame, evalDocs: DataFrame): DataFrame = {
-    // cache: a stream-static join re-evaluates the static side every
-    // micro-batch; materializing the gram table once makes each trigger a
-    // broadcast reuse instead of a fresh scan + explode
-    val evalGrams = evalDocs
-      .select(explode(graft.ops.DedupOps.ngramHashSet(
-        graft.ops.TextOps.normText(col("text")))).as("gram"),
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val evalGrams = spark.createDataset(
+      evalDocs.select(
+        explode(graft.ops.DedupOps.ngramHashSet(
+          graft.ops.TextOps.normText(col("text")))).as("gram"),
         col("doc_id").as("eval_doc"))
-      .cache()
+        .as[(Long, Long)].collect().toSeq
+    ).toDF("gram", "eval_doc")
     docs
       .select(col("doc_id"),
         explode(graft.ops.DedupOps.ngramHashSet(
           graft.ops.TextOps.normText(col("text")))).as("gram"))
       .join(broadcast(evalGrams), "gram")
-      .groupBy(col("doc_id"))
-      // streaming aggregation cannot plan COUNT(DISTINCT); the set state
-      // is equivalent and bounded by the doc's eval matches, not the stream
-      .agg(
-        size(collect_set(col("gram"))).cast("long").as("n_shared_grams"),
-        size(collect_set(col("eval_doc"))).cast("long").as("n_eval_docs"))
+      .select(col("doc_id"), col("gram"), col("eval_doc"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, (Long, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (id: Long, rows: Iterator[(Long, Long, Long)], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            val grams = scala.collection.mutable.HashSet.empty[Long]
+            val evals = scala.collection.mutable.HashSet.empty[Long]
+            rows.foreach { r => grams += r._2; evals += r._3 }
+            Iterator((id, grams.size.toLong, evals.size.toLong))
+          }
+      }
+      .toDF("doc_id", "n_shared_grams", "n_eval_docs")
   }
 
   /** Ingest dataflow (§3.1): JSON envelope → flatten → type dispatch →
@@ -295,31 +319,33 @@ object StreamingOps {
     * dimension looked up at stream time (hydration_agent/main.py:73-74).
     */
   def ingest(payloads: DataFrame, contextDf: DataFrame): DataFrame = {
+    // `value` parses as VARIANT — the one schema type that PRESERVES the
+    // JSON type of the payload. The reference dispatches on exactly that
+    // type (isinstance(val, (int, float)) and not bool), so the string
+    // channel must survive parsing: a StringType field would coerce
+    // numbers, bools and strings to indistinguishable text, and a regex
+    // over the raw payload is a second parser that can disagree with the
+    // first (whitespace forms, escaped quotes in other fields).
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("node_id", org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.VariantType),
       org.apache.spark.sql.types.StructField("ts_us", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType)
     ))
-    // the wire's type channel: whether the JSON value was a quoted string.
-    // from_json coerces numbers/bools to the StringType field, erasing the
-    // JSON type — the quote is the surviving evidence, and the reference
-    // dispatches on exactly that type (isinstance), not on parseability
     payloads
+      .select(from_json(col("payload"), schema).as("m"))
+      .withColumn("raw", expr("try_variant_get(m.value, '$', 'string')"))
+      .withColumn("value_is_str", expr("schema_of_variant(m.value)") === lit("STRING"))
       .select(
-        from_json(col("payload"), schema).as("m"),
-        col("payload").rlike("\"value\"[ \t]*:[ \t]*\"").as("value_is_str"))
-      .select(col("m.*"), col("value_is_str"))
-      .select(
-        col("event_id"),
-        timestamp_micros(col("ts_us")).as("time"),
-        col("node_id").as("metric"),
+        col("m.event_id").as("event_id"),
+        timestamp_micros(col("m.ts_us")).as("time"),
+        col("m.node_id").as("metric"),
         // the shared dispatch rule — same column logic as the
         // oracle-checked batch q_type_dispatch
-        graft.ops.DataflowOps.dispatchNum("value", col("value_is_str")).as("value_num"),
-        graft.ops.DataflowOps.dispatchStr("value", col("value_is_str")).as("value_str"),
-        col("user_id")
+        graft.ops.DataflowOps.dispatchNum("raw", col("value_is_str")).as("value_num"),
+        graft.ops.DataflowOps.dispatchStr("raw", col("value_is_str")).as("value_str"),
+        col("m.user_id").as("user_id")
       )
       .join(broadcast(contextDf), Seq("user_id"), "left")
   }

@@ -90,6 +90,22 @@ class ConnectedComponentsSpec extends SparkSuite {
     check((1L to 2000L).map(i => (9999999L, i)))
   }
 
+  test("self-loop-only nodes get their singleton row (contract: every input node)") {
+    import spark.implicits._
+    // node 9 appears ONLY as a self-loop; node 1-2 is a real component —
+    // both threshold paths must emit (9, 9), not drop the node
+    for (threshold <- Seq("0", (1L << 20).toString)) {
+      spark.conf.set("graft.cc.localFinishEdges", threshold)
+      try {
+        val got = ConnectedComponents.components(
+          Seq((9L, 9L), (1L, 2L)).toDF("a", "b"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == Map(9L -> 9L, 1L -> 1L, 2L -> 1L),
+          s"self-loop singleton missing (localFinishEdges=$threshold): $got")
+      } finally spark.conf.unset("graft.cc.localFinishEdges")
+    }
+  }
+
   test("empty edge set yields empty assignment") {
     import spark.implicits._
     val got = ConnectedComponents.components(Seq.empty[(Long, Long)].toDF("a", "b"))

@@ -73,7 +73,7 @@ class PipelineSpec extends SparkSuite {
       val expected = ev
         .groupBy(window(col("ts"), "1 minute"), col("event_type").as("metric"))
         .agg(
-          avg(col("value")).as("avg_value"),
+          graft.model.Model.exactAvg4("value").as("avg_value"),
           min(col("value")).as("min_value"),
           max(col("value")).as("max_value"),
           count(col("value")).as("sample_count"))
@@ -114,7 +114,7 @@ class PipelineSpec extends SparkSuite {
       val expected = ev
         .groupBy(window(col("ts"), "1 hour"), col("event_type").as("metric"))
         .agg(
-          avg(col("value")).as("avg_value"),
+          graft.model.Model.exactAvg4("value").as("avg_value"),
           min(col("value")).as("min_value"),
           max(col("value")).as("max_value"),
           count(col("value")).as("sample_count"))

@@ -224,7 +224,7 @@ class StreamingSpec extends SparkSuite {
     val q = StreamingOps.decontaminateStream(
         mem.toDF().toDF("doc_id", "text"), evalDocs)
       .writeStream.format("memory").queryName("decon_out")
-      .outputMode("complete").start()
+      .outputMode("append").start()
     try {
       mem.addData(train(0))
       q.processAllAvailable()
