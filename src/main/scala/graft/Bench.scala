@@ -69,6 +69,16 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(1)
     val selected = only.fold(SparkEntry.queries)(ks => SparkEntry.queries.filter(kv => ks(kv._1)))
+    // a subset matching nothing must not print a valid 0.0-total line —
+    // that is the errored-query-benches-as-0s hole at the subset level
+    only.foreach { ks =>
+      val unknown = ks -- SparkEntry.queries.keySet
+      if (selected.isEmpty || unknown.nonEmpty) {
+        System.err.println(s"BENCH FAILED: unknown query keys in SPARK_GRAFT_ONLY: ${unknown.mkString(", ")}")
+        spark.stop()
+        sys.exit(1)
+      }
+    }
     // untimed per-query warmup at the smallest fixture: executes every
     // query's full plan once so Janino codegen compilation, analyzer-rule
     // class loading, and aggregator/state class init happen OUTSIDE the
@@ -115,13 +125,17 @@ object Bench {
     // Host-contention defense. This container's wall-clock swings 10-40x on
     // identical binaries with the CPU idle (PERF.md: a 0.45 s JSON
     // projection has benched at 255 s with zero code delta). A query whose
-    // time is BOTH absolutely slow AND a large multiple of the suite median
-    // is a contention burst, not compute; re-measure only those once, same
-    // protocol, and keep the per-query minimum. A second sample can only
-    // tighten an overestimate — it cannot make a genuinely slow query look
-    // fast, because genuine compute reproduces on the retry.
+    // time is BOTH absolutely slow AND a >10x outlier against the suite
+    // median is re-measured once under the identical protocol and the
+    // minimum kept. This selection is one-sided by construction — min-of-2
+    // applied only to first-pass outliers can shave ordinary run-to-run
+    // variance off a genuinely heavy query, not just contention bursts —
+    // so every retry is DISCLOSED in the output ("retried": both samples),
+    // making the provenance of each corrected number auditable rather than
+    // indistinguishable from a speedup.
     val firstPass = results
     val okTimes = firstPass.collect { case (_, v, None) => v }.toSeq.sorted
+    val retried = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
     val corrected =
       if (okTimes.isEmpty) firstPass
       else {
@@ -132,20 +146,34 @@ object Bench {
             val err =
               try { selected(name)(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
               catch { case e: Throwable => Some(s"${e.getClass.getSimpleName}: ${e.getMessage}") }
-            spark.catalog.clearCache()
+            // clock stops BEFORE clearCache, same as the main rep loop —
+            // the two samples feeding the min must measure the same thing
             val t2 = (System.nanoTime() - t0) / 1e9
-            if (err.isEmpty) (name, math.min(t, t2), None) else (name, t, None)
+            spark.catalog.clearCache()
+            if (err.isEmpty) { retried(name) = (t, t2); (name, math.min(t, t2), None) }
+            else (name, t, None)
           case other => other
         }
       }
-    def jstr(s: String): String =
-      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", " ") + "\""
+    // full JSON string escape (backslash, quote, ALL control chars) — an
+    // exception message with a tab or CR must not break the driver's parse
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     val ok = corrected.collect { case (k, v, None) => k -> v }
     val failed = corrected.collect { case (k, _, Some(e)) => k -> e }
     val qs = ok.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val errs = failed.map { case (k, e) => s"\"" + k + "\":" + jstr(e) }.mkString("{", ",", "}")
     val total = if (ok.nonEmpty) ok.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val retr = retried.map { case (k, (a, b)) => "\"" + k + "\":[" + a + "," + b + "]" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"retried":$retr,"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) {
       System.err.println(s"BENCH FAILED: ${failed.size} queries errored: ${failed.map(_._1).mkString(", ")}")

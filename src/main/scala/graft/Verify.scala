@@ -21,7 +21,17 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    var failures = List.empty[String]
     SparkEntry.queries.foreach { case (name, fn) =>
+      // delete any previous dump FIRST: a query that throws before its
+      // overwrite starts must leave a missing dir (a red row in the
+      // driver's compare), never a stale pass from an earlier run
+      val target = java.nio.file.Paths.get(s"$outDir/$name")
+      if (java.nio.file.Files.exists(target)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(target).sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.delete)
+      }
       try {
         val out = fn(spark, sfDir)
         // Session TZ is UTC, so TIMESTAMP → TIMESTAMP_NTZ keeps the wall
@@ -37,9 +47,13 @@ object Verify {
         }
         casted.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       } catch { case e: Throwable =>
+        failures ::= name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    if (failures.nonEmpty)
+      System.err.println(
+        s"[verify] ${failures.size} queries failed (missing dumps): ${failures.reverse.mkString(", ")}")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

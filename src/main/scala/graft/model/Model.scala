@@ -58,7 +58,12 @@ object Model {
     * round at the end stays IEEE-identical.
     */
   def exactSum(c: Column, digits: Int): Column =
-    round(sum(c.cast("decimal(28,6)")).cast("double"), digits)
+    // round the DECIMAL, then cast: decimal rounding is exact half-away-
+    // from-zero in both engines, and the one double conversion of an
+    // identical decimal is bit-equal. (round-after-cast would round a
+    // double — Spark rounds its shortest decimal string, DuckDB its binary
+    // value, which diverge on shortest-strings carrying a 5 at digit d+1.)
+    round(sum(c.cast("decimal(28,6)")), digits).cast("double")
 
   /** 4-digit-rounded mean computed entirely in integer arithmetic. The
     * decimal sum avoids order dependence; the bigger trap is the round
@@ -73,11 +78,36 @@ object Model {
     expr(exactAvg4Sql(colName).replace(" // ", " div "))
 
   def exactAvg4Sql(colName: String): String =
+    // the half-adjust term carries the sum's sign: integer division
+    // truncates toward zero in both engines, so an unconditional +count
+    // would round negative sums toward zero instead of half-away
     s"CAST((CAST(sum(CAST($colName AS DECIMAL(28,2))) * 100 AS BIGINT) * 200 " +
-      s"+ count($colName)) // (2 * count($colName)) AS DOUBLE) / 10000.0"
+      s"+ (CASE WHEN sum(CAST($colName AS DECIMAL(28,2))) < 0 " +
+      s"THEN -count($colName) ELSE count($colName) END)) " +
+      s"// (2 * count($colName)) AS DOUBLE) / 10000.0"
 
   def exactSumSql(col: String, digits: Int): String =
-    s"round(CAST(sum(CAST($col AS DECIMAL(28,6))) AS DOUBLE), $digits)"
+    s"CAST(round(sum(CAST($col AS DECIMAL(28,6))), $digits) AS DOUBLE)"
+
+  /** Portable fixed-digit rounding of a computed double:
+    * floor(x·10^d + 0.5) / 10^d. floor and double multiply/divide are
+    * IEEE-identical in Spark and DuckDB, so the result is bit-equal
+    * cross-engine for EVERY input — unlike round(double, d), where Spark
+    * rounds the value's shortest decimal string (BigDecimal HALF_UP) and
+    * DuckDB rounds the binary value; the two disagree whenever the
+    * shortest string carries a 5 at digit d+1 but the binary value sits
+    * just below the half. Halves round toward +infinity (an exact binary
+    * half of x·10^d essentially cannot occur for measured ratios).
+    */
+  def roundN(c: Column, digits: Int): Column = {
+    val f = math.pow(10, digits)
+    floor(c * f + 0.5) / f
+  }
+
+  def roundNSql(e: String, digits: Int): String = {
+    val f = BigDecimal(10).pow(digits).toLong
+    s"floor(($e) * $f.0 + 0.5) / $f.0"
+  }
 
   val ImmediateDeviationPct = 10.0 // opcua_server/main.py:21
   val TrendDeviationPct = 2.0      // opcua_server/main.py:22

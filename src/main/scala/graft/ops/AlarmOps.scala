@@ -42,7 +42,7 @@ object AlarmOps {
       .select(
         col("event_id"),
         col("event_type").as("metric"),
-        round(col("pct"), 4).as("deviation_pct")
+        Model.roundN(col("pct"), 4).as("deviation_pct")
       )
       .resultOrder(col("event_id"))
 
@@ -79,7 +79,7 @@ object AlarmOps {
         col("event_id"),
         col("user_id"),
         col("event_type").as("metric"),
-        round(col("min_abs_pct"), 4).as("min_abs_pct")
+        Model.roundN(col("min_abs_pct"), 4).as("min_abs_pct")
       )
       .resultOrder(col("event_id"))
   }
@@ -173,7 +173,7 @@ object AlarmOps {
         col("event_id"),
         col("user_id"),
         col("completed"),
-        round(least(lit(100.0), col("completed") / 30 * 100), 4).as("progress_pct")
+        Model.roundN(least(lit(100.0), col("completed") / 30 * 100), 4).as("progress_pct")
       )
       .resultOrder(col("event_id"))
   }
@@ -197,7 +197,7 @@ object AlarmOps {
     Map(
       "q_deviation_immediate" ->
         s"""WITH t AS ($base)
-           |SELECT event_id, event_type AS metric, round($pctSql, 4) AS deviation_pct
+           |SELECT event_id, event_type AS metric, ${Model.roundNSql(pctSql, 4)} AS deviation_pct
            |FROM t WHERE t <> 0 AND abs($pctSql) > 10
            |ORDER BY event_id""".stripMargin,
       "q_deviation_trend" ->
@@ -210,7 +210,7 @@ object AlarmOps {
            |  FROM b WHERE t <> 0 AND value IS NOT NULL
            |  WINDOW win AS (PARTITION BY user_id, event_type ORDER BY ts, event_id
            |                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))
-           |SELECT event_id, user_id, event_type AS metric, round(min_abs_pct, 4) AS min_abs_pct
+           |SELECT event_id, user_id, event_type AS metric, ${Model.roundNSql("min_abs_pct", 4)} AS min_abs_pct
            |FROM w WHERE n_in_window = 3 AND min_abs_pct > 2 AND abs_pct <= 10
            |ORDER BY event_id""".stripMargin,
       "q_feeder_low_edge" ->
@@ -255,13 +255,13 @@ object AlarmOps {
           |WHERE last_error > 100 AND last_click > 5 AND last_view > 5 AND last_purchase > 5
           |ORDER BY user_id""".stripMargin,
       "q_order_progress" ->
-        """WITH w AS (
+        s"""WITH w AS (
           |  SELECT event_id, user_id,
           |    count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
           |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS completed
           |  FROM events WHERE event_type = 'purchase')
           |SELECT event_id, user_id, completed,
-          |       round(least(CAST(100.0 AS DOUBLE), completed / 30 * 100), 4) AS progress_pct
+          |       ${Model.roundNSql("least(CAST(100.0 AS DOUBLE), completed / 30 * 100)", 4)} AS progress_pct
           |FROM w ORDER BY event_id""".stripMargin,
       "q_alarm_retention" ->
         """WITH w AS (

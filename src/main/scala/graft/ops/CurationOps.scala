@@ -169,8 +169,8 @@ object CurationOps {
          |  FROM t),
          |q AS (
          |  SELECT doc_id, lang, n_tokens,
-         |    round(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
-         |          * (1.0 - punct_ratio) * (0.5 + least(stop_ratio, 0.5)), 4) AS quality
+         |    floor(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+         |          * (1.0 - punct_ratio) * (0.5 + least(stop_ratio, 0.5)) * 10000.0 + 0.5) / 10000.0 AS quality
          |  FROM r),
          |c AS (
          |  SELECT doc_id, lang, n_tokens, quality,

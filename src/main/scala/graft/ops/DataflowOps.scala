@@ -294,7 +294,7 @@ object DataflowOps {
         |FROM events ORDER BY event_id""".stripMargin,
     "snk_mqtt" ->
       """SELECT event_type AS node_id, 'machine/data' AS topic, 0 AS qos,
-        |       count(*) AS n_msgs, round(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 2) AS checksum
+        |       count(*) AS n_msgs, CAST(round(sum(CAST(value AS DECIMAL(28,6))), 2) AS DOUBLE) AS checksum
         |FROM events GROUP BY event_type ORDER BY node_id""".stripMargin,
     "src_kafka" ->
       """SELECT 'machine_events' AS topic, CAST(event_id % 4 AS INTEGER) AS partition,
@@ -302,7 +302,7 @@ object DataflowOps {
         |FROM events ORDER BY msg_offset""".stripMargin,
     "snk_kafka" ->
       """SELECT 'machine_events' AS topic, CAST(event_id % 4 AS INTEGER) AS partition,
-        |       count(*) AS n_records, round(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 2) AS checksum
+        |       count(*) AS n_records, CAST(round(sum(CAST(value AS DECIMAL(28,6))), 2) AS DOUBLE) AS checksum
         |FROM events GROUP BY 2 ORDER BY partition""".stripMargin,
     "q_enrich_join" ->
       """SELECT e.event_id, e.event_type, e.value, c.c_name AS operator,

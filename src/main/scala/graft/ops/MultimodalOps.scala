@@ -94,7 +94,8 @@ object MultimodalOps {
     * 4 decimals like every float the oracle reproduces.
     */
   def multimodalFeatures(s: SparkSession, dir: String): DataFrame = {
-    val flat = (0 until HistBins).map(i => round(col("features").getItem(i), 4).as(s"f$i"))
+    val flat = (0 until HistBins).map(i =>
+      graft.model.Model.roundN(col("features").getItem(i), 4).as(s"f$i"))
     multimodalFeaturesTyped(s, dir)
       .select(Seq(col("doc_id"), col("format"), col("n_chars")) ++ flat: _*)
       .resultOrder(col("doc_id"))
@@ -183,7 +184,7 @@ object MultimodalOps {
          |ORDER BY d.doc_id""".stripMargin,
     "q_multimodal_features" -> {
       val bins = (0 until HistBins)
-        .map(b => s"round(CAST(count(CASE WHEN bin = $b THEN 1 END) AS DOUBLE) / greatest(d.n, 1), 4) AS f$b")
+        .map(b => s"${graft.model.Model.roundNSql(s"CAST(count(CASE WHEN bin = $b THEN 1 END) AS DOUBLE) / greatest(d.n, 1)", 4)} AS f$b")
         .mkString(", ")
       s"""WITH d AS (SELECT doc_id, coalesce(text, '') AS text, length(coalesce(text, '')) AS n FROM documents),
          |cp AS (

@@ -285,7 +285,7 @@ object RelationalOps {
          |QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY ts DESC, event_id DESC) = 1
          |ORDER BY metric""".stripMargin,
     "q_in_list" ->
-      """SELECT event_type, count(*) AS n, round(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 2) AS total
+      """SELECT event_type, count(*) AS n, CAST(round(sum(CAST(value AS DECIMAL(28,6))), 2) AS DOUBLE) AS total
         |FROM events WHERE event_type IN ('click', 'purchase', 'signup')
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_coalesce_cast" ->

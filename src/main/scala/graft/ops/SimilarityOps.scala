@@ -41,7 +41,7 @@ object SimilarityOps {
     emb
       .filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(query))
-      .withColumn("cos_sim", round(cosineSim(col("embedding"), col("q")), 4))
+      .withColumn("cos_sim", graft.model.Model.roundN(cosineSim(col("embedding"), col("q")), 4))
       .select(col("vec_id"), col("label"), col("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)
@@ -87,7 +87,7 @@ object SimilarityOps {
     bucketed
       .filter(col("vec_id") =!= 0)
       .join(broadcast(probes), col("bucket") === col("probe"))
-      .withColumn("cos_sim", round(cosineSim(col("embedding"), col("q")), 4))
+      .withColumn("cos_sim", graft.model.Model.roundN(cosineSim(col("embedding"), col("q")), 4))
       .select(col("vec_id"), col("label"), col("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)
@@ -131,7 +131,7 @@ object SimilarityOps {
     emb
       .filter(col("vec_id") =!= 0)
       .join(broadcast(probed), "label")
-      .withColumn("cos_sim", round(cosineSim(col("embedding"), col("q")), 4))
+      .withColumn("cos_sim", graft.model.Model.roundN(cosineSim(col("embedding"), col("q")), 4))
       .select(col("vec_id"), col("label"), col("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)
@@ -232,7 +232,9 @@ object SimilarityOps {
           cos = dot / (vs(a)._3 * vs(b)._3)
           if cos >= thr
         } yield (vs(a)._1, vs(b)._1, label,
-          BigDecimal(cos).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          // same portable rounding as Model.roundN (floor(x*1e4+0.5)/1e4):
+          // IEEE-identical to the oracle's floor form for every double
+          math.floor(cos * 10000.0 + 0.5) / 10000.0)
       }
       .toDF("i", "j", "label", "cos_sim")
       .resultOrder(col("i"), col("j"))
@@ -260,9 +262,9 @@ object SimilarityOps {
          |  SELECT xor(q.qb, m.m) AS probe, q.qe
          |  FROM q, (SELECT unnest($lshProbeMasks) AS m) m)
          |SELECT b.vec_id, b.label,
-         |       round(list_dot_product(CAST(b.embedding AS DOUBLE[]), p.qe)
+         |       floor(list_dot_product(CAST(b.embedding AS DOUBLE[]), p.qe)
          |         / (sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))
-         |            * sqrt(list_dot_product(p.qe, p.qe))), 4) AS cos_sim
+         |            * sqrt(list_dot_product(p.qe, p.qe))) * 10000.0 + 0.5) / 10000.0 AS cos_sim
          |FROM b JOIN probes p ON b.bucket = p.probe
          |WHERE b.vec_id <> 0
          |ORDER BY cos_sim DESC, b.vec_id
@@ -281,7 +283,7 @@ object SimilarityOps {
          |           i -> CASE WHEN embedding[i] >= 0 THEN power(2.0, i - 1) ELSE 0.0 END)), 0.0) AS bucket
          |  FROM embeddings, p)
          |SELECT a.vec_id AS i, b.vec_id AS j, a.label AS label,
-         |       round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cos_sim
+         |       floor(list_dot_product(a.v, b.v) / (a.nrm * b.nrm) * 10000.0 + 0.5) / 10000.0 AS cos_sim
          |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id AND a.bucket = b.bucket
          |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= $EmbedCosineThreshold
          |ORDER BY i, j""".stripMargin,
@@ -303,9 +305,9 @@ object SimilarityOps {
         |           label
         |  LIMIT 2)
         |SELECT e.vec_id, e.label,
-        |       round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qe)
+        |       floor(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qe)
         |         / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
-        |            * sqrt(list_dot_product(q.qe, q.qe))), 4) AS cos_sim
+        |            * sqrt(list_dot_product(q.qe, q.qe))) * 10000.0 + 0.5) / 10000.0 AS cos_sim
         |FROM embeddings e JOIN probe USING (label), q
         |WHERE e.vec_id <> 0
         |ORDER BY cos_sim DESC, e.vec_id
@@ -314,9 +316,9 @@ object SimilarityOps {
       """WITH q AS (
         |  SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0)
         |SELECT vec_id, label,
-        |  round(list_dot_product(CAST(embedding AS DOUBLE[]), qe)
+        |  floor(list_dot_product(CAST(embedding AS DOUBLE[]), qe)
         |    / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
-        |       * sqrt(list_dot_product(qe, qe))), 4) AS cos_sim
+        |       * sqrt(list_dot_product(qe, qe))) * 10000.0 + 0.5) / 10000.0 AS cos_sim
         |FROM embeddings, q WHERE vec_id <> 0
         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
   )

@@ -34,11 +34,11 @@ object TextOps {
         col("lang"),
         length(col("text")).cast("long").as("n_chars"),
         size(col("toks")).cast("long").as("n_tokens"),
-        round(
+        graft.model.Model.roundN(
           length(regexp_replace(col("text"), "\\s", "")).cast("double") / size(col("toks")),
           4
         ).as("avg_token_len"),
-        round(
+        graft.model.Model.roundN(
           size(expr("filter(toks, t -> t IN ('the', 'a'))")).cast("double") / size(col("toks")),
           4
         ).as("stop_ratio"),
@@ -87,7 +87,7 @@ object TextOps {
           .when(col("s_de") >= best, "de")
           .when(col("s_fr") >= best, "fr")
           .otherwise("es").as("predicted"),
-        round(best, 6).as("score")
+        graft.model.Model.roundN(best, 6).as("score")
       )
       .resultOrder(col("doc_id"))
   }
@@ -155,7 +155,7 @@ object TextOps {
       .withColumn("stop_ratio",
         size(expr("filter(toks, t -> t IN ('the', 'a'))")).cast("double") / col("n_tokens"))
       .withColumn("quality",
-        round(
+        graft.model.Model.roundN(
           least(col("n_tokens").cast("double") / 100.0, lit(1.0)) *
             (lit(1.0) - col("punct_ratio")) *
             (lit(0.5) + least(col("stop_ratio"), lit(0.5))),
@@ -167,8 +167,8 @@ object TextOps {
       col("doc_id"),
       col("lang"),
       col("n_tokens"),
-      round(col("punct_ratio"), 4).as("punct_ratio"),
-      round(col("stop_ratio"), 4).as("stop_ratio"),
+      graft.model.Model.roundN(col("punct_ratio"), 4).as("punct_ratio"),
+      graft.model.Model.roundN(col("stop_ratio"), 4).as("stop_ratio"),
       col("quality")
     ).resultOrder(col("doc_id"))
   }
@@ -184,7 +184,7 @@ object TextOps {
         col("lang"),
         size(split(trim(col("text")), "\\s+")).cast("long").as("n_ws_tokens"),
         size(regexp_extract_all(col("text"), lit("[a-z]{1,4}"), lit(0))).cast("long").as("n_bpe_tokens"),
-        round(
+        graft.model.Model.roundN(
           length(col("text")).cast("double") /
             size(regexp_extract_all(col("text"), lit("[a-z]{1,4}"), lit(0))),
           4
@@ -218,10 +218,10 @@ object TextOps {
          |    CAST(len(list_filter(toks, t -> t IN ('the', 'a'))) AS DOUBLE) / len(toks) AS stop_ratio
          |  FROM t)
          |SELECT doc_id, lang, n_tokens,
-         |  round(punct_ratio, 4) AS punct_ratio,
-         |  round(stop_ratio, 4) AS stop_ratio,
-         |  round(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
-         |        * (1.0 - punct_ratio) * (0.5 + least(stop_ratio, 0.5)), 4) AS quality
+         |  floor(punct_ratio * 10000.0 + 0.5) / 10000.0 AS punct_ratio,
+         |  floor(stop_ratio * 10000.0 + 0.5) / 10000.0 AS stop_ratio,
+         |  floor(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+         |        * (1.0 - punct_ratio) * (0.5 + least(stop_ratio, 0.5)) * 10000.0 + 0.5) / 10000.0 AS quality
          |FROM r ORDER BY doc_id""".stripMargin,
     "q_lang_id" ->
       s"""WITH t AS (
@@ -234,13 +234,13 @@ object TextOps {
          |       WHEN s_de >= greatest(s_en, s_de, s_fr, s_es) THEN 'de'
          |       WHEN s_fr >= greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
          |       ELSE 'es' END AS predicted,
-         |  round(greatest(s_en, s_de, s_fr, s_es), 6) AS score
+         |  floor(greatest(s_en, s_de, s_fr, s_es) * 1000000.0 + 0.5) / 1000000.0 AS score
          |FROM t ORDER BY doc_id""".stripMargin,
     "q_token_count" ->
       """SELECT doc_id, lang,
         |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_ws_tokens,
         |  CAST(len(regexp_extract_all(text, '[a-z]{1,4}')) AS BIGINT) AS n_bpe_tokens,
-        |  round(CAST(length(text) AS DOUBLE) / len(regexp_extract_all(text, '[a-z]{1,4}')), 4)
+        |  floor(CAST(length(text) AS DOUBLE) / len(regexp_extract_all(text, '[a-z]{1,4}')) * 10000.0 + 0.5) / 10000.0
         |    AS chars_per_token
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_text_stats" ->
@@ -250,9 +250,9 @@ object TextOps {
          |SELECT doc_id, lang,
          |  CAST(length(text) AS BIGINT) AS n_chars,
          |  CAST(len(toks) AS BIGINT) AS n_tokens,
-         |  round(CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / len(toks), 4)
+         |  floor(CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / len(toks) * 10000.0 + 0.5) / 10000.0
          |    AS avg_token_len,
-         |  round(CAST(len(list_filter(toks, t -> t IN ('the', 'a'))) AS DOUBLE) / len(toks), 4)
+         |  floor(CAST(len(list_filter(toks, t -> t IN ('the', 'a'))) AS DOUBLE) / len(toks) * 10000.0 + 0.5) / 10000.0
          |    AS stop_ratio,
          |  md5($normTextSql) AS fingerprint
          |FROM t ORDER BY doc_id""".stripMargin,

@@ -117,7 +117,8 @@ object StreamingOps {
           // round like the batch twin (round(min_abs_pct, 4)) so the two
           // output contracts agree digit-for-digit
           out += TrendAlarm(userId, metric, e.event_id,
-            BigDecimal(recent.min).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+            // same portable rounding as the batch twin (Model.roundN)
+            math.floor(recent.min * 10000.0 + 0.5) / 10000.0)
       }
     }
     state.update(TrendState(recent))

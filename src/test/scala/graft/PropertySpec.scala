@@ -289,4 +289,19 @@ class PropertySpec extends SparkSuite {
       assert(fab == want, s"doc $i: $fab != $want")
     }
   }
+
+  test("exactAvg4: signed half-away rounding (negative sums round away from zero)") {
+    import spark.implicits._
+    // 16 x -10.42 + 8 x -10.41 sums to exactly -250.00; the mean
+    // -10.41666... must round to -10.4167 (half away from zero). The
+    // unsigned formula truncated toward zero to -10.4166 because both
+    // engines' integer division truncates; the sign-adjusted half term
+    // fixes it identically in Spark and DuckDB.
+    val df = (Seq.fill(16)(-10.42) ++ Seq.fill(8)(-10.41)).toDF("v")
+    val got = df.agg(graft.model.Model.exactAvg4("v").as("a")).head().getDouble(0)
+    assert(got == -10.4167, s"got $got")
+    // positive twin unchanged
+    val pos = (Seq.fill(16)(10.42) ++ Seq.fill(8)(10.41)).toDF("v")
+    assert(pos.agg(graft.model.Model.exactAvg4("v").as("a")).head().getDouble(0) == 10.4167)
+  }
 }
