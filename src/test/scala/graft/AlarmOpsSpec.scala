@@ -11,12 +11,16 @@ class AlarmOpsSpec extends SparkSuite {
   // 'click' target is 250 (Model.targetCol); pct = (v-250)/250*100.
   // v=300 → +20%, v=280 → +12%, v=260 → +4%, v=255 → +2%, v=251 → 0.4%
 
-  test("deviation immediate: fires beyond ±10%, target==0 guard holds") {
+  test("deviation immediate: fires beyond ±10% STRICTLY, target==0 guard holds") {
     val df = eventsDf(Seq(
       (1L, "2024-01-01 00:00:01", 1L, "click", 300.0, "{}"), // +20% → fires
       (2L, "2024-01-01 00:00:02", 1L, "click", 260.0, "{}"), // +4%  → no
       (3L, "2024-01-01 00:00:03", 1L, "error", 999.0, "{}"), // target 0 → guarded
-      (4L, "2024-01-01 00:00:04", 1L, "click", 200.0, "{}")  // -20% → fires
+      (4L, "2024-01-01 00:00:04", 1L, "click", 200.0, "{}"), // -20% → fires
+      // boundary: EXACTLY ±10% must NOT fire (reference: abs(pct) > t10,
+      // strict — opcua_server/main.py:35)
+      (5L, "2024-01-01 00:00:05", 1L, "click", 275.0, "{}"), // +10.0% → no
+      (6L, "2024-01-01 00:00:06", 1L, "click", 225.0, "{}")  // -10.0% → no
     ))
     val got = AlarmOps.deviationImmediateOn(df).select("event_id").collect().map(_.getLong(0))
     assert(got.toSeq == Seq(1L, 4L))
@@ -34,10 +38,49 @@ class AlarmOpsSpec extends SparkSuite {
       // user 3: middle row within band breaks the run
       (6L, "2024-01-01 00:00:01", 3L, "click", 280.0, "{}"),
       (7L, "2024-01-01 00:00:02", 3L, "click", 251.0, "{}"), // 0.4% — breaks
-      (8L, "2024-01-01 00:00:03", 3L, "click", 280.0, "{}")
+      (8L, "2024-01-01 00:00:03", 3L, "click", 280.0, "{}"),
+      // user 4: run completes on a >10% row → IMMEDIATE precedence: that
+      // row fires only the immediate alarm (main.py:35-36 returns before
+      // the trend check), but it FEEDS the buffer, so the next <=10% row
+      // with all-3 >2% fires the trend alarm
+      (9L,  "2024-01-01 00:00:01", 4L, "click", 280.0, "{}"), // 12%>10 — but window incomplete anyway
+      (10L, "2024-01-01 00:00:02", 4L, "click", 265.0, "{}"), // 6%
+      (11L, "2024-01-01 00:00:03", 4L, "click", 300.0, "{}"), // +20% — all 3 >2% BUT >10%: NO trend row
+      (12L, "2024-01-01 00:00:04", 4L, "click", 265.0, "{}"), // 6% — (6,20,6) all >2% → fires
+      // boundary: EXACTLY 2% does not exceed the band (strict >)
+      (13L, "2024-01-01 00:00:01", 5L, "click", 255.0, "{}"), // +2.0%
+      (14L, "2024-01-01 00:00:02", 5L, "click", 265.0, "{}"),
+      (15L, "2024-01-01 00:00:03", 5L, "click", 265.0, "{}")  // window has a 2.0% → no fire
     ))
     val got = AlarmOps.deviationTrendOn(df).select("event_id").collect().map(_.getLong(0))
-    assert(got.toSeq == Seq(3L))
+    assert(got.toSeq == Seq(3L, 12L))
+  }
+
+  test("deviation trend: a null-value (string-payload) row never occupies a window slot") {
+    val df = eventsDfOpt(Seq(
+      (1L, "2024-01-01 00:00:01", 1L, "click", Some(251.0), "{}"), // 0.4% — breaks runs
+      (2L, "2024-01-01 00:00:02", 1L, "click", Some(260.0), "{}"), // 4%
+      (3L, "2024-01-01 00:00:03", 1L, "click", None, "{}"),        // string payload
+      (4L, "2024-01-01 00:00:04", 1L, "click", Some(265.0), "{}"), // 6%
+      (5L, "2024-01-01 00:00:05", 1L, "click", Some(270.0), "{}")  // 8% → (4,6,8) fires
+    ))
+    // without the null filter, the (2,null,4) window would count 3 rows
+    // and fire spuriously at row 4 (min ignores the null, count does not)
+    val got = AlarmOps.deviationTrendOn(df).select("event_id").collect().map(_.getLong(0))
+    assert(got.toSeq == Seq(5L), s"got ${got.toSeq}")
+  }
+
+  test("edge alarm: a null-value row inside an excursion must not re-fire") {
+    val df = eventsDfOpt(Seq(
+      (1L, "2024-01-01 00:00:01", 1L, "click", Some(250.0), "{}"),
+      (2L, "2024-01-01 00:00:02", 1L, "click", Some(150.0), "{}"), // fire
+      (3L, "2024-01-01 00:00:03", 1L, "click", None, "{}"),        // string payload
+      (4L, "2024-01-01 00:00:04", 1L, "click", Some(120.0), "{}")  // still low — must NOT fire
+    ))
+    // without the null filter, row 4's lag is NULL and the prev-IS-NULL
+    // branch re-fires inside the same excursion
+    val got = AlarmOps.edgeAlarmOn(df, 200.0).select("event_id").collect().map(_.getLong(0))
+    assert(got.toSeq == Seq(2L), s"got ${got.toSeq}")
   }
 
   test("edge alarm: fires on crossing, re-arms after recovery, initial-low fires") {

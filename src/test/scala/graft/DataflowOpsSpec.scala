@@ -12,7 +12,11 @@ class DataflowOpsSpec extends SparkSuite {
       (1L, "2024-01-01 00:00:01", 1L, "click", 6.55, "{}"),        // numeric
       (2L, "2024-01-01 00:00:02", 1L, "signup", 200.0, "{}"),      // raw 'true'
       (3L, "2024-01-01 00:00:03", 1L, "signup", 100.0, "{}"),      // raw 'false'
-      (4L, "2024-01-01 00:00:04", 1L, "error", 1.0, """{"k": 7}""") // JSON text
+      (4L, "2024-01-01 00:00:04", 1L, "error", 1.0, """{"k": 7}"""), // JSON text
+      // a STRING payload that merely looks numeric: the reference
+      // dispatches on isinstance (the variant type), so this stays
+      // value_str — a parseability-only dispatch would emit 123.0
+      (5L, "2024-01-01 00:00:05", 1L, "error", 1.0, "123")
     ))
     val rows = DataflowOps.typeDispatchOn(df)
       .collect()
@@ -22,7 +26,8 @@ class DataflowOpsSpec extends SparkSuite {
       (1L, Some(6.55), None),
       (2L, None, Some("True")),   // NOT 1.0 — Python str() capitalization
       (3L, None, Some("False")),
-      (4L, None, Some("""{"k": 7}"""))
+      (4L, None, Some("""{"k": 7}""")),
+      (5L, None, Some("123"))
     ))
   }
 

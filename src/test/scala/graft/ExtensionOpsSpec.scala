@@ -16,6 +16,24 @@ class ExtensionOpsSpec extends SparkSuite {
     assert(once.select("doc_id").distinct().count() == n)
     val total = once.agg(sum("n_copies")).head().getLong(0)
     assert(total == Tables.documents(spark, SfDir).count())
+    // the survivor is the per-normalized-text MINIMUM doc_id, checked
+    // against an independent groupBy on the raw text (a max/first
+    // regression keeps one-per-digest and still sums correctly)
+    val ref = Tables.documents(spark, SfDir)
+      .groupBy(TextOps.normText(col("text")).as("k"))
+      .agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    assert(once.select("doc_id").exceptAll(ref).count() == 0 &&
+      ref.exceptAll(once.select("doc_id")).count() == 0,
+      "survivors are not the per-text minima")
+    // idempotence: dedup over the deduped corpus keeps every row
+    val docs = Tables.documents(spark, SfDir)
+      .join(once.select("doc_id"), "doc_id")
+    import graft.ops.DedupOps // reuse nothing — run the op again on survivors
+    val twice = docs
+      .groupBy(TextOps.normText(col("text")).as("k"))
+      .agg(count(lit(1)).as("c"))
+    assert(twice.filter(col("c") > 1).count() == 0, "dedup output still has dups")
   }
 
   test("minhash candidates reproduce the exact-Jaccard pair set at J >= 0.6") {
@@ -133,14 +151,38 @@ class ExtensionOpsSpec extends SparkSuite {
     }
   }
 
-  test("ngram dedup: pairs are exact Jaccard over df-capped gram sets") {
-    val got = DedupOps.dedupNgram(spark, SfDir).collect()
+  test("ngram dedup: pairs equal an independent df-capped gram-Jaccard reference") {
+    val got = DedupOps.dedupNgram(spark, SfDir)
+      .select("i", "j", "inter").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got.nonEmpty)
-    got.foreach { r =>
-      assert(r.getAs[Long]("i") < r.getAs[Long]("j"))
-      assert(r.getAs[Double]("jaccard") >= DedupOps.NgramJaccardThreshold - 1e-9)
-      assert(r.getAs[Long]("inter") > 0)
-    }
+    // reference built from SQL primitives only (substring over the
+    // normalized text, no native expression, no shared helper): the same
+    // df-cap, the same threshold — catches a broken intersection count or
+    // posting-list expansion, which the operator's own output filters
+    // cannot (they re-assert what produced them)
+    val grams = Tables.documents(spark, SfDir)
+      .select(col("doc_id"), TextOps.normText(col("text")).as("t"))
+      .filter(length(col("t")) >= 8)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, length(t) - 7), i -> substring(t, i, 8))")).as("g"))
+      .distinct()
+    val capped = grams.groupBy("g").agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) <= 20)
+      .select(col("g"), explode(col("ids")).as("doc_id"))
+    val sizes = capped.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val ref = capped.as("a")
+      .join(capped.as("b"), col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("i"), col("n").as("na")), "i")
+      .join(sizes.select(col("doc_id").as("j"), col("n").as("nb")), "j")
+      .filter(col("inter").cast("double") / (col("na") + col("nb") - col("inter")) >=
+        DedupOps.NgramJaccardThreshold)
+      .select("i", "j", "inter").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == ref,
+      s"ngram pairs differ: only-op=${(got -- ref).take(5)} only-ref=${(ref -- got).take(5)}")
   }
 
   test("ngram extraction slides over code points, not UTF-16 code units") {
@@ -183,6 +225,24 @@ class ExtensionOpsSpec extends SparkSuite {
       assert(q >= 0.0 && q <= 1.0)
       assert(r.getAs[Double]("punct_ratio") >= 0.0 && r.getAs[Double]("punct_ratio") <= 1.0)
     }
+    // monotonicity, with everything else held equal: more punctuation must
+    // DECREASE quality; more stopwords (up to the 0.5 cap) must INCREASE
+    // it; longer docs (to 100 tokens) must not decrease it. An inverted
+    // component would keep quality in [0,1] and pass the bounds alone.
+    import spark.implicits._
+    val base = ("w1 " * 50).trim
+    val docs = Seq(
+      (1L, "en", base),                                // clean
+      (2L, "en", base.replace("w1 w1", "w1! w1,")),    // more punctuation
+      (3L, "en", ("the " * 25 + "w1 " * 25).trim),     // more stopwords
+      (4L, "en", ("w1 " * 100).trim)                   // longer
+    ).toDF("doc_id", "lang", "text")
+    val q = graft.ops.TextOps.withQualityColumns(docs)
+      .select("doc_id", "quality").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(q(2) < q(1), s"punctuation must lower quality: $q")
+    assert(q(3) > q(1), s"stopwords must raise quality (cap 0.5): $q")
+    assert(q(4) >= q(1), s"length term must not lower quality: $q")
   }
 
   test("brute-force top-k is a prefix of the full similarity sort") {
@@ -195,14 +255,31 @@ class ExtensionOpsSpec extends SparkSuite {
 
   test("LSH top-k returns same-bucket exact matches, subset of brute-force ranking") {
     val lsh = SimilarityOps.simTopKLsh(spark, SfDir, 5).collect()
-    // every LSH hit's similarity must appear in the full ranking with the
-    // same value (correct exact scoring within the bucket)
-    val all = SimilarityOps.simTopK(spark, SfDir).collect()
-      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cos_sim"))).toMap
+    assert(lsh.nonEmpty, "LSH probe ring returned no candidates — vacuous")
+    // independent exact scores for EVERY vector (not just the brute-force
+    // top-10): each LSH hit must carry the exact score, so a mis-scored or
+    // out-of-ranking candidate fails instead of skipping the assertion
+    import spark.implicits._
+    val q = Tables.embeddings(spark, SfDir).filter(col("vec_id") === 0)
+      .select("embedding").as[Array[Float]].head().map(_.toDouble)
+    val qn = math.sqrt(q.map(x => x * x).sum)
+    val exact = Tables.embeddings(spark, SfDir).filter(col("vec_id") =!= 0)
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+      .map { case (id, e) =>
+        val v = e.map(_.toDouble)
+        val dot = v.zip(q).map { case (a, b) => a * b }.sum
+        id -> math.floor(dot / (math.sqrt(v.map(x => x * x).sum) * qn) * 10000.0 + 0.5) / 10000.0
+      }.toMap
     lsh.foreach { r =>
       val id = r.getAs[Long]("vec_id")
-      all.get(id).foreach(s => assert(s == r.getAs[Double]("cos_sim")))
+      assert(exact.contains(id), s"LSH returned unknown vec $id")
+      assert(exact(id) == r.getAs[Double]("cos_sim"), s"vec $id score mismatch")
     }
+    // descending, no better-scoring SAME-BUCKET candidate was skipped:
+    // LSH's k results must be the top-k of its own candidate set — here
+    // just check ordering; recall vs exact is PropertySpec's job
+    val sims = lsh.map(_.getAs[Double]("cos_sim"))
+    assert(sims.sameElements(sims.sorted(Ordering[Double].reverse)))
   }
 
   test("IVF top-k: exact scores, candidates drawn from probed posting lists") {
@@ -253,11 +330,31 @@ class ExtensionOpsSpec extends SparkSuite {
     assert(got == Seq((1L, 2L, 3.0), (1L, 1L, 4.0), (2L, 1L, 8.0)))
   }
 
-  test("simhash: identical docs collide, banding finds all close pairs") {
+  test("simhash: band pairs EQUAL brute-force all-pairs hamming <= 3 (pigeonhole lossless)") {
     import graft.ops.DedupOps
-    val got = DedupOps.dedupSimhash(spark, SfDir).cache()
-    assert(got.count() > 0, "fixture contains near-identical docs")
-    assert(got.filter(col("hamming") > DedupOps.SimHammingMax).count() == 0)
+    val got = DedupOps.dedupSimhash(spark, SfDir)
+      .select("i", "j", "hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got.nonEmpty, "fixture contains near-identical docs")
+    // brute-force reference over the signatures themselves: the 4x15-bit
+    // banding claims to be LOSSLESS for hd <= 3 (pigeonhole) — so the band
+    // join's output must equal the full quadratic scan, not just satisfy
+    // its own post-filter. A broken band split (wrong shift stride)
+    // silently drops pairs that this set-equality catches.
+    val sims = Tables.documents(spark, SfDir)
+      .select(col("doc_id"), DedupOps.simhashSigCol(col("text")).as("sim"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val ref = (for {
+      a <- sims.indices.iterator
+      b <- (a + 1 until sims.length).iterator
+      hd = java.lang.Long.bitCount(sims(a)._2 ^ sims(b)._2)
+      if hd <= DedupOps.SimHammingMax
+    } yield {
+      val (i, j) = (sims(a)._1, sims(b)._1)
+      (math.min(i, j), math.max(i, j), hd)
+    }).toSet
+    assert(got == ref,
+      s"band join != brute force: missed=${(ref -- got).take(5)} extra=${(got -- ref).take(5)}")
   }
 
   test("embedding near-dup pairs are symmetric-free (i < j) and above threshold") {

@@ -92,8 +92,10 @@ class PropertySpec extends SparkSuite {
     val target = 250.0 // 'click'
     val scenarios = (0 until NTrials).map { u =>
       val n = 1 + rnd.nextInt(10)
-      // mix tight-to-target and far-from-target values
-      u.toLong -> Seq.fill(n)(target * (1.0 + (rnd.nextDouble() - 0.5) * 0.12))
+      // range spans BOTH alarm thresholds (±15%): runs must cross the 2%
+      // trend band AND the 10% immediate band, or the precedence rule
+      // below is untestable
+      u.toLong -> Seq.fill(n)(target * (1.0 + (rnd.nextDouble() - 0.5) * 0.30))
     }
     val rows = scenarios.flatMap { case (u, vs) =>
       vs.zipWithIndex.map { case (v, i) => ((u * 1000 + i), u, "click", i.toLong * 60, v) }
@@ -107,7 +109,12 @@ class PropertySpec extends SparkSuite {
       val expected = vs.zipWithIndex.flatMap { case (v, i) =>
         val pct = (v - target) / target * 100.0
         recent = (recent :+ math.abs(pct)).takeRight(3)
-        if (recent.size == 3 && recent.forall(_ > 2.0)) Some(u * 1000 + i) else None
+        // immediate-alarm precedence (opcua_server/main.py:35-36): a >10%
+        // cycle returns before the trend check — it feeds the buffer but
+        // never emits a trend row itself
+        if (recent.size == 3 && recent.forall(_ > 2.0) && math.abs(pct) <= 10.0)
+          Some(u * 1000 + i)
+        else None
       }
       assert(batch.getOrElse(u, Nil) == expected, s"user $u values $vs")
     }

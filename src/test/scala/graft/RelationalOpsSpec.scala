@@ -26,9 +26,24 @@ class RelationalOpsSpec extends SparkSuite {
     assert(viaOp.getDouble(1) == expected.getDouble(1))
   }
 
-  test("latest per group returns exactly one row per metric") {
+  test("latest per group: the returned row IS each metric's (ts, event_id)-max row") {
+    import org.apache.spark.sql.expressions.Window
     val df = RelationalOps.latestPerGroup(spark, SfDir)
     assert(df.count() == df.select("metric").distinct().count())
+    // independent reference: rank every event per metric and take rank 1 —
+    // a min_by / wrong-ordering regression returns the wrong row while
+    // still producing one row per key
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val expected = Tables.events(spark, SfDir)
+      .withColumn("value_str", graft.model.Model.valueStr)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_type").as("metric"), col("ts").as("time"),
+        coalesce(col("value_str"), col("value").cast("string")).as("value"))
+    assert(df.select("metric", "time", "value").exceptAll(expected).count() == 0 &&
+      expected.exceptAll(df.select("metric", "time", "value")).count() == 0,
+      "latest-per-group rows differ from the ranked reference")
   }
 
   test("alarm feed plans a broadcast join for the 1-row CTE side") {
