@@ -79,6 +79,12 @@ object SparkEntry {
     "q_sample_stratified" -> (CurationOps.sampleStratified _),
     "q_token_budget" -> (CurationOps.tokenBudget _),
     "q_decontaminate" -> (CurationOps.decontaminate _),
+    "q_source_mix" -> (CurationOps.sourceMix _),
+    // §2E cleaning stage (CleanOps): scrub/profile/gate/restructure
+    "q_pii_redact" -> (CleanOps.piiRedact _),
+    "q_repetition" -> (CleanOps.repetition _),
+    "q_quality_filter" -> (CleanOps.qualityFilter _),
+    "q_chunk_docs" -> (CleanOps.chunkDocs _),
     "q_multimodal_features" -> (MultimodalOps.multimodalFeatures _),
     "q_multimodal_resize" -> (MultimodalOps.multimodalResize _),
     "q_multimodal_frames" -> (MultimodalOps.multimodalFrames _)
@@ -89,5 +95,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     DataflowOps.oracles ++ RelationalOps.oracles ++ AlarmOps.oracles ++
       TextOps.oracles ++ DedupOps.oracles ++ SimilarityOps.oracles ++
-      SessionOps.oracles ++ MultimodalOps.oracles ++ CurationOps.oracles
+      SessionOps.oracles ++ MultimodalOps.oracles ++ CurationOps.oracles ++
+      CleanOps.oracles
 }

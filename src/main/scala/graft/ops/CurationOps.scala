@@ -126,12 +126,76 @@ object CurationOps {
       .resultOrder(col("doc_id"))
   }
 
+  /** Training-mix report: per (source, lang), document count, token mass,
+    * mean quality, and the cell's share of the corpus's tokens — the
+    * summary a mix designer reads before choosing SampleRatesPerMille /
+    * TokensPerLang, and the audit artifact after a rebuild.
+    *
+    * Determinism: token sums are integer-exact; the quality mean sums
+    * DECIMAL(18,4) (quality is already rounded to 4 places, so the cast is
+    * lossless) — order-independent, so Spark's parallel sum and DuckDB's
+    * sequential sum agree bit-for-bit (same trick as the IVF centroids).
+    *
+    * Scale: one partial+final hash aggregate on (source, lang); the share
+    * denominator is an unpartitioned window over the AGGREGATED cells
+    * (|sources| × |langs| rows — dashboard-sized at any corpus scale), not
+    * over documents.
+    */
+  def sourceMix(s: SparkSession, dir: String): DataFrame = {
+    val d = TextOps.withQualityColumns(Tables.fanOut(Tables.documents(s, dir)))
+    val g = d.groupBy(col("source"), col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("quality").cast("decimal(18,4)")).as("sum_q"))
+    val all = Window.partitionBy()
+    g.select(
+      col("source"),
+      col("lang"),
+      col("n_docs"),
+      col("n_tokens"),
+      graft.model.Model.roundN(col("sum_q").cast("double") / col("n_docs"), 4)
+        .as("avg_quality"),
+      graft.model.Model.roundN(
+        col("n_tokens").cast("double") / sum(col("n_tokens")).over(all).cast("double"),
+        6).as("token_share"))
+      .resultOrder(col("source"), col("lang"))
+  }
+
   private val ratesCaseSql: String =
     SampleRatesPerMille
       .map { case (lang, r) => s"WHEN lang = '$lang' THEN $r" }
       .mkString("CASE ", " ", " ELSE 0 END")
 
   val oracles: Map[String, String] = Map(
+    "q_source_mix" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source, lang, text,
+         |         string_split_regex(trim(text), '\\s+') AS toks,
+         |         CAST(length(text) AS DOUBLE) AS n_chars
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, source, lang,
+         |    CAST(len(toks) AS BIGINT) AS n_tokens,
+         |    (n_chars - length(regexp_replace(text, '[.,;:!?]', '', 'g'))) / n_chars AS punct_ratio,
+         |    CAST(len(list_filter(toks, t -> t IN ('the', 'a'))) AS DOUBLE) / len(toks) AS stop_ratio
+         |  FROM t),
+         |q AS (
+         |  SELECT doc_id, source, lang, n_tokens,
+         |    floor(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+         |          * (1.0 - punct_ratio) * (0.5 + least(stop_ratio, 0.5)) * 10000.0 + 0.5) / 10000.0 AS quality
+         |  FROM r),
+         |g AS (
+         |  SELECT source, lang,
+         |    CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |    sum(CAST(quality AS DECIMAL(18,4))) AS sum_q
+         |  FROM q GROUP BY 1, 2)
+         |SELECT source, lang, n_docs, n_tokens,
+         |  ${graft.model.Model.roundNSql("CAST(sum_q AS DOUBLE) / n_docs", 4)} AS avg_quality,
+         |  ${graft.model.Model.roundNSql(
+              "CAST(n_tokens AS DOUBLE) / CAST(sum(n_tokens) OVER () AS DOUBLE)", 6)} AS token_share
+         |FROM g ORDER BY source, lang""".stripMargin,
     "q_decontaminate" ->
       s"""WITH n AS (
          |  SELECT doc_id, source, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t

@@ -153,6 +153,51 @@ class PlanSpec extends SparkSuite {
       "fanOut shuffled a production-sized input")
   }
 
+  test("clean-stage projections: codegen'd, no UDF, no aggregation exchange") {
+    // piiRedact / qualityFilter / chunkDocs are scan + projection ops: the
+    // only exchanges allowed are the size-gated fanOut round-robin and the
+    // single-reducer presentation sort — never a hash exchange (that would
+    // mean an aggregation/join crept into a per-row pipeline) and never a
+    // UDF (regex/digest work must stay inside codegen)
+    Seq("q_pii_redact", "q_quality_filter", "q_chunk_docs").foreach { k =>
+      val p = plan(k)
+      assert(!p.toLowerCase.contains("scalaudf"), s"$k fell back to a UDF:\n$p")
+      assert(!p.contains("hashpartitioning"), s"$k shuffles a per-row pipeline:\n$p")
+      assert(!p.contains("HashAggregate") && !p.contains("SortAggregate"),
+        s"$k aggregates in a projection-only op:\n$p")
+    }
+  }
+
+  test("q_repetition: one scan, kind-tagged term stream, map-side combine, no join") {
+    val p = plan("q_repetition")
+    assert(!p.toLowerCase.contains("scalaudf"), s"UDF in the repetition pipeline:\n$p")
+    // ONE parquet scan (formatted explain names each scan's file index
+    // exactly once in the detail section): a words-branch/bigrams-branch
+    // formulation reads the corpus twice and joins per doc
+    assert("InMemoryFileIndex".r.findAllIn(p).size == 1,
+      s"repetition scans the corpus more than once:\n$p")
+    assert(!p.contains("Join"), s"per-doc join crept back in:\n$p")
+    // partial+final pairs for the (doc, kind, term) count and the per-doc
+    // rollup — map-side combine bounds the exploded shuffle at corpus scale
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"missing partial aggregation stages:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      s"extra exchanges in the repetition pipeline:\n$p")
+  }
+
+  test("q_source_mix: share window runs over aggregated cells, not documents") {
+    val p = plan("q_source_mix")
+    // partial+final aggregate on (source, lang) below the window
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("Window"), p)
+    // the window's single-partition exchange must sit ABOVE the aggregate
+    // (cells), never below it (documents)
+    val aggIdx = p.indexOf("HashAggregate")
+    val winIdx = p.indexOf("Window")
+    assert(winIdx >= 0 && aggIdx >= 0, p)
+    assert(!p.toLowerCase.contains("scalaudf"), p)
+  }
+
   test("q_dedup_clusters: CC ran as joins — no GraphX RDD scans, no cross join") {
     val p = plan("q_dedup_clusters")
     assert(!p.contains("CartesianProduct"), p)
