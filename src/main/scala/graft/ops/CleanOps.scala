@@ -43,7 +43,14 @@ object CleanOps {
     * Scale: pure scan + codegen'd regex projection — no shuffle, no skew;
     * at 100 TB this pipelines with the scan like q_text_stats.
     */
-  def piiRedact(s: SparkSession, dir: String): DataFrame = {
+  def piiRedact(s: SparkSession, dir: String): DataFrame =
+    piiRedactOn(Tables.fanOut(Tables.events(s, dir)))
+      .resultOrder(col("event_id"))
+
+  /** The scrub transform alone — batch and streaming alike (stateless
+    * projection, so the streaming twin IS this function).
+    */
+  def piiRedactOn(events: DataFrame): DataFrame = {
     val uid = col("user_id").cast("string")
     val line = concat(
       lit("user "), uid,
@@ -54,7 +61,7 @@ object CleanOps {
     val noEmail = regexp_replace(line, EmailRe, "<EMAIL>")
     val noIp = regexp_replace(noEmail, Ipv4Re, "<IP>")
     val clean = regexp_replace(noIp, LongNumRe, "<NUM>")
-    Tables.fanOut(Tables.events(s, dir))
+    events
       .withColumn("line", line)
       .select(
         col("event_id"),
@@ -64,7 +71,6 @@ object CleanOps {
         size(regexp_extract_all(regexp_replace(regexp_replace(col("line"), EmailRe, "<EMAIL>"),
           Ipv4Re, "<IP>"), lit(LongNumRe), lit(0))).cast("long").as("n_nums"),
         clean.as("redacted"))
-      .resultOrder(col("event_id"))
   }
 
   // ---------------------------------------------------------------------
@@ -157,7 +163,24 @@ object CleanOps {
     * Scale: in-row `array_distinct` is O(tokens) per doc (hash set), so
     * the whole op is one scan + projection — no shuffle, nothing to skew.
     */
-  def qualityFilter(s: SparkSession, dir: String): DataFrame = {
+  def qualityFilter(s: SparkSession, dir: String): DataFrame =
+    withFilterColumns(Tables.fanOut(Tables.documents(s, dir)))
+      .select(
+        col("doc_id"),
+        col("lang"),
+        col("n_tokens"),
+        roundN(col("avg_token_len"), 4).as("avg_token_len"),
+        col("n_stopwords"),
+        roundN(col("dup_word_frac"), 4).as("dup_word_frac"),
+        col("keep"))
+      .resultOrder(col("doc_id"))
+
+  /** Appends the unrounded signal columns and the `keep` verdict, keeping
+    * the input columns (text included) so callers can chain — the
+    * streaming cleanse path gates on `keep` and then chunks the survivor
+    * text. Stateless, so it applies to streams unchanged.
+    */
+  private[graft] def withFilterColumns(docs: DataFrame): DataFrame = {
     val nTokens = size(col("toks")).cast("long")
     val avgLen = length(regexp_replace(col("text"), "\\s", "")).cast("double") / nTokens
     val nStop = size(expr("filter(toks, t -> t IN ('the', 'a'))")).cast("long")
@@ -165,17 +188,13 @@ object CleanOps {
     val keep = nTokens.between(MinTokens, MaxTokens) &&
       avgLen.between(MinAvgTokenLen, MaxAvgTokenLen) &&
       nStop >= MinStopwords && dupFrac < MaxDupWordFrac
-    Tables.fanOut(Tables.documents(s, dir))
+    docs
       .withColumn("toks", toks)
-      .select(
-        col("doc_id"),
-        col("lang"),
-        nTokens.as("n_tokens"),
-        roundN(avgLen, 4).as("avg_token_len"),
-        nStop.as("n_stopwords"),
-        roundN(dupFrac, 4).as("dup_word_frac"),
-        keep.as("keep"))
-      .resultOrder(col("doc_id"))
+      .withColumn("n_tokens", nTokens)
+      .withColumn("avg_token_len", avgLen)
+      .withColumn("n_stopwords", nStop)
+      .withColumn("dup_word_frac", dupFrac)
+      .withColumn("keep", keep)
   }
 
   // ---------------------------------------------------------------------
@@ -200,7 +219,15 @@ object CleanOps {
     * corpus size.
     */
   def chunkDocs(s: SparkSession, dir: String): DataFrame =
-    Tables.fanOut(Tables.documents(s, dir))
+    chunkDocsOn(Tables.fanOut(Tables.documents(s, dir)))
+      .resultOrder(col("doc_id"), col("chunk_idx"))
+
+  /** The chunking transform alone — a pipelined Generate, stateless, so
+    * it runs on streams unchanged (the streaming cleanse path applies it
+    * to quality-gate survivors).
+    */
+  def chunkDocsOn(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), col("text"),
         posexplode(expr(s"sequence(1, length(text), $ChunkStride)"))
           .as(Seq("chunk_idx", "chunk_start")))
@@ -211,7 +238,6 @@ object CleanOps {
         length(expr(s"substr(text, chunk_start, $ChunkChars)")).cast("long")
           .as("n_chunk_chars"),
         md5(expr(s"substr(text, chunk_start, $ChunkChars)")).as("chunk_md5"))
-      .resultOrder(col("doc_id"), col("chunk_idx"))
 
   // ---------------------------------------------------------------------
   // oracles

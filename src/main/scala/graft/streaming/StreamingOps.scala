@@ -315,6 +315,26 @@ object StreamingOps {
       .toDF("doc_id", "n_shared_grams", "n_eval_docs")
   }
 
+  /** Streaming cleanse: quality-gate each arriving document and chunk the
+    * survivors — the online form of q_quality_filter → q_chunk_docs, run
+    * as admission control in front of a training-data store. Both stages
+    * are stateless projections/generates, so the streaming plan IS the
+    * batch plan (no state store, no watermark, append mode trivially) and
+    * stream ≡ batch under any micro-batch split by construction —
+    * StreamingSpec asserts it anyway.
+    */
+  def cleanseStream(docs: DataFrame): DataFrame =
+    graft.ops.CleanOps.chunkDocsOn(
+      graft.ops.CleanOps.withFilterColumns(docs)
+        .filter(col("keep"))
+        .select(col("doc_id"), col("text")))
+
+  /** Streaming PII scrub: the stateless redaction projection applied to an
+    * event stream — the wire-tap form of q_pii_redact.
+    */
+  def scrubStream(events: DataFrame): DataFrame =
+    graft.ops.CleanOps.piiRedactOn(events)
+
   /** Ingest dataflow (§3.1): JSON envelope → flatten → type dispatch →
     * broadcast enrichment. `contextDf` is the (tiny) slowly-changing
     * dimension looked up at stream time (hydration_agent/main.py:73-74).

@@ -296,4 +296,67 @@ class StreamingSpec extends SparkSuite {
       ))
     } finally q.stop()
   }
+
+  test("cleanse stream: quality gate + chunking equals batch under micro-batch splits") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // one doc per gate outcome: pass (distinct words + stopwords, long
+    // enough to chunk twice), fail-short, fail-repetitive
+    val pass = (1 to 40).map(i => f"word$i%02d").mkString(" ") + " the a the a"
+    val docs = Seq(
+      (1L, pass),
+      (2L, "tiny doc the a"), // 4 tokens < MinTokens
+      (3L, Seq.fill(30)("dup").mkString(" ") + " the a") // dup_word_frac ≈ 0.9
+    )
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingOps.cleanseStream(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("cleanse_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(docs(0))
+      q.processAllAvailable()
+      mem.addData(docs(1), docs(2)) // second micro-batch
+      q.processAllAvailable()
+      val streamed = spark.table("cleanse_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+        .toSet
+      val batch = StreamingOps.cleanseStream(docs.toDF("doc_id", "text")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+        .toSet
+      assert(streamed == batch, s"streamed $streamed vs batch $batch")
+      // only the passing doc survives the gate; its ~280 chars chunk twice
+      assert(streamed.map(_._1) == Set(1L), s"gate verdicts wrong: $streamed")
+      assert(streamed.size == 2, s"expected 2 chunks: $streamed")
+    } finally q.stop()
+  }
+
+  test("scrub stream: stateless redaction equals batch and masks the payload") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = Seq((1L, 7L, "click"), (2L, 12345L, "error"))
+    val mem = MemoryStream[(Long, Long, String)]
+    val q = StreamingOps.scrubStream(
+        mem.toDF().toDF("event_id", "user_id", "event_type"))
+      .writeStream.format("memory").queryName("scrub_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(events(0))
+      q.processAllAvailable()
+      mem.addData(events(1))
+      q.processAllAvailable()
+      val streamed = spark.table("scrub_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+        .toSet
+      val batch = graft.ops.CleanOps.piiRedactOn(
+          events.toDF("event_id", "user_id", "event_type")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+        .toSet
+      assert(streamed == batch, s"streamed $streamed vs batch $batch")
+      val byId = streamed.map(t => t._1 -> t).toMap
+      // the line wraps the address in literal angle brackets, so the
+      // masked form keeps them: <<EMAIL>>
+      assert(byId(1L)._5 == "user 7 <<EMAIL>> from <IP> did click", byId(1L).toString)
+      assert(byId(2L)._5 == "user <NUM> <<EMAIL>> from <IP> did error", byId(2L).toString)
+    } finally q.stop()
+  }
 }
