@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimilarity, MinHashSig, NGramHashes, SimHashSig, WordShingleHashes}
+import graft.functions.{CosineSimilarity, MinHashSig, NGramHashes, SimHashSig, TermFreqStats, WordShingleHashes}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 
 /** SparkSessionExtensions injector for the engine's native functions.
@@ -22,6 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((WordShingleHashes.identifier, WordShingleHashes.info, WordShingleHashes.builder))
     ext.injectFunction((MinHashSig.identifier, MinHashSig.info, MinHashSig.builder))
     ext.injectFunction((SimHashSig.identifier, SimHashSig.info, SimHashSig.builder))
+    ext.injectFunction((TermFreqStats.identifier, TermFreqStats.info, TermFreqStats.builder))
   }
 }
 
@@ -32,5 +33,6 @@ object GraftExtensions {
     WordShingleHashes.register(spark.sessionState.functionRegistry)
     MinHashSig.register(spark.sessionState.functionRegistry)
     SimHashSig.register(spark.sessionState.functionRegistry)
+    TermFreqStats.register(spark.sessionState.functionRegistry)
   }
 }

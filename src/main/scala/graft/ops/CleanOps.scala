@@ -84,51 +84,40 @@ object CleanOps {
     * (Rae et al. 2021 §A1.1 use exactly these shapes to drop
     * boilerplate/spam). High values mean templated or repeated content.
     *
-    * Scale: term frequencies need a count per (doc, term). An in-row
-    * nested loop (`transform(distinct, d -> count_if(t = d))`) is
-    * O(tokens × distinct) per document — quadratic for exactly the
-    * repetitive documents this op exists to catch. Instead ONE explode
-    * emits both unigrams and bigrams as a kind-tagged term stream from a
-    * single scan (a words-branch/bigrams-branch formulation scans the
-    * parquet twice and pays a per-doc join): partial (map-side)
-    * aggregation collapses each task's duplicates before the (doc, kind,
-    * term) exchange, so the shuffle carries at most one row per distinct
-    * term per task, and the per-doc rollup separates the kinds with
-    * conditional aggregates — two exchanges total, no join.
+    * Scale: term frequencies are a PER-DOCUMENT property — no count ever
+    * crosses a document boundary — so shipping the corpus's token stream
+    * through an explode + groupBy (two exchanges over ≈ 2× corpus size
+    * with bigrams) computes in a shuffle what one in-row pass computes in
+    * O(tokens) time and O(distinct) memory, bounded by the document, not
+    * the corpus. The native `term_freq_stats` codegen expression does
+    * exactly that pass (same pattern as `ngram_hashes`/`minhash_sig`), and
+    * the operator collapses to a pipelined scan + projection — no shuffle
+    * at any scale. (An in-row HIGHER-ORDER-FUNCTION formulation without
+    * the native expression would be O(tokens × distinct) per doc —
+    * quadratic for exactly the repetitive documents this op exists to
+    * catch; the expression's hash map keeps it linear.)
     */
   def repetition(s: SparkSession, dir: String): DataFrame = {
-    // bigrams built in-row (O(tokens) per doc); the CASE guards
-    // single-token docs where sequence(1, 0) would produce a descending
-    // range, and the CAST gives the empty branch the struct element type
-    val terms = Tables.fanOut(Tables.documents(s, dir))
-      .select(col("doc_id"), toks.as("toks"))
-      .select(col("doc_id"), explode(expr(
-        """concat(
-          |  transform(toks, t -> struct(0 AS kind, t AS term)),
-          |  CASE WHEN size(toks) >= 2
-          |    THEN transform(sequence(1, size(toks) - 1),
-          |                   i -> struct(1 AS kind, concat(toks[i-1], ' ', toks[i]) AS term))
-          |    ELSE CAST(array() AS array<struct<kind:int,term:string>>) END)""".stripMargin))
-        .as("kt"))
-      .select(col("doc_id"), col("kt.kind").as("kind"), col("kt.term").as("term"))
-    val uni = col("kind") === 0
-    terms
-      .groupBy(col("doc_id"), col("kind"), col("term")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"))
-      .agg(
-        sum(when(uni, col("c"))).as("n_tokens"),
-        sum(when(uni, lit(1L))).as("n_distinct"),
-        max(when(uni, col("c"))).as("top_w"),
-        sum(when(!uni, col("c"))).as("n_bigrams"),
-        max(when(!uni, col("c"))).as("top_b"))
+    val st = termFreqStats(col("text"))
+    Tables.fanOut(Tables.documents(s, dir))
+      .select(col("doc_id"), st.as("st"))
       .select(
         col("doc_id"),
-        col("n_tokens"),
-        roundN(lit(1.0) - col("n_distinct").cast("double") / col("n_tokens"), 4)
+        col("st.n_tokens").as("n_tokens"),
+        roundN(lit(1.0) - col("st.n_distinct").cast("double") / col("st.n_tokens"), 4)
           .as("dup_word_frac"),
-        roundN(col("top_w").cast("double") / col("n_tokens"), 4).as("top_word_frac"),
-        roundN(col("top_b").cast("double") / col("n_bigrams"), 4).as("top_bigram_frac"))
+        roundN(col("st.top_w").cast("double") / col("st.n_tokens"), 4).as("top_word_frac"),
+        // a single-token doc has no bigrams: NULL, matching the oracle's
+        // LEFT JOIN miss (never 0/0)
+        when(col("st.n_bigrams") > 0,
+          roundN(col("st.top_b").cast("double") / col("st.n_bigrams"), 4))
+          .as("top_bigram_frac"))
       .resultOrder(col("doc_id"))
+  }
+
+  private def termFreqStats(c: Column): Column = {
+    import org.apache.spark.sql.graftbridge
+    graftbridge.column(graft.functions.TermFreqStats(graftbridge.expression(c)))
   }
 
   // ---------------------------------------------------------------------

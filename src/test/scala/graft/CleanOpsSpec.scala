@@ -78,6 +78,29 @@ class CleanOpsSpec extends SparkSuite {
     }
   }
 
+  test("term_freq_stats: edge cases — empty, single-token, repeated, padded input") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, ""), // split(trim('')) -> one empty token, like the oracle
+      (2L, "solo"),
+      (3L, "a a a"),
+      (4L, "  x  y x  "), // padding + internal runs collapse
+      (5L, "b c b c b")
+    ).toDF("id", "text")
+      .selectExpr("id", "term_freq_stats(text) AS st") // via the SQL registry
+      .selectExpr("id", "st.n_tokens", "st.n_distinct", "st.top_w", "st.n_bigrams", "st.top_b")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows(0) == ((1L, 1L, 1L, 1L, 0L, 0L)))
+    assert(rows(1) == ((2L, 1L, 1L, 1L, 0L, 0L)))
+    assert(rows(2) == ((3L, 3L, 1L, 3L, 2L, 2L))) // bigram 'a a' twice
+    assert(rows(3) == ((4L, 3L, 2L, 2L, 2L, 1L)))
+    assert(rows(4) == ((5L, 5L, 2L, 3L, 4L, 2L))) // 'b c' twice beats 'c b'
+    // null in, null out
+    val n = Seq((1L, null: String)).toDF("id", "text")
+      .selectExpr("term_freq_stats(text) AS st").collect()
+    assert(n.head.isNullAt(0))
+  }
+
   test("q_quality_filter: keep flag matches an independent rule evaluation; both classes present") {
     val rows = CleanOps.qualityFilter(spark, SfDir).collect()
     rows.foreach { r =>

@@ -168,21 +168,19 @@ class PlanSpec extends SparkSuite {
     }
   }
 
-  test("q_repetition: one scan, kind-tagged term stream, map-side combine, no join") {
+  test("q_repetition: in-row native stats — pure projection, no corpus token shuffle") {
     val p = plan("q_repetition")
+    assert(p.contains("term_freq_stats"), s"native expression missing from plan:\n$p")
     assert(!p.toLowerCase.contains("scalaudf"), s"UDF in the repetition pipeline:\n$p")
-    // ONE parquet scan (formatted explain names each scan's file index
-    // exactly once in the detail section): a words-branch/bigrams-branch
-    // formulation reads the corpus twice and joins per doc
-    assert("InMemoryFileIndex".r.findAllIn(p).size == 1,
-      s"repetition scans the corpus more than once:\n$p")
-    assert(!p.contains("Join"), s"per-doc join crept back in:\n$p")
-    // partial+final pairs for the (doc, kind, term) count and the per-doc
-    // rollup — map-side combine bounds the exploded shuffle at corpus scale
-    assert("HashAggregate".r.findAllIn(p).size >= 4,
-      s"missing partial aggregation stages:\n$p")
-    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
-      s"extra exchanges in the repetition pipeline:\n$p")
+    // per-doc term frequencies never cross a document boundary: the plan
+    // must be scan + projection — no explode of the token stream, no
+    // aggregation, no hash exchange (the only exchanges are the size-gated
+    // fanOut round-robin and the single-reducer presentation sort)
+    assert(!p.contains("Generate"), s"token stream exploded:\n$p")
+    assert(!p.contains("HashAggregate") && !p.contains("SortAggregate"),
+      s"repetition aggregates a per-doc property:\n$p")
+    assert(!p.contains("hashpartitioning"), s"corpus token shuffle crept in:\n$p")
+    assert(!p.contains("Join"), s"per-doc join crept in:\n$p")
   }
 
   test("q_source_mix: share window runs over aggregated cells, not documents") {
