@@ -20,9 +20,11 @@ object CleanOps {
 
   /** Regex patterns for the scrubber. Deliberately RE2-compatible (no
     * lookaround, no backreferences) so Spark's java.util.regex and the
-    * DuckDB oracle's RE2 compile the same language.
+    * DuckDB oracle's RE2 compile the same language; `(?i)` is the one
+    * inline flag both engines accept, and a scrubber must not leak
+    * `User@Example.COM` because of case.
     */
-  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val EmailRe = "(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
   val Ipv4Re = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
   val LongNumRe = "\\d{4,}"
 
@@ -47,6 +49,28 @@ object CleanOps {
     piiRedactOn(Tables.fanOut(Tables.events(s, dir)))
       .resultOrder(col("event_id"))
 
+  /** The masking chain on an arbitrary text column — emails, then IPs,
+    * then bare digit runs (each rule sees the previous rule's masks, so a
+    * digit inside an email is never double-counted). Library API: apply
+    * to any string column, batch or streaming.
+    */
+  def redactCol(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      LongNumRe, "<NUM>")
+
+  /** Per-rule match counts under the same masked precedence. */
+  def redactCounts(c: Column): Seq[Column] = {
+    val noEmail = regexp_replace(c, EmailRe, "<EMAIL>")
+    val noIp = regexp_replace(noEmail, Ipv4Re, "<IP>")
+    Seq(
+      size(regexp_extract_all(c, lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(noEmail, lit(Ipv4Re), lit(0))).cast("long").as("n_ips"),
+      size(regexp_extract_all(noIp, lit(LongNumRe), lit(0))).cast("long").as("n_nums"))
+  }
+
   /** The scrub transform alone — batch and streaming alike (stateless
     * projection, so the streaming twin IS this function).
     */
@@ -58,19 +82,11 @@ object CleanOps {
       (col("user_id") % 256).cast("string"), lit("."),
       (col("user_id") % 100).cast("string"),
       lit(" did "), col("event_type"))
-    val noEmail = regexp_replace(line, EmailRe, "<EMAIL>")
-    val noIp = regexp_replace(noEmail, Ipv4Re, "<IP>")
-    val clean = regexp_replace(noIp, LongNumRe, "<NUM>")
     events
       .withColumn("line", line)
       .select(
-        col("event_id"),
-        size(regexp_extract_all(col("line"), lit(EmailRe), lit(0))).cast("long").as("n_emails"),
-        size(regexp_extract_all(regexp_replace(col("line"), EmailRe, "<EMAIL>"),
-          lit(Ipv4Re), lit(0))).cast("long").as("n_ips"),
-        size(regexp_extract_all(regexp_replace(regexp_replace(col("line"), EmailRe, "<EMAIL>"),
-          Ipv4Re, "<IP>"), lit(LongNumRe), lit(0))).cast("long").as("n_nums"),
-        clean.as("redacted"))
+        col("event_id") +: redactCounts(col("line")) :+
+          redactCol(col("line")).as("redacted"): _*)
   }
 
   // ---------------------------------------------------------------------

@@ -78,6 +78,26 @@ class CleanOpsSpec extends SparkSuite {
     }
   }
 
+  test("redactCol: arbitrary text — mixed case, multiple hits, precedence") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "contact User.Name@EXAMPLE.COM or admin@site.org today"),
+      (2L, "ssh 192.168.1.100 then 10.0.0.1, card 4111111111111111"),
+      (3L, "id 123 ok, id 9876 masked"),
+      (4L, "clean text with no identifiers at all")
+    ).toDF("id", "text")
+      .select(col("id"), graft.ops.CleanOps.redactCol(col("text")).as("red"))
+      .as[(Long, String)].collect().toMap
+    // case-insensitive email rule — a scrubber must not leak on case
+    assert(rows(1L) == "contact <EMAIL> or <EMAIL> today", rows(1L))
+    // IPs masked before the digit-run rule can split them; the card
+    // number is a bare digit run
+    assert(rows(2L) == "ssh <IP> then <IP>, card <NUM>", rows(2L))
+    // runs under 4 digits survive
+    assert(rows(3L) == "id 123 ok, id <NUM> masked", rows(3L))
+    assert(rows(4L) == "clean text with no identifiers at all")
+  }
+
   test("term_freq_stats: edge cases — empty, single-token, repeated, padded input") {
     import spark.implicits._
     val rows = Seq(
