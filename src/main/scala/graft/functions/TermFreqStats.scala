@@ -53,6 +53,10 @@ case class TermFreqStats(child: Expression) extends UnaryExpression {
 
 object TermFreqStats {
 
+  // String#split with a multi-char regex recompiles the Pattern per call
+  // — per ROW here; compile once (Pattern is thread-safe for split)
+  private val Whitespace = java.util.regex.Pattern.compile("\\s+")
+
   val Schema: StructType = StructType(Seq(
     StructField("n_tokens", LongType, nullable = false),
     StructField("n_distinct", LongType, nullable = false),
@@ -70,7 +74,7 @@ object TermFreqStats {
     while (lo < hi && str.charAt(lo) == ' ') lo += 1
     while (hi > lo && str.charAt(hi - 1) == ' ') hi -= 1
     str = str.substring(lo, hi)
-    val toks = str.split("\\s+", -1)
+    val toks = Whitespace.split(str, -1)
 
     val wordCounts = new java.util.HashMap[String, Int](toks.length * 2)
     var topW = 0

@@ -137,9 +137,11 @@ object CurationOps {
     * sequential sum agree bit-for-bit (same trick as the IVF centroids).
     *
     * Scale: one partial+final hash aggregate on (source, lang); the share
-    * denominator is an unpartitioned window over the AGGREGATED cells
-    * (|sources| × |langs| rows — dashboard-sized at any corpus scale), not
-    * over documents.
+    * denominator is a 1-row scalar aggregate broadcast back onto the
+    * cells (the q_alarm_feed CTE pattern) — NOT an unpartitioned window,
+    * which would funnel every cell through one partition and break the
+    * moment `source` is a high-cardinality domain column (millions of web
+    * domains at corpus scale).
     */
   def sourceMix(s: SparkSession, dir: String): DataFrame = {
     val d = TextOps.withQualityColumns(Tables.fanOut(Tables.documents(s, dir)))
@@ -148,17 +150,18 @@ object CurationOps {
         count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("n_tokens"),
         sum(col("quality").cast("decimal(18,4)")).as("sum_q"))
-    val all = Window.partitionBy()
-    g.select(
-      col("source"),
-      col("lang"),
-      col("n_docs"),
-      col("n_tokens"),
-      graft.model.Model.roundN(col("sum_q").cast("double") / col("n_docs"), 4)
-        .as("avg_quality"),
-      graft.model.Model.roundN(
-        col("n_tokens").cast("double") / sum(col("n_tokens")).over(all).cast("double"),
-        6).as("token_share"))
+    val total = g.agg(sum(col("n_tokens")).as("total_tokens"))
+    g.crossJoin(broadcast(total))
+      .select(
+        col("source"),
+        col("lang"),
+        col("n_docs"),
+        col("n_tokens"),
+        graft.model.Model.roundN(col("sum_q").cast("double") / col("n_docs"), 4)
+          .as("avg_quality"),
+        graft.model.Model.roundN(
+          col("n_tokens").cast("double") / col("total_tokens").cast("double"),
+          6).as("token_share"))
       .resultOrder(col("source"), col("lang"))
   }
 

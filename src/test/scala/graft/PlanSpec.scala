@@ -183,16 +183,15 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Join"), s"per-doc join crept in:\n$p")
   }
 
-  test("q_source_mix: share window runs over aggregated cells, not documents") {
+  test("q_source_mix: share denominator broadcast as a 1-row scalar, no global window") {
     val p = plan("q_source_mix")
-    // partial+final aggregate on (source, lang) below the window
+    // partial+final aggregate on (source, lang)
     assert(p.contains("HashAggregate"), p)
-    assert(p.contains("Window"), p)
-    // the window's single-partition exchange must sit ABOVE the aggregate
-    // (cells), never below it (documents)
-    val aggIdx = p.indexOf("HashAggregate")
-    val winIdx = p.indexOf("Window")
-    assert(winIdx >= 0 && aggIdx >= 0, p)
+    // the corpus token total joins back as a broadcast 1-row side — an
+    // unpartitioned window here would funnel every cell through one
+    // partition and break on a high-cardinality source domain
+    assert(!p.contains("Window"), s"global window over the cells:\n$p")
+    assert(p.contains("Broadcast"), s"total not broadcast:\n$p")
     assert(!p.toLowerCase.contains("scalaudf"), p)
   }
 
