@@ -297,6 +297,41 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("term_freq_stats tokenizer == split(trim(text), '\\s+') on randomized whitespace") {
+    // the native expression hand-rolls the space-trim + whitespace split;
+    // this pins it to the Spark builtins the oracle SQL mirrors, over
+    // strings with leading/trailing/internal runs of every \s class
+    val rnd = new scala.util.Random(4242)
+    val ws = Array(" ", "\t", "\n", "  ", " \t ")
+    val words = Array("the", "a", "spark", "table", "x", "veryLongToken", "b1")
+    val rows = (0 until 80).map { i =>
+      val n = rnd.nextInt(8) // 0 tokens possible: whitespace-only strings
+      val body = Seq.fill(n)(words(rnd.nextInt(words.length)))
+        .mkString(ws(rnd.nextInt(ws.length)))
+      val pad = if (rnd.nextBoolean()) ws(rnd.nextInt(ws.length)) else ""
+      Row(i.toLong, pad + body + (if (rnd.nextBoolean()) ws(rnd.nextInt(ws.length)) else ""))
+    }
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType)))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 4), schema)
+    val got = df.selectExpr("id", "term_freq_stats(text) AS st")
+      .selectExpr("id", "st.n_tokens", "st.n_distinct", "st.top_w", "st.n_bigrams", "st.top_b")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // independent reference: Spark's own split(trim(...)) builtins
+    val ref = df.selectExpr("id", "split(trim(text), '\\\\s+') AS toks").collect().map { r =>
+      val toks = r.getSeq[String](1)
+      val wc = toks.groupBy(identity).map(_._2.length)
+      val bigrams = toks.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+      val bc = bigrams.groupBy(identity).map(_._2.length)
+      r.getLong(0) -> ((toks.length.toLong, wc.size.toLong, wc.max.toLong,
+        bigrams.length.toLong, if (bc.isEmpty) 0L else bc.max.toLong))
+    }.toMap
+    ref.foreach { case (id, want) =>
+      assert(got(id) == want, s"row $id: got ${got(id)} want $want")
+    }
+  }
+
   test("exactAvg4: signed half-away rounding (negative sums round away from zero)") {
     import spark.implicits._
     // 16 x -10.42 + 8 x -10.41 sums to exactly -250.00; the mean
