@@ -1,0 +1,37 @@
+package graft
+
+/** Driver-contract invariants of the SparkEntry registry itself. */
+class RegistrySpec extends SparkSuite {
+
+  test("every registered query has a DuckDB oracle and vice versa") {
+    // the engine's claim is zero rows-only entries: a key registered in
+    // queries without oracleSql silently downgrades the driver's gate to
+    // a rows-only check; an oracle without a query is dead SQL
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert(q == o,
+      s"queries without oracle: ${(q -- o).toSeq.sorted.mkString(", ")}; " +
+        s"oracles without query: ${(o -- q).toSeq.sorted.mkString(", ")}")
+  }
+
+  test("flagship entry returns rows on the smoke fixture") {
+    assert(SparkEntry.entry(spark).limit(1).count() == 1L)
+  }
+
+  test("oracle SQL references only the driver's tables") {
+    // check_oracle.py (and the driver) create views for exactly these
+    // names; an oracle referencing anything else fails only at gate time
+    val tables = Set("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    val fromRe = "(?i)\\b(?:FROM|JOIN)\\s+([a-z_][a-z0-9_]*)".r
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      // collect bare identifiers after FROM/JOIN that are not CTE names
+      // CTE names may carry a column list: `walk(node, comp) AS (...)`
+      val ctes = "(?i)\\b([a-z_][a-z0-9_]*)\\s*(?:\\([^)]*\\))?\\s+AS\\s*\\(".r
+        .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
+      val refs = fromRe.findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
+      val unknown = refs -- tables -- ctes - "unnest" - "range"
+      assert(unknown.isEmpty, s"$name references unknown tables: $unknown")
+    }
+  }
+}
