@@ -3,7 +3,11 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // the bench contract is local[32]; default to the machine's cores
+    // (capped at 32) rather than a hardcoded 4 — an env-less invocation
+    // must not silently bench on an eighth of the cores
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(Runtime.getRuntime.availableProcessors, 32).toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       // 8 shuffle partitions, not one per core: a fixture-scale shuffle

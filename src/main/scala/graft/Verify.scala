@@ -6,7 +6,10 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // default to real cores (capped): correctness is width-blind but an
+    // env-less driver invocation shouldn't run 59 queries on 4 threads
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(Runtime.getRuntime.availableProcessors, 16).toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       // 8-wide shuffles for the same reason as Bench: fixture-scale
