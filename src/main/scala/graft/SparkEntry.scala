@@ -44,6 +44,7 @@ object SparkEntry {
     "q_mv_read" -> (RelationalOps.mvRead _),
     "q_alarm_feed" -> (RelationalOps.alarmFeed _),
     "q_union_types" -> (RelationalOps.unionTypes _),
+    "q_asof_join" -> (RelationalOps.asofJoin _),
     // §2C alarm analytics
     "q_deviation_immediate" -> (AlarmOps.deviationImmediate _),
     "q_deviation_trend" -> (AlarmOps.deviationTrend _),

@@ -271,7 +271,59 @@ object RelationalOps {
     numeric.unionAll(strings).resultOrder(col("event_id"), col("metric"))
   }
 
+  /** As-of join: attach to every 'error' event the most recent prior (or
+    * same-instant) 'click' of the same user — the nearest-prior-event
+    * lookup behind "state at the time of the alarm" questions, which the
+    * reference answers only in scalar form (the alarm feed's
+    * last-Running CTE, machine_dashboard.json:948).
+    *
+    * Spark has no ASOF JOIN operator; the scalable form is NOT a range
+    * join (quadratic per key, and Spark would plan the inequality as a
+    * nested-loop) but the tagged-union window carry: union both sides
+    * with a side marker, sort each user's timeline once, and carry the
+    * last click forward with `last(..., ignoreNulls)`. One shuffle on
+    * user_id, zero join nodes, linear in the timeline — the same plan
+    * shape at any scale, with none of the per-key buffering a
+    * partitioned range join needs. At equal timestamps the click sorts
+    * before the error (side 0 < 1), giving the inclusive `>=` DuckDB's
+    * native ASOF JOIN (the oracle) defines.
+    */
+  def asofJoin(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = ev(s, dir)
+    val errors = e.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        lit(1).as("side"),
+        lit(null).cast("timestamp").as("r_ts"),
+        lit(null).cast("double").as("r_value"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(lit(null).cast("long").as("event_id"), col("user_id"), col("ts"),
+        lit(null).cast("double").as("value"),
+        lit(0).as("side"),
+        col("ts").as("r_ts"),
+        col("value").as("r_value"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(errors)
+      .withColumn("click_ts", last(col("r_ts"), ignoreNulls = true).over(w))
+      .withColumn("click_value", last(col("r_value"), ignoreNulls = true).over(w))
+      // inner as-of semantics: errors with no prior click drop, matching
+      // the oracle's (inner) ASOF JOIN
+      .filter(col("side") === 1 && col("click_value").isNotNull)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        col("click_ts"), col("click_value"))
+      .resultOrder(col("event_id"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_asof_join" ->
+      """SELECT e.event_id, e.user_id, e.ts, e.value,
+        |       c.ts AS click_ts, c.value AS click_value
+        |FROM (SELECT * FROM events WHERE event_type = 'error') e
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON e.user_id = c.user_id AND e.ts >= c.ts
+        |ORDER BY e.event_id""".stripMargin,
     "q_scan_filter" ->
       """SELECT event_id, ts, user_id, value FROM events
         |WHERE event_type = 'click' ORDER BY event_id""".stripMargin,

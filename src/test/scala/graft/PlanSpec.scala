@@ -195,6 +195,22 @@ class PlanSpec extends SparkSuite {
     assert(!p.toLowerCase.contains("scalaudf"), p)
   }
 
+  test("q_asof_join: tagged-union window carry — zero join nodes, one key shuffle") {
+    val p = plan("q_asof_join")
+    // a range-join formulation would plan BroadcastNestedLoopJoin (the
+    // inequality keeps it out of hash joins) and buffer per key; the
+    // union+window form has NO join operator at all
+    assert(!p.contains("Join"), s"as-of planned as a join:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Window"), s"window carry missing:\n$p")
+    // one hash exchange on user_id for the window; the only other
+    // exchange is the single-reducer presentation sort
+    assert("Arguments: hashpartitioning\\(user_id".r.findAllIn(p).size == 1,
+      s"extra shuffles in the as-of pipeline:\n$p")
+    assert("hashpartitioning".r.findAllIn(p).size == 1,
+      s"shuffle on a non-user_id key crept in:\n$p")
+  }
+
   test("q_dedup_clusters: CC ran as joins — no GraphX RDD scans, no cross join") {
     val p = plan("q_dedup_clusters")
     assert(!p.contains("CartesianProduct"), p)

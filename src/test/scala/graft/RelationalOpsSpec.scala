@@ -61,4 +61,28 @@ class RelationalOpsSpec extends SparkSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters") && plan.contains("event_type"), s"plan:\n$plan")
   }
+
+  test("q_asof_join: matches an independent per-user nearest-prior scan of the fixture") {
+    val rows = RelationalOps.asofJoin(spark, SfDir).collect()
+    // independent reference: brute-force nearest prior click per error
+    val ev = Tables.events(spark, SfDir)
+      .select("event_id", "user_id", "ts", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getString(3), r.getDouble(4)))
+    val clicksByUser = ev.filter(_._4 == "click").groupBy(_._2)
+    val errors = ev.filter(_._4 == "error")
+    val expect = errors.flatMap { case (eid, uid, ts, _, v) =>
+      clicksByUser.getOrElse(uid, Array.empty)
+        .filter(c => !c._3.after(ts)) // click ts <= error ts (inclusive)
+        .sortBy(_._3.getTime)
+        .lastOption
+        .map(c => (eid, uid, ts, v, c._3, c._5))
+    }.toSet
+    val got = rows.map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2),
+      r.getDouble(3), r.getTimestamp(4), r.getDouble(5))).toSet
+    assert(got == expect,
+      s"asof mismatch: extra ${(got -- expect).take(3)} / missing ${(expect -- got).take(3)}")
+    // inner semantics: some errors have no prior click and must drop
+    assert(got.size < errors.length, "no error was dropped — inner as-of not exercised")
+    assert(got.nonEmpty)
+  }
 }
