@@ -316,7 +316,66 @@ object RelationalOps {
       .resultOrder(col("event_id"))
   }
 
+  /** Gap-fill + last-observation-carried-forward over the minute-bucketed
+    * series — TimescaleDB's `time_bucket_gapfill` + `locf` shape
+    * (the canonical dashboard treatment of sparse series in the
+    * reference's data model; init.sql's aggregates leave gap minutes
+    * absent, and a plotting client needs the dense spine).
+    *
+    * Per metric: bucket the observations, derive the [min, max] bucket
+    * bounds, explode a dense minute spine from the bounds, left-join the
+    * observed aggregates back, and carry the last observed value forward
+    * with `last(..., ignoreNulls)`. The spine generation is a Generate
+    * bounded by time-range/grain (never by corpus size); the join and
+    * window shuffle on (metric[, bucket]) — three narrow shuffles over
+    * bucket-cardinality data, no row-count term from the raw events
+    * beyond the first aggregation.
+    *
+    * The first spine row of each metric is an observed bucket by
+    * construction (lo = min observed), so locf_value is never null —
+    * deterministic without a lookback horizon.
+    */
+  def gapfillLocf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val agg = ev(s, dir).filter(col("value").isNotNull)
+      .groupBy(col("event_type").as("metric"),
+        date_trunc("minute", col("ts")).as("bucket"))
+      .agg(Model.exactAvg4("value").as("avg_value"),
+        count(col("value")).as("sample_count"))
+    val spine = agg.groupBy(col("metric"))
+      .agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
+      .select(col("metric"),
+        explode(expr("sequence(lo, hi, interval 1 minute)")).as("bucket"))
+    val w = Window.partitionBy(col("metric")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(agg, Seq("metric", "bucket"), "left")
+      .select(col("metric"), col("bucket"),
+        col("avg_value"),
+        last(col("avg_value"), ignoreNulls = true).over(w).as("locf_value"),
+        col("avg_value").isNull.as("is_gap"),
+        coalesce(col("sample_count"), lit(0L)).as("sample_count"))
+      .resultOrder(col("metric"), col("bucket"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_gapfill_locf" ->
+      s"""WITH agg AS (
+         |  SELECT event_type AS metric, date_trunc('minute', ts) AS bucket,
+         |         ${Model.exactAvg4Sql("value")} AS avg_value,
+         |         count(value) AS sample_count
+         |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+         |bounds AS (SELECT metric, min(bucket) AS lo, max(bucket) AS hi FROM agg GROUP BY 1),
+         |spine AS (
+         |  SELECT metric, unnest(generate_series(lo, hi, INTERVAL 1 MINUTE)) AS bucket
+         |  FROM bounds)
+         |SELECT s.metric, s.bucket, a.avg_value,
+         |  last_value(a.avg_value IGNORE NULLS) OVER (
+         |    PARTITION BY s.metric ORDER BY s.bucket
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_value,
+         |  a.avg_value IS NULL AS is_gap,
+         |  coalesce(a.sample_count, 0) AS sample_count
+         |FROM spine s LEFT JOIN agg a USING (metric, bucket)
+         |ORDER BY s.metric, s.bucket""".stripMargin,
     "q_asof_join" ->
       """SELECT e.event_id, e.user_id, e.ts, e.value,
         |       c.ts AS click_ts, c.value AS click_value

@@ -211,6 +211,17 @@ class PlanSpec extends SparkSuite {
       s"shuffle on a non-user_id key crept in:\n$p")
   }
 
+  test("q_gapfill_locf: spine generated from bounds, no cross join, no corpus re-scan") {
+    val p = plan("q_gapfill_locf")
+    // the dense spine must come from a Generate over per-metric bounds —
+    // never a cartesian of metrics x minutes
+    assert(p.contains("Generate"), s"spine not generated:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"spine built by cross join:\n$p")
+    assert(p.contains("Window"), s"locf window missing:\n$p")
+    assert(!p.toLowerCase.contains("scalaudf"), p)
+  }
+
   test("q_dedup_clusters: CC ran as joins — no GraphX RDD scans, no cross join") {
     val p = plan("q_dedup_clusters")
     assert(!p.contains("CartesianProduct"), p)

@@ -85,4 +85,31 @@ class RelationalOpsSpec extends SparkSuite {
     assert(got.size < errors.length, "no error was dropped — inner as-of not exercised")
     assert(got.nonEmpty)
   }
+
+  test("q_gapfill_locf: dense spine, carried values match an independent replay") {
+    val rows = RelationalOps.gapfillLocf(spark, SfDir).collect()
+    val byMetric = rows.groupBy(_.getString(0))
+    assert(byMetric.keySet == Set("click", "view", "purchase", "signup", "error"))
+    byMetric.foreach { case (m, rs) =>
+      val sorted = rs.sortBy(_.getTimestamp(1).getTime)
+      // spine is dense: every consecutive bucket is exactly one minute apart
+      sorted.sliding(2).filter(_.length == 2).foreach { p =>
+        assert(p(1).getTimestamp(1).getTime - p(0).getTimestamp(1).getTime == 60000L,
+          s"$m spine has a hole or duplicate at ${p(0).getTimestamp(1)}")
+      }
+      // first row is observed (lo = min observed bucket) and gaps exist
+      assert(!sorted.head.getBoolean(4), s"$m spine must start on an observation")
+      assert(sorted.exists(_.getBoolean(4)), s"$m has no gaps — gapfill unexercised")
+      // independent LOCF replay: walking the spine carrying the last
+      // non-null avg_value must reproduce locf_value everywhere
+      var carried = Double.NaN
+      sorted.foreach { r =>
+        if (!r.isNullAt(2)) carried = r.getDouble(2)
+        assert(r.getDouble(3) == carried,
+          s"$m locf diverges at ${r.getTimestamp(1)}: ${r.getDouble(3)} vs $carried")
+        // gap rows carry zero samples, observed rows at least one
+        if (r.getBoolean(4)) assert(r.getLong(5) == 0L) else assert(r.getLong(5) >= 1L)
+      }
+    }
+  }
 }
