@@ -46,6 +46,7 @@ object SparkEntry {
     "q_union_types" -> (RelationalOps.unionTypes _),
     "q_asof_join" -> (RelationalOps.asofJoin _),
     "q_gapfill_locf" -> (RelationalOps.gapfillLocf _),
+    "q_gapfill_interp" -> (RelationalOps.gapfillInterp _),
     // §2C alarm analytics
     "q_deviation_immediate" -> (AlarmOps.deviationImmediate _),
     "q_deviation_trend" -> (AlarmOps.deviationTrend _),

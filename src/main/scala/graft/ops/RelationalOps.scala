@@ -337,6 +337,21 @@ object RelationalOps {
     */
   def gapfillLocf(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("metric")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gapfillSpine(s, dir)
+      .select(col("metric"), col("bucket"),
+        col("avg_value"),
+        last(col("avg_value"), ignoreNulls = true).over(w).as("locf_value"),
+        col("avg_value").isNull.as("is_gap"),
+        coalesce(col("sample_count"), lit(0L)).as("sample_count"))
+      .resultOrder(col("metric"), col("bucket"))
+  }
+
+  /** The dense spine left-joined with the observed per-minute aggregates —
+    * shared by the locf and interpolate fill policies.
+    */
+  private def gapfillSpine(s: SparkSession, dir: String): DataFrame = {
     val agg = ev(s, dir).filter(col("value").isNotNull)
       .groupBy(col("event_type").as("metric"),
         date_trunc("minute", col("ts")).as("bucket"))
@@ -346,18 +361,77 @@ object RelationalOps {
       .agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
       .select(col("metric"),
         explode(expr("sequence(lo, hi, interval 1 minute)")).as("bucket"))
-    val w = Window.partitionBy(col("metric")).orderBy(col("bucket"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     spine.join(agg, Seq("metric", "bucket"), "left")
-      .select(col("metric"), col("bucket"),
-        col("avg_value"),
-        last(col("avg_value"), ignoreNulls = true).over(w).as("locf_value"),
-        col("avg_value").isNull.as("is_gap"),
-        coalesce(col("sample_count"), lit(0L)).as("sample_count"))
+  }
+
+  /** Gap-fill with LINEAR INTERPOLATION — TimescaleDB's `interpolate`
+    * sibling of [[gapfillLocf]]: each gap minute takes the value on the
+    * straight line between its nearest observed neighbors; trailing gaps
+    * (no later observation) stay null, observed buckets pass through.
+    *
+    * Same spine machinery, one backward and one forward ignoreNulls
+    * window carry per metric (the forward frame is the time-reversed
+    * twin of locf's). The interpolation arithmetic — integer second
+    * deltas divided as doubles, then one fused multiply-add on
+    * 4-decimal-exact endpoint values — is the identical operation
+    * sequence in the oracle, so results are bit-equal cross-engine.
+    */
+  def gapfillInterp(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wb = Window.partitionBy(col("metric")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy(col("metric")).orderBy(col("bucket"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsBucket = when(col("avg_value").isNotNull, col("bucket"))
+    val ratio =
+      (unix_timestamp(col("bucket")) - unix_timestamp(col("prev_b"))).cast("double") /
+        (unix_timestamp(col("next_b")) - unix_timestamp(col("prev_b"))).cast("double")
+    gapfillSpine(s, dir)
+      .withColumn("prev_v", last(col("avg_value"), ignoreNulls = true).over(wb))
+      .withColumn("prev_b", last(obsBucket, ignoreNulls = true).over(wb))
+      .withColumn("next_v", first(col("avg_value"), ignoreNulls = true).over(wf))
+      .withColumn("next_b", first(obsBucket, ignoreNulls = true).over(wf))
+      .select(col("metric"), col("bucket"), col("avg_value"),
+        Model.roundN(
+          when(col("avg_value").isNotNull, col("avg_value"))
+            .when(col("next_v").isNotNull,
+              col("prev_v") + (col("next_v") - col("prev_v")) * ratio),
+          4).as("interp_value"),
+        col("avg_value").isNull.as("is_gap"))
       .resultOrder(col("metric"), col("bucket"))
   }
 
   val oracles: Map[String, String] = Map(
+    "q_gapfill_interp" ->
+      s"""WITH agg AS (
+         |  SELECT event_type AS metric, date_trunc('minute', ts) AS bucket,
+         |         ${Model.exactAvg4Sql("value")} AS avg_value
+         |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+         |bounds AS (SELECT metric, min(bucket) AS lo, max(bucket) AS hi FROM agg GROUP BY 1),
+         |spine AS (
+         |  SELECT metric, unnest(generate_series(lo, hi, INTERVAL 1 MINUTE)) AS bucket
+         |  FROM bounds),
+         |j AS (
+         |  SELECT s.metric, s.bucket, a.avg_value
+         |  FROM spine s LEFT JOIN agg a USING (metric, bucket)),
+         |w AS (
+         |  SELECT metric, bucket, avg_value,
+         |    last_value(avg_value IGNORE NULLS) OVER wb AS prev_v,
+         |    last_value(CASE WHEN avg_value IS NOT NULL THEN bucket END IGNORE NULLS) OVER wb AS prev_b,
+         |    first_value(avg_value IGNORE NULLS) OVER wf AS next_v,
+         |    first_value(CASE WHEN avg_value IS NOT NULL THEN bucket END IGNORE NULLS) OVER wf AS next_b
+         |  FROM j
+         |  WINDOW
+         |    wb AS (PARTITION BY metric ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |    wf AS (PARTITION BY metric ORDER BY bucket ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         |SELECT metric, bucket, avg_value,
+         |  ${Model.roundNSql(
+              "CASE WHEN avg_value IS NOT NULL THEN avg_value " +
+                "WHEN next_v IS NOT NULL THEN prev_v + (next_v - prev_v) * " +
+                "(CAST(date_diff('second', prev_b, bucket) AS DOUBLE) / " +
+                "CAST(date_diff('second', prev_b, next_b) AS DOUBLE)) END", 4)} AS interp_value,
+         |  avg_value IS NULL AS is_gap
+         |FROM w ORDER BY metric, bucket""".stripMargin,
     "q_gapfill_locf" ->
       s"""WITH agg AS (
          |  SELECT event_type AS metric, date_trunc('minute', ts) AS bucket,

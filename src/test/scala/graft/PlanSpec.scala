@@ -211,15 +211,22 @@ class PlanSpec extends SparkSuite {
       s"shuffle on a non-user_id key crept in:\n$p")
   }
 
-  test("q_gapfill_locf: spine generated from bounds, no cross join, no corpus re-scan") {
-    val p = plan("q_gapfill_locf")
-    // the dense spine must come from a Generate over per-metric bounds —
-    // never a cartesian of metrics x minutes
-    assert(p.contains("Generate"), s"spine not generated:\n$p")
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
-      s"spine built by cross join:\n$p")
-    assert(p.contains("Window"), s"locf window missing:\n$p")
-    assert(!p.toLowerCase.contains("scalaudf"), p)
+  test("gapfill family: spine generated from bounds, no cross join, no corpus re-scan") {
+    Seq("q_gapfill_locf", "q_gapfill_interp").foreach { k =>
+      val p = plan(k)
+      // the dense spine must come from a Generate over per-metric bounds —
+      // never a cartesian of metrics x minutes
+      assert(p.contains("Generate"), s"$k spine not generated:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$k spine built by cross join:\n$p")
+      assert(p.contains("Window"), s"$k fill window missing:\n$p")
+      assert(!p.toLowerCase.contains("scalaudf"), p)
+    }
+    // interp's backward + forward carries share one sorted partitioning:
+    // the two frames must not force a second sort of the spine
+    val p = plan("q_gapfill_interp")
+    assert("Arguments: hashpartitioning\\(metric".r.findAllIn(p).size <= 2,
+      s"interp re-shuffles the spine per direction:\n$p")
   }
 
   test("q_dedup_clusters: CC ran as joins — no GraphX RDD scans, no cross join") {

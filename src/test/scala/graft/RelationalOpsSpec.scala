@@ -112,4 +112,35 @@ class RelationalOpsSpec extends SparkSuite {
       }
     }
   }
+
+  test("q_gapfill_interp: values sit on the segment between neighbors; trailing gaps null") {
+    val rows = RelationalOps.gapfillInterp(spark, SfDir).collect()
+    rows.groupBy(_.getString(0)).foreach { case (m, rs) =>
+      val sorted = rs.sortBy(_.getTimestamp(1).getTime)
+      // independent replay: nearest observed neighbors per gap row
+      val obs = sorted.zipWithIndex.filter(!_._1.isNullAt(2))
+      val obsIdx = obs.map(_._2)
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        if (!r.isNullAt(2)) {
+          assert(r.getDouble(3) == r.getDouble(2), s"$m observed row altered at $i")
+        } else {
+          val after = obsIdx.find(_ > i)
+          if (after.isEmpty) {
+            assert(r.isNullAt(3), s"$m trailing gap interpolated at $i")
+          } else {
+            val lo = obsIdx.filter(_ < i).last
+            val hi = after.get
+            val (pv, nv) = (sorted(lo).getDouble(2), sorted(hi).getDouble(2))
+            val want = pv + (nv - pv) * ((i - lo).toDouble / (hi - lo).toDouble)
+            val rounded = math.floor(want * 10000.0 + 0.5) / 10000.0
+            assert(r.getDouble(3) == rounded,
+              s"$m interp off at $i: ${r.getDouble(3)} vs $rounded")
+            // interpolation stays within the segment's value envelope
+            assert(r.getDouble(3) >= math.min(pv, nv) - 1e-9 &&
+              r.getDouble(3) <= math.max(pv, nv) + 1e-9)
+          }
+        }
+      }
+    }
+  }
 }
