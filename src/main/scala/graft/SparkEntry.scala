@@ -47,6 +47,7 @@ object SparkEntry {
     "q_asof_join" -> (RelationalOps.asofJoin _),
     "q_gapfill_locf" -> (RelationalOps.gapfillLocf _),
     "q_gapfill_interp" -> (RelationalOps.gapfillInterp _),
+    "q_counter_rate" -> (RelationalOps.counterRate _),
     // §2C alarm analytics
     "q_deviation_immediate" -> (AlarmOps.deviationImmediate _),
     "q_deviation_trend" -> (AlarmOps.deviationTrend _),

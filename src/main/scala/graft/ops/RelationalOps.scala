@@ -401,7 +401,60 @@ object RelationalOps {
       .resultOrder(col("metric"), col("bucket"))
   }
 
+  /** Counter increase per hour with reset detection — TimescaleDB
+    * `counter_agg`/PromQL `increase()` semantics over the reference's
+    * monotonic counters (ComponentsPlacedGood, TotalComponentsFailed…,
+    * UInt64 at opcua_server/main.py:188-193): per metric, each sample's
+    * contribution is its delta from the previous sample, except across a
+    * reset (value dropped), where the counter restarted from zero and the
+    * contribution is the value itself. First sample contributes nothing
+    * (no baseline).
+    *
+    * Determinism: the fixture values are 2-decimal, so deltas are summed
+    * as exact integer cents (floor(v*100 + 0.5) — the values are positive
+    * and never land on .5, so the half-adjust is engine-safe) with one
+    * double division at the end. The lag ordering is total
+    * ((ts, event_id)).
+    *
+    * Scale: one shuffle on metric for the lag window, then the standard
+    * partial+final bucket aggregate — same shape as q_bucket_agg with a
+    * window in front.
+    */
+  def counterRate(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("metric")).orderBy(col("ts"), col("event_id"))
+    val cents = floor(col("value") * 100 + 0.5).cast("long")
+    val withPrev = ev(s, dir).filter(col("value").isNotNull)
+      .select(col("event_type").as("metric"), col("ts"), col("event_id"),
+        cents.as("cents"))
+      .withColumn("prev", lag(col("cents"), 1).over(w))
+      .filter(col("prev").isNotNull)
+    withPrev
+      .withColumn("inc",
+        when(col("cents") >= col("prev"), col("cents") - col("prev"))
+          .otherwise(col("cents")))
+      .groupBy(col("metric"), date_trunc("hour", col("ts")).as("bucket"))
+      .agg((sum(col("inc")).cast("double") / 100.0).as("increase"),
+        count(lit(1)).as("n_samples"))
+      .resultOrder(col("metric"), col("bucket"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_counter_rate" ->
+      """WITH c AS (
+        |  SELECT event_type AS metric, ts, event_id,
+        |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events WHERE value IS NOT NULL),
+        |d AS (
+        |  SELECT metric, ts, cents,
+        |         lag(cents) OVER (PARTITION BY metric ORDER BY ts, event_id) AS prev
+        |  FROM c)
+        |SELECT metric, date_trunc('hour', ts) AS bucket,
+        |  CAST(sum(CASE WHEN cents >= prev THEN cents - prev ELSE cents END) AS DOUBLE) / 100.0
+        |    AS increase,
+        |  count(*) AS n_samples
+        |FROM d WHERE prev IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_gapfill_interp" ->
       s"""WITH agg AS (
          |  SELECT event_type AS metric, date_trunc('minute', ts) AS bucket,

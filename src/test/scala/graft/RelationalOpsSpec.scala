@@ -113,6 +113,41 @@ class RelationalOpsSpec extends SparkSuite {
     }
   }
 
+  test("q_counter_rate: per-bucket increase matches an independent replay with resets") {
+    val rows = RelationalOps.counterRate(spark, SfDir).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2), r.getLong(3)))
+    // independent replay over the raw events
+    val ev = Tables.events(spark, SfDir)
+      .select("event_id", "ts", "event_type", "value").collect()
+      .filter(!_.isNullAt(3))
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getString(2), r.getDouble(3)))
+    val expect = ev.groupBy(_._3).flatMap { case (m, rs) =>
+      val ordered = rs.sortBy(r => (r._2.getTime, r._1))
+      val cents = ordered.map(r => math.floor(r._4 * 100 + 0.5).toLong)
+      val incs = ordered.zip(cents).zipWithIndex.drop(1).map { case ((r, c), i) =>
+        val prev = cents(i - 1)
+        (m, r._2, if (c >= prev) c - prev else c)
+      }
+      incs.groupBy { case (_, ts, _) =>
+        val cal = java.util.Calendar.getInstance(java.util.TimeZone.getTimeZone("UTC"))
+        cal.setTime(ts); cal.set(java.util.Calendar.MINUTE, 0)
+        cal.set(java.util.Calendar.SECOND, 0); cal.set(java.util.Calendar.MILLISECOND, 0)
+        cal.getTime.getTime
+      }.map { case (bucketMs, is) =>
+        (m, bucketMs, is.map(_._3).sum.toDouble / 100.0, is.size.toLong)
+      }
+    }.toSet
+    val got = rows.map(r => (r._1, r._2.getTime, r._3, r._4)).toSet
+    assert(got == expect,
+      s"counter rate mismatch: extra ${(got -- expect).take(3)} missing ${(expect -- got).take(3)}")
+    // resets must actually occur in the fixture (values are not monotonic)
+    val anyReset = ev.groupBy(_._3).exists { case (_, rs) =>
+      val ordered = rs.sortBy(r => (r._2.getTime, r._1)).map(_._4)
+      ordered.zip(ordered.drop(1)).exists { case (a, b) => b < a }
+    }
+    assert(anyReset, "fixture has no counter resets — reset branch unexercised")
+  }
+
   test("q_gapfill_interp: values sit on the segment between neighbors; trailing gaps null") {
     val rows = RelationalOps.gapfillInterp(spark, SfDir).collect()
     rows.groupBy(_.getString(0)).foreach { case (m, rs) =>
