@@ -46,7 +46,8 @@ object Plans {
       "q_asof_join" -> "tagged-union window carry: ZERO join nodes (a range-join formulation plans BroadcastNestedLoopJoin and buffers per key), one hash exchange on user_id, linear per-timeline window scan",
       "q_gapfill_locf" -> "dense spine via Generate over per-metric bounds (bounded by range/grain, never corpus size); observed buckets left-join the spine; locf is one window carry per metric — no cross join, no raw-event re-scan past the first aggregation",
       "q_gapfill_interp" -> "same spine; backward + forward ignoreNulls carries bracket each gap over ONE sorted (metric) partitioning; linear blend arithmetic identical to the oracle's IEEE op sequence",
-      "q_counter_rate" -> "one shuffle on metric for the lag window, then the standard partial+final bucket aggregate — q_bucket_agg's shape with a window in front; reset detection is a per-row CASE, no extra pass"
+      "q_counter_rate" -> "one shuffle on metric for the lag window, then the standard partial+final bucket aggregate — q_bucket_agg's shape with a window in front; reset detection is a per-row CASE, no extra pass",
+      "q_time_weight" -> "window partitioned on the SAME (metric, bucket) key the aggregate groups by — Catalyst reuses one exchange for both; weights are per-row lead arithmetic, no second pass"
     )
 
     val sb = new StringBuilder

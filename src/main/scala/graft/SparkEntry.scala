@@ -48,6 +48,7 @@ object SparkEntry {
     "q_gapfill_locf" -> (RelationalOps.gapfillLocf _),
     "q_gapfill_interp" -> (RelationalOps.gapfillInterp _),
     "q_counter_rate" -> (RelationalOps.counterRate _),
+    "q_time_weight" -> (RelationalOps.timeWeight _),
     // §2C alarm analytics
     "q_deviation_immediate" -> (AlarmOps.deviationImmediate _),
     "q_deviation_trend" -> (AlarmOps.deviationTrend _),

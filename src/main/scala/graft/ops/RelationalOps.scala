@@ -439,7 +439,68 @@ object RelationalOps {
       .resultOrder(col("metric"), col("bucket"))
   }
 
+  /** Time-weighted average per hour bucket — TimescaleDB's `time_weight`
+    * for irregular samples. The reference publishes on CHANGE (only
+    * mutated nodes emit, opcua_mqtt_agent/main.py:129 + BASELINE.md
+    * envelope), so samples are irregular and a plain avg over-weights
+    * bursts; each sample should count for the time it was the live value.
+    *
+    * Semantics (self-contained per bucket — no cross-bucket state): a
+    * sample's weight is the microseconds until the next sample in the
+    * same bucket, the last sample extending to the bucket end; twa =
+    * Σ vᵢ·dtᵢ / Σ dtᵢ.
+    *
+    * Determinism: weights are exact integer microseconds and values exact
+    * integer cents, so the weighted sum is exact BIGINT arithmetic
+    * (bounded ≪ 2^63: cents < 2^16, bucket ≤ 3.6e9 µs); the single
+    * BIGINT→DOUBLE cast and division are correctly rounded identically in
+    * both engines.
+    *
+    * Scale: one (metric, bucket)-window sort feeding the same-keyed
+    * partial+final aggregate — the window partitioning IS the group key,
+    * so Catalyst reuses one exchange.
+    */
+  def timeWeight(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("metric"), col("bucket"))
+      .orderBy(col("ts"), col("event_id"))
+    val cents = floor(col("value") * 100 + 0.5).cast("long")
+    val withDt = ev(s, dir).filter(col("value").isNotNull)
+      .select(col("event_type").as("metric"), col("ts"), col("event_id"),
+        cents.as("cents"))
+      .withColumn("bucket", date_trunc("hour", col("ts")))
+      .withColumn("until",
+        coalesce(lead(col("ts"), 1).over(w), col("bucket") + expr("INTERVAL 1 HOUR")))
+      .withColumn("dt_us", unix_micros(col("until")) - unix_micros(col("ts")))
+    withDt
+      .groupBy(col("metric"), col("bucket"))
+      .agg(
+        Model.roundN(
+          sum(col("cents") * col("dt_us")).cast("double") /
+            sum(col("dt_us")).cast("double") / 100.0,
+          4).as("twa"),
+        count(lit(1)).as("n_samples"))
+      .resultOrder(col("metric"), col("bucket"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_time_weight" ->
+      s"""WITH c AS (
+         |  SELECT event_type AS metric, ts, event_id,
+         |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+         |         date_trunc('hour', ts) AS bucket
+         |  FROM events WHERE value IS NOT NULL),
+         |d AS (
+         |  SELECT metric, bucket, cents,
+         |    date_diff('microsecond', ts,
+         |      coalesce(lead(ts) OVER (PARTITION BY metric, bucket ORDER BY ts, event_id),
+         |               bucket + INTERVAL 1 HOUR)) AS dt_us
+         |  FROM c)
+         |SELECT metric, bucket,
+         |  ${Model.roundNSql(
+            "CAST(sum(cents * dt_us) AS DOUBLE) / CAST(sum(dt_us) AS DOUBLE) / 100.0", 4)} AS twa,
+         |  count(*) AS n_samples
+         |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_counter_rate" ->
       """WITH c AS (
         |  SELECT event_type AS metric, ts, event_id,

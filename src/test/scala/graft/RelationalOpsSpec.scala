@@ -148,6 +148,39 @@ class RelationalOpsSpec extends SparkSuite {
     assert(anyReset, "fixture has no counter resets — reset branch unexercised")
   }
 
+  test("q_time_weight: weighted means match an independent replay; differ from plain avg") {
+    val rows = RelationalOps.timeWeight(spark, SfDir).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getDouble(2), r.getLong(3)))
+    val ev = Tables.events(spark, SfDir)
+      .select("event_id", "ts", "event_type", "value").collect()
+      .filter(!_.isNullAt(3))
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getString(2), r.getDouble(3)))
+    val HourMs = 3600000L
+    val expect = ev.groupBy(e => (e._3, e._2.getTime / HourMs * HourMs)).map {
+      case ((m, bucketMs), rs) =>
+        def epochUs(t: java.sql.Timestamp): Long =
+          t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+        val ordered = rs.sortBy(r => (epochUs(r._2), r._1))
+        val cents = ordered.map(r => math.floor(r._4 * 100 + 0.5).toLong)
+        val tsUs = ordered.map(r => epochUs(r._2))
+        val endUs = (bucketMs + HourMs) * 1000L
+        val dts = tsUs.zip(tsUs.drop(1) :+ endUs).map { case (a, b) => b - a }
+        val num = cents.zip(dts).map { case (c, d) => c * d }.sum
+        val twa = math.floor(num.toDouble / dts.sum.toDouble / 100.0 * 10000.0 + 0.5) / 10000.0
+        (m, bucketMs, twa, ordered.size.toLong)
+    }.toSet
+    val got = rows.toSet
+    assert(got == expect,
+      s"twa mismatch: extra ${(got -- expect).take(3)} missing ${(expect -- got).take(3)}")
+    // the weighting must matter somewhere: at least one bucket's twa
+    // differs from its unweighted mean
+    val differs = expect.exists { case (m, b, twa, _) =>
+      val vs = ev.filter(e => e._3 == m && e._2.getTime / HourMs * HourMs == b).map(_._4)
+      math.abs(vs.sum / vs.size - twa) > 1e-3
+    }
+    assert(differs, "time weighting indistinguishable from plain avg on the fixture")
+  }
+
   test("q_gapfill_interp: values sit on the segment between neighbors; trailing gaps null") {
     val rows = RelationalOps.gapfillInterp(spark, SfDir).collect()
     rows.groupBy(_.getString(0)).foreach { case (m, rs) =>
