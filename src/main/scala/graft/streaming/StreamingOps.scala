@@ -160,6 +160,44 @@ object StreamingOps {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(edgeFlatMap(threshold))
   }
 
+  case class CounterState(lastCents: Long)
+  case class CounterInc(metric: String, event_id: Long, inc_cents: Long)
+
+  /** Streaming twin of RelationalOps.counterRate's per-sample increases:
+    * one long of state per metric (the last counter reading in exact
+    * cents), reset detection identical to the batch CASE. Emits the
+    * per-sample increase stream; the hour-bucket rollup downstream is the
+    * standard watermarked window aggregate and is already covered by the
+    * mv twins. First sample of a metric establishes the baseline and
+    * emits nothing, matching the batch lag-null drop.
+    */
+  def counterIncFlatMap(
+      metric: String,
+      rows: Iterator[MetricEvent],
+      state: GroupState[CounterState]
+  ): Iterator[CounterInc] = {
+    var last = state.getOption.map(_.lastCents)
+    val out = scala.collection.mutable.ListBuffer.empty[CounterInc]
+    rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+      val cents = math.floor(e.value * 100 + 0.5).toLong
+      last match {
+        case Some(prev) =>
+          out += CounterInc(metric, e.event_id, if (cents >= prev) cents - prev else cents)
+        case None => () // baseline sample: no increase yet
+      }
+      last = Some(cents)
+    }
+    last.foreach(c => state.update(CounterState(c)))
+    out.iterator
+  }
+
+  def counterIncrements(events: Dataset[MetricEvent]): Dataset[CounterInc] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.metric)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(counterIncFlatMap)
+  }
+
   case class RecoveryState(latest: Map[String, Double], wasRecoverable: Boolean)
   case class Recovery(user_id: Long, event_id: Long, last_error: Double)
 

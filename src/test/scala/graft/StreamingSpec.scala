@@ -297,6 +297,30 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("counter increment stream: reset-aware deltas survive micro-batch boundaries") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ev(id: Long, ts: String, v: Double) =
+      MetricEvent(id, Timestamp.valueOf(ts), 1L, "ComponentsPlacedGood", v)
+    val mem = MemoryStream[MetricEvent]
+    val q = StreamingOps.counterIncrements(mem.toDS())
+      .writeStream.format("memory").queryName("cinc_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: baseline 10.00, +2.50
+      mem.addData(ev(1, "2024-01-01 00:00:01", 10.00), ev(2, "2024-01-01 00:00:02", 12.50))
+      q.processAllAvailable()
+      // batch 2: +0.50 ACROSS the batch boundary (state carries 12.50),
+      // then a reset to 3.00 (counter restarted -> contributes 3.00)
+      mem.addData(ev(3, "2024-01-01 00:00:03", 13.00), ev(4, "2024-01-01 00:00:04", 3.00))
+      q.processAllAvailable()
+      val got = spark.table("cinc_out").as[StreamingOps.CounterInc].collect()
+        .map(c => c.event_id -> c.inc_cents).toMap
+      assert(got == Map(2L -> 250L, 3L -> 50L, 4L -> 300L),
+        s"got $got — baseline must emit nothing, delta must cross batches, reset must restart")
+    } finally q.stop()
+  }
+
   test("cleanse stream: quality gate + chunking equals batch under micro-batch splits") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
