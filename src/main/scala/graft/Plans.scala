@@ -47,7 +47,9 @@ object Plans {
       "q_gapfill_locf" -> "dense spine via Generate over per-metric bounds (bounded by range/grain, never corpus size); observed buckets left-join the spine; locf is one window carry per metric — no cross join, no raw-event re-scan past the first aggregation",
       "q_gapfill_interp" -> "same spine; backward + forward ignoreNulls carries bracket each gap over ONE sorted (metric) partitioning; linear blend arithmetic identical to the oracle's IEEE op sequence",
       "q_counter_rate" -> "one shuffle on metric for the lag window, then the standard partial+final bucket aggregate — q_bucket_agg's shape with a window in front; reset detection is a per-row CASE, no extra pass",
-      "q_time_weight" -> "window partitioned on the SAME (metric, bucket) key the aggregate groups by — Catalyst reuses one exchange for both; weights are per-row lead arithmetic, no second pass"
+      "q_time_weight" -> "window partitioned on the SAME (metric, bucket) key the aggregate groups by — Catalyst reuses one exchange for both; weights are per-row lead arithmetic, no second pass",
+      "q_histogram" -> "per-metric bounds (5-row aggregate) broadcast back onto the value stream — the corpus shuffles only for the final (metric, bin) partial+final aggregate",
+      "q_percentiles" -> "one (metric)-window sort produces rank and count together; the per-mille rank filter is a projection — no per-percentile re-sort (the union branches reuse the same window subtree)"
     )
 
     val sb = new StringBuilder

@@ -49,6 +49,8 @@ object SparkEntry {
     "q_gapfill_interp" -> (RelationalOps.gapfillInterp _),
     "q_counter_rate" -> (RelationalOps.counterRate _),
     "q_time_weight" -> (RelationalOps.timeWeight _),
+    "q_histogram" -> (RelationalOps.histogram _),
+    "q_percentiles" -> (RelationalOps.percentiles _),
     // §2C alarm analytics
     "q_deviation_immediate" -> (AlarmOps.deviationImmediate _),
     "q_deviation_trend" -> (AlarmOps.deviationTrend _),

@@ -490,7 +490,100 @@ object RelationalOps {
       .resultOrder(col("metric"), col("bucket"))
   }
 
+  /** Number of equal-width histogram bins. */
+  val HistBins = 20
+
+  /** Per-metric equal-width value histogram — the Grafana histogram panel
+    * over the value domain. All bin arithmetic is exact integers: values
+    * as cents, bin = ((c − cmin)·B) / (cmax − cmin) with integer
+    * division, top edge clamped into the last bin; the reported bin_lo
+    * edge is one identical double expression in both engines.
+    *
+    * Scale: per-metric bounds are a 5-row aggregate broadcast back onto
+    * the stream (no corpus shuffle for the join), then one partial+final
+    * aggregate on (metric, bin).
+    */
+  def histogram(s: SparkSession, dir: String): DataFrame = {
+    val cents = floor(col("value") * 100 + 0.5).cast("long")
+    val vals = ev(s, dir).filter(col("value").isNotNull)
+      .select(col("event_type").as("metric"), cents.as("c"))
+    val bounds = vals.groupBy(col("metric"))
+      .agg(min(col("c")).as("cmin"), max(col("c")).as("cmax"))
+    vals.join(broadcast(bounds), "metric")
+      .withColumn("bin",
+        when(col("cmax") === col("cmin"), lit(0L))
+          .otherwise(least(lit(HistBins - 1L),
+            ((col("c") - col("cmin")) * HistBins) / (col("cmax") - col("cmin"))))
+          .cast("long"))
+      .groupBy(col("metric"), col("bin"))
+      .agg(count(lit(1)).as("n"),
+        // one shared double expression for the edge: identical op order
+        // in the oracle keeps it bit-equal
+        first(col("cmin").cast("double") / 100.0 +
+          (col("cmax") - col("cmin")).cast("double") / 100.0 * col("bin") / HistBins)
+          .as("bin_lo"))
+      .resultOrder(col("metric"), col("bin"))
+  }
+
+  /** Discrete percentile targets in per-mille (p50/p90/p95/p99). */
+  val PercentilesPerMille: Seq[Int] = Seq(500, 900, 950, 990)
+
+  /** Per-metric discrete percentiles: the value whose ascending
+    * (value, event_id) rank is ceil(p·n) — no interpolation, so the
+    * result is an actual sample and the index arithmetic is exact
+    * integers (per-mille p avoids 0.95·n landing ε away from an
+    * integer and ceiling differently than intended).
+    *
+    * Scale: one (metric)-partition window sort (rank + count), then a
+    * rank-membership filter — the same shape DuckDB executes; at
+    * production scale a percentile over a full metric history would go
+    * through the approximate sketch instead (q_approx_distinct's
+    * territory); this operator is the exact dashboard-range form.
+    */
+  def percentiles(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("metric")).orderBy(col("value"), col("event_id"))
+    val wc = Window.partitionBy(col("metric"))
+    val ranked = ev(s, dir).filter(col("value").isNotNull)
+      .select(col("event_type").as("metric"), col("value"), col("event_id"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wc))
+    val targets = PercentilesPerMille.map { pm =>
+      // `div`, not `/`: Column./ is double division and the rank equality
+      // would never match
+      ranked.filter(col("rn") === expr(s"greatest(1L, (n * $pm + 999) div 1000)"))
+        .select(col("metric"), lit(pm).as("p_permille"), col("value").as("p_value"))
+    }.reduce(_ unionAll _)
+    targets.resultOrder(col("metric"), col("p_permille"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_histogram" ->
+      s"""WITH c AS (
+         |  SELECT event_type AS metric, CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+         |  FROM events WHERE value IS NOT NULL),
+         |b AS (SELECT metric, min(c) AS cmin, max(c) AS cmax FROM c GROUP BY 1),
+         |binned AS (
+         |  SELECT c.metric,
+         |    CAST(CASE WHEN cmax = cmin THEN 0
+         |         ELSE least($HistBins - 1, ((c.c - cmin) * $HistBins) // (cmax - cmin))
+         |    END AS BIGINT) AS bin,
+         |    cmin, cmax
+         |  FROM c JOIN b USING (metric))
+         |SELECT metric, bin, count(*) AS n,
+         |  any_value(CAST(cmin AS DOUBLE) / 100.0
+         |    + CAST(cmax - cmin AS DOUBLE) / 100.0 * bin / $HistBins) AS bin_lo
+         |FROM binned GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_percentiles" ->
+      s"""WITH r AS (
+         |  SELECT event_type AS metric, value, event_id,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+         |    count(*) OVER (PARTITION BY event_type) AS n
+         |  FROM events WHERE value IS NOT NULL),
+         |p AS (SELECT unnest(ARRAY[${PercentilesPerMille.mkString(", ")}]) AS p_permille)
+         |SELECT metric, p_permille, value AS p_value
+         |FROM r JOIN p ON r.rn = greatest(1, (n * p_permille + 999) // 1000)
+         |ORDER BY metric, p_permille""".stripMargin,
     "q_time_weight" ->
       s"""WITH c AS (
          |  SELECT event_type AS metric, ts, event_id,

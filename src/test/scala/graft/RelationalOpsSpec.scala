@@ -181,6 +181,42 @@ class RelationalOpsSpec extends SparkSuite {
     assert(differs, "time weighting indistinguishable from plain avg on the fixture")
   }
 
+  test("q_histogram / q_percentiles: match independent replays of the fixture") {
+    val ev = Tables.events(spark, SfDir)
+      .select("event_id", "event_type", "value").collect()
+      .filter(!_.isNullAt(2))
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val byMetric = ev.groupBy(_._2)
+
+    val hist = RelationalOps.histogram(spark, SfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val expectHist = byMetric.flatMap { case (m, rs) =>
+      val cents = rs.map(r => math.floor(r._3 * 100 + 0.5).toLong)
+      val (lo, hi) = (cents.min, cents.max)
+      cents.groupBy { c =>
+        if (hi == lo) 0L else math.min(RelationalOps.HistBins - 1L, (c - lo) * RelationalOps.HistBins / (hi - lo))
+      }.map { case (bin, cs) => (m, bin) -> cs.size.toLong }
+    }
+    assert(hist == expectHist, s"histogram mismatch: ${(hist.toSet -- expectHist.toSet).take(3)}")
+    // per-metric bin counts must cover every sample
+    RelationalOps.histogram(spark, SfDir).collect().groupBy(_.getString(0)).foreach {
+      case (m, rows) => assert(rows.map(_.getLong(2)).sum == byMetric(m).length.toLong)
+    }
+
+    val pct = RelationalOps.percentiles(spark, SfDir).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    byMetric.foreach { case (m, rs) =>
+      val sorted = rs.sortBy(r => (r._3, r._1)).map(_._3)
+      RelationalOps.PercentilesPerMille.foreach { pm =>
+        val idx = math.max(1L, (sorted.length.toLong * pm + 999) / 1000).toInt - 1
+        assert(pct((m, pm)) == sorted(idx), s"$m p$pm: ${pct((m, pm))} vs ${sorted(idx)}")
+      }
+      // monotone across the percentile ladder
+      val ladder = RelationalOps.PercentilesPerMille.map(pm => pct((m, pm)))
+      assert(ladder == ladder.sorted, s"$m percentiles not monotone: $ladder")
+    }
+  }
+
   test("q_gapfill_interp: values sit on the segment between neighbors; trailing gaps null") {
     val rows = RelationalOps.gapfillInterp(spark, SfDir).collect()
     rows.groupBy(_.getString(0)).foreach { case (m, rs) =>
