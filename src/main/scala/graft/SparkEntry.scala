@@ -51,6 +51,7 @@ object SparkEntry {
     "q_time_weight" -> (RelationalOps.timeWeight _),
     "q_histogram" -> (RelationalOps.histogram _),
     "q_percentiles" -> (RelationalOps.percentiles _),
+    "q_spc_rules" -> (RelationalOps.spcRules _),
     // §2C alarm analytics
     "q_deviation_immediate" -> (AlarmOps.deviationImmediate _),
     "q_deviation_trend" -> (AlarmOps.deviationTrend _),

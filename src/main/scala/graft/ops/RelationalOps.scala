@@ -557,7 +557,90 @@ object RelationalOps {
     targets.resultOrder(col("metric"), col("p_permille"))
   }
 
+  /** Minimum same-side run length for the SPC run rule. */
+  val SpcRunLen = 8
+
+  /** Statistical process control over the metric streams — the analytics
+    * behind the reference's own `SPCPlacementOffsetTrend` variable
+    * (opcua_server/main.py:199-203): Western Electric rule 1 (a point
+    * beyond mean ± 3σ) and rule 4 (`SpcRunLen` consecutive points on the
+    * same side of the mean — a process drift the deviation alarms can't
+    * see because no single point is extreme).
+    *
+    * Determinism: mean and σ derive from exact BIGINT sums of cents and
+    * squared cents ((nΣc² − (Σc)²)/(n(n−1)), then one sqrt — every step
+    * correctly rounded identically in both engines). Fixture bounds keep
+    * the integer sums well under 2^63; a production run at corpus scale
+    * would sum DECIMAL(38) instead. Run detection is the gaps-and-islands
+    * trick (global rank minus per-side rank), all integer.
+    *
+    * Scale: the per-metric stats are a tiny aggregate broadcast back;
+    * the run windows partition on (metric[, side, island]) — ordered
+    * scans per metric, the same shape as the alarm-engine windows.
+    */
+  def spcRules(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = floor(col("value") * 100 + 0.5).cast("long")
+    val v = ev(s, dir).filter(col("value").isNotNull)
+      .select(col("event_type").as("metric"), col("ts"), col("event_id"),
+        col("value"), cents.as("c"))
+    val stats = v.groupBy(col("metric"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
+        sum(col("c") * col("c")).as("q"))
+      .select(col("metric"),
+        (col("s").cast("double") / col("n").cast("double")).as("mean_c"),
+        sqrt((col("n") * col("q") - col("s") * col("s")).cast("double") /
+          (col("n") * (col("n") - 1)).cast("double")).as("sd_c"))
+    val w = Window.partitionBy(col("metric")).orderBy(col("ts"), col("event_id"))
+    val ws = Window.partitionBy(col("metric"), col("above"))
+      .orderBy(col("ts"), col("event_id"))
+    val sided = v.join(broadcast(stats), "metric")
+      .withColumn("above", col("c").cast("double") > col("mean_c"))
+      .withColumn("grp", row_number().over(w) - row_number().over(ws))
+    val wrun = Window.partitionBy(col("metric"), col("above"), col("grp"))
+      .orderBy(col("ts"), col("event_id"))
+    sided
+      .withColumn("run_pos", row_number().over(wrun))
+      .withColumn("rule1_3sigma",
+        abs(col("c").cast("double") - col("mean_c")) > lit(3.0) * col("sd_c"))
+      .withColumn("rule4_run", col("run_pos") >= SpcRunLen)
+      .filter(col("rule1_3sigma") || col("rule4_run"))
+      .select(col("event_id"), col("metric"), col("ts"), col("value"),
+        col("rule1_3sigma"), col("rule4_run"))
+      .resultOrder(col("event_id"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_spc_rules" ->
+      s"""WITH v AS (
+         |  SELECT event_type AS metric, ts, event_id, value,
+         |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+         |  FROM events WHERE value IS NOT NULL),
+         |st AS (
+         |  SELECT metric,
+         |    CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_c,
+         |    sqrt(CAST(count(*) * sum(c * c) - sum(c) * sum(c) AS DOUBLE)
+         |         / CAST(count(*) * (count(*) - 1) AS DOUBLE)) AS sd_c
+         |  FROM v GROUP BY 1),
+         |sided AS (
+         |  SELECT v.*, st.mean_c, st.sd_c,
+         |    CAST(v.c AS DOUBLE) > st.mean_c AS above
+         |  FROM v JOIN st USING (metric)),
+         |grped AS (
+         |  SELECT *,
+         |    row_number() OVER (PARTITION BY metric ORDER BY ts, event_id)
+         |      - row_number() OVER (PARTITION BY metric, above ORDER BY ts, event_id) AS grp
+         |  FROM sided),
+         |runs AS (
+         |  SELECT *,
+         |    row_number() OVER (PARTITION BY metric, above, grp ORDER BY ts, event_id) AS run_pos
+         |  FROM grped)
+         |SELECT event_id, metric, ts, value,
+         |  abs(CAST(c AS DOUBLE) - mean_c) > 3.0 * sd_c AS rule1_3sigma,
+         |  run_pos >= $SpcRunLen AS rule4_run
+         |FROM runs
+         |WHERE abs(CAST(c AS DOUBLE) - mean_c) > 3.0 * sd_c OR run_pos >= $SpcRunLen
+         |ORDER BY event_id""".stripMargin,
     "q_histogram" ->
       s"""WITH c AS (
          |  SELECT event_type AS metric, CAST(floor(value * 100 + 0.5) AS BIGINT) AS c

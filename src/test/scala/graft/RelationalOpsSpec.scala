@@ -217,6 +217,39 @@ class RelationalOpsSpec extends SparkSuite {
     }
   }
 
+  test("q_spc_rules: flags match an independent Western-Electric replay; both rules fire") {
+    val rows = RelationalOps.spcRules(spark, SfDir).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(4), r.getBoolean(5))).toMap
+    val ev = Tables.events(spark, SfDir)
+      .select("event_id", "ts", "event_type", "value").collect()
+      .filter(!_.isNullAt(3))
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getString(2), r.getDouble(3)))
+    val expect = scala.collection.mutable.Map.empty[Long, (Boolean, Boolean)]
+    ev.groupBy(_._3).foreach { case (_, rs) =>
+      val ordered = rs.sortBy(r => (r._2.getTime, r._1))
+      val cents = ordered.map(r => math.floor(r._4 * 100 + 0.5).toLong)
+      val n = cents.length.toLong
+      val sSum = cents.sum
+      val q = cents.map(c => c * c).sum
+      val mean = sSum.toDouble / n.toDouble
+      val sd = math.sqrt((n * q - sSum * sSum).toDouble / (n * (n - 1)).toDouble)
+      var runSide = false
+      var runLen = 0
+      ordered.zip(cents).foreach { case (r, c) =>
+        val above = c.toDouble > mean
+        runLen = if (runLen > 0 && above == runSide) runLen + 1 else 1
+        runSide = above
+        val rule1 = math.abs(c.toDouble - mean) > 3.0 * sd
+        val rule4 = runLen >= RelationalOps.SpcRunLen
+        if (rule1 || rule4) expect(r._1) = (rule1, rule4)
+      }
+    }
+    assert(rows == expect.toMap,
+      s"spc mismatch: extra ${(rows.keySet -- expect.keySet).take(3)} missing ${(expect.keySet -- rows.keySet).take(3)}")
+    assert(rows.values.exists(_._1) && rows.values.exists(_._2),
+      "both SPC rules must fire on the fixture")
+  }
+
   test("q_gapfill_interp: values sit on the segment between neighbors; trailing gaps null") {
     val rows = RelationalOps.gapfillInterp(spark, SfDir).collect()
     rows.groupBy(_.getString(0)).foreach { case (m, rs) =>
