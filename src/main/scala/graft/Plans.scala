@@ -49,7 +49,7 @@ object Plans {
       "q_counter_rate" -> "one shuffle on metric for the lag window, then the standard partial+final bucket aggregate — q_bucket_agg's shape with a window in front; reset detection is a per-row CASE, no extra pass",
       "q_time_weight" -> "window partitioned on the SAME (metric, bucket) key the aggregate groups by — Catalyst reuses one exchange for both; weights are per-row lead arithmetic, no second pass",
       "q_histogram" -> "per-metric bounds (5-row aggregate) broadcast back onto the value stream — the corpus shuffles only for the final (metric, bin) partial+final aggregate",
-      "q_percentiles" -> "one (metric)-window sort produces rank and count together; the per-mille rank filter is a projection — no per-percentile re-sort (the union branches reuse the same window subtree)",
+      "q_percentiles" -> "ONE scan and one (metric)-window sort for ALL percentile targets: the per-mille targets explode in-row (Generate) and a rank-equality filter selects them — never a union of per-percentile re-scans",
       "q_spc_rules" -> "per-metric stats broadcast back (tiny aggregate, no corpus shuffle for the join); run detection is rank arithmetic over (metric[, side, island]) ordered windows — the alarm-engine window shape"
     )
 

@@ -534,27 +534,33 @@ object RelationalOps {
     * integers (per-mille p avoids 0.95·n landing ε away from an
     * integer and ceiling differently than intended).
     *
-    * Scale: one (metric)-partition window sort (rank + count), then a
-    * rank-membership filter — the same shape DuckDB executes; at
-    * production scale a percentile over a full metric history would go
-    * through the approximate sketch instead (q_approx_distinct's
-    * territory); this operator is the exact dashboard-range form.
+    * Scale: ONE (metric)-partition window sort (rank + count) for all
+    * four percentiles — the targets explode in-row from the per-mille
+    * list, so the plan is a single scan + sort + Generate + filter (a
+    * union-of-filters formulation re-scans and re-sorts the table once
+    * per percentile). At production scale a percentile over a full metric
+    * history would go through the approximate sketch instead; this
+    * operator is the exact dashboard-range form.
     */
   def percentiles(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("metric")).orderBy(col("value"), col("event_id"))
     val wc = Window.partitionBy(col("metric"))
-    val ranked = ev(s, dir).filter(col("value").isNotNull)
+    // `div`, not `/`, in the target arithmetic: Column./ is double
+    // division and the rank equality would never match
+    ev(s, dir).filter(col("value").isNotNull)
       .select(col("event_type").as("metric"), col("value"), col("event_id"))
       .withColumn("rn", row_number().over(w))
       .withColumn("n", count(lit(1)).over(wc))
-    val targets = PercentilesPerMille.map { pm =>
-      // `div`, not `/`: Column./ is double division and the rank equality
-      // would never match
-      ranked.filter(col("rn") === expr(s"greatest(1L, (n * $pm + 999) div 1000)"))
-        .select(col("metric"), lit(pm).as("p_permille"), col("value").as("p_value"))
-    }.reduce(_ unionAll _)
-    targets.resultOrder(col("metric"), col("p_permille"))
+      .select(col("metric"), col("value"), col("rn"),
+        explode(expr(
+          s"transform(array(${PercentilesPerMille.mkString(", ")}), " +
+            "pm -> struct(pm AS p_permille, greatest(1L, (n * pm + 999) div 1000) AS target))"))
+          .as("t"))
+      .filter(col("rn") === col("t.target"))
+      .select(col("metric"), col("t.p_permille").as("p_permille"),
+        col("value").as("p_value"))
+      .resultOrder(col("metric"), col("p_permille"))
   }
 
   /** Minimum same-side run length for the SPC run rule. */

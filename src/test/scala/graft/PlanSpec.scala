@@ -229,6 +229,17 @@ class PlanSpec extends SparkSuite {
       s"interp re-shuffles the spine per direction:\n$p")
   }
 
+  test("q_percentiles: one scan and one window sort for all percentile targets") {
+    val p = plan("q_percentiles")
+    // a union-of-filters formulation re-scans and re-sorts the table once
+    // per percentile; the in-row target explode needs exactly one scan
+    assert("InMemoryFileIndex".r.findAllIn(p).size == 1,
+      s"percentiles scan the table more than once:\n$p")
+    assert(!p.contains("Union"), s"per-percentile union crept back:\n$p")
+    assert(p.contains("Generate"), s"target explode missing:\n$p")
+    assert(p.contains("Window"), p)
+  }
+
   test("q_dedup_clusters: CC ran as joins — no GraphX RDD scans, no cross join") {
     val p = plan("q_dedup_clusters")
     assert(!p.contains("CartesianProduct"), p)
