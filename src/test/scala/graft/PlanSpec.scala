@@ -240,6 +240,16 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("Window"), p)
   }
 
+  test("q_histogram / q_spc_rules: per-metric stats broadcast back, fact side unshuffled for the join") {
+    Seq("q_histogram", "q_spc_rules").foreach { k =>
+      val p = plan(k)
+      assert(p.contains("BroadcastHashJoin"), s"$k stats not broadcast:\n$p")
+      assert(!p.contains("SortMergeJoin"),
+        s"$k shuffles the value stream to join 5 stat rows:\n$p")
+      assert(!p.toLowerCase.contains("scalaudf"), p)
+    }
+  }
+
   test("q_dedup_clusters: CC ran as joins — no GraphX RDD scans, no cross join") {
     val p = plan("q_dedup_clusters")
     assert(!p.contains("CartesianProduct"), p)
