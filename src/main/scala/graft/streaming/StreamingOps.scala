@@ -198,6 +198,48 @@ object StreamingOps {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(counterIncFlatMap)
   }
 
+  case class SpcLimits(mean: Double, sd: Double)
+  case class SpcState(above: Boolean, runLen: Int)
+  case class SpcAlarm(metric: String, event_id: Long, value: Double,
+      rule1_3sigma: Boolean, rule4_run: Boolean)
+
+  /** Streaming twin of RelationalOps.spcRules, run the way production SPC
+    * actually runs: control limits are FIXED, computed once from a
+    * baseline period (the batch operator's mean/σ), and the stream is
+    * judged against them — rule 1 is a stateless compare, rule 4 carries
+    * one (side, runLength) pair of state per metric. Emits only rows
+    * that fire a rule.
+    */
+  def spcFlatMap(limits: Map[String, SpcLimits], runLen: Int)(
+      metric: String,
+      rows: Iterator[MetricEvent],
+      state: GroupState[SpcState]
+  ): Iterator[SpcAlarm] = {
+    val out = scala.collection.mutable.ListBuffer.empty[SpcAlarm]
+    limits.get(metric).foreach { lim =>
+      var st = state.getOption.getOrElse(SpcState(above = false, runLen = 0))
+      rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+        val above = e.value > lim.mean
+        st = if (st.runLen > 0 && above == st.above) SpcState(above, st.runLen + 1)
+          else SpcState(above, 1)
+        val rule1 = math.abs(e.value - lim.mean) > 3.0 * lim.sd
+        val rule4 = st.runLen >= runLen
+        if (rule1 || rule4) out += SpcAlarm(metric, e.event_id, e.value, rule1, rule4)
+      }
+      state.update(st)
+    }
+    out.iterator
+  }
+
+  def spcAlarms(events: Dataset[MetricEvent], limits: Map[String, SpcLimits],
+      runLen: Int = graft.ops.RelationalOps.SpcRunLen): Dataset[SpcAlarm] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.metric)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        spcFlatMap(limits, runLen))
+  }
+
   case class RecoveryState(latest: Map[String, Double], wasRecoverable: Boolean)
   case class Recovery(user_id: Long, event_id: Long, last_error: Double)
 

@@ -321,6 +321,35 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("spc stream: fixed-limit rules fire across batch boundaries, runs carry state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val limits = Map("CycleTime" -> StreamingOps.SpcLimits(mean = 10.0, sd = 1.0))
+    def ev(id: Long, ts: String, v: Double) =
+      MetricEvent(id, Timestamp.valueOf(ts), 1L, "CycleTime", v)
+    val mem = MemoryStream[MetricEvent]
+    val q = StreamingOps.spcAlarms(mem.toDS(), limits, runLen = 3)
+      .writeStream.format("memory").queryName("spc_out")
+      .outputMode("append").start()
+    try {
+      // two above-mean points (run 1, 2) + one 3-sigma outlier below
+      mem.addData(ev(1, "2024-01-01 00:00:01", 10.5), ev(2, "2024-01-01 00:00:02", 10.6),
+        ev(3, "2024-01-01 00:00:03", 13.5))
+      q.processAllAvailable()
+      // the outlier was BELOW-side-breaking? no: 13.5 > mean -> run 3
+      // continues above; next batch extends the above run to 4 and 5
+      mem.addData(ev(4, "2024-01-01 00:00:04", 10.2), ev(5, "2024-01-01 00:00:05", 6.0))
+      q.processAllAvailable()
+      val got = spark.table("spc_out").as[StreamingOps.SpcAlarm].collect()
+        .map(a => a.event_id -> (a.rule1_3sigma, a.rule4_run)).toMap
+      // id 3: rule1 (|13.5-10|>3) AND completes the 3-run above the mean;
+      // id 4: 4th consecutive above — run rule only, ACROSS the batch
+      // boundary; id 5: 3-sigma below (|6-10|>3), run resets to 1
+      assert(got == Map(3L -> ((true, true)), 4L -> ((false, true)), 5L -> ((true, false))),
+        s"got $got")
+    } finally q.stop()
+  }
+
   test("cleanse stream: quality gate + chunking equals batch under micro-batch splits") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
