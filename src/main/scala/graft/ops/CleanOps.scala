@@ -234,7 +234,12 @@ object CleanOps {
   def chunkDocsOn(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), col("text"),
-        posexplode(expr(s"sequence(1, length(text), $ChunkStride)"))
+        // empty (zero-length, non-null) text must yield zero chunks, not an
+        // 'Illegal sequence boundaries' runtime error: sequence(1, 0, k)
+        // throws in Spark, while the oracle's range(1, 1, k) is empty — the
+        // null arm here is skipped by the generate, matching the oracle
+        posexplode(when(length(col("text")) > 0,
+          expr(s"sequence(1, length(text), $ChunkStride)")))
           .as(Seq("chunk_idx", "chunk_start")))
       .select(
         col("doc_id"),

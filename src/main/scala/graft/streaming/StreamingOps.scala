@@ -170,6 +170,15 @@ object StreamingOps {
     * standard watermarked window aggregate and is already covered by the
     * mv twins. First sample of a metric establishes the baseline and
     * emits nothing, matching the batch lag-null drop.
+    *
+    * IN-ORDER ARRIVAL ASSUMPTION: rows are sorted by (ts, event_id) only
+    * WITHIN each micro-batch; a sample arriving in a later micro-batch
+    * with an earlier event time is applied against the carried state out
+    * of order, and the reset heuristic then reads the backward jump as a
+    * counter restart, inflating the increase. Feed this operator from an
+    * ordered-per-key transport (the replay source and Kafka-per-partition
+    * both guarantee it); under genuinely disordered delivery, buffer by
+    * event-time watermark upstream before applying deltas.
     */
   def counterIncFlatMap(
       metric: String,
@@ -209,6 +218,11 @@ object StreamingOps {
     * judged against them — rule 1 is a stateless compare, rule 4 carries
     * one (side, runLength) pair of state per metric. Emits only rows
     * that fire a rule.
+    *
+    * Same in-order arrival assumption as [[counterIncFlatMap]]: ordering
+    * is per-micro-batch; rule 4's run counter is only meaningful when the
+    * per-metric stream arrives in event-time order (true for the replay
+    * source and per-partition Kafka). Rule 1 is order-independent.
     */
   def spcFlatMap(limits: Map[String, SpcLimits], runLen: Int)(
       metric: String,
