@@ -51,6 +51,10 @@ object SparkEntry {
     "q_time_weight" -> (RelationalOps.timeWeight _),
     "q_histogram" -> (RelationalOps.histogram _),
     "q_percentiles" -> (RelationalOps.percentiles _),
+    // sketch variant: GK merge order varies with partitioning, so no
+    // cross-engine hash oracle — driver records the rows-only check;
+    // PropertySpec pins the rank-error bound against the exact operator
+    "q_percentiles_approx" -> (RelationalOps.percentilesApprox _),
     "q_spc_rules" -> (RelationalOps.spcRules _),
     // §2C alarm analytics
     "q_deviation_immediate" -> (AlarmOps.deviationImmediate _),

@@ -291,19 +291,28 @@ object RelationalOps {
   def asofJoin(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = ev(s, dir)
+    // `tie` carries each row's ORIGINAL event_id (clicks null out the
+    // output event_id column, so it can't serve): (ts, side) alone is not
+    // a total order, and two same-user clicks at the same timestamp would
+    // make the carried value partitioning-dependent. With the tiebreak the
+    // highest-event_id click among equal-ts ties wins, deterministically.
+    // (DuckDB's ASOF JOIN leaves the same tie unspecified; the fixtures
+    // are tie-free, so the oracle still matches.)
     val errors = e.filter(col("event_type") === "error")
       .select(col("event_id"), col("user_id"), col("ts"), col("value"),
         lit(1).as("side"),
         lit(null).cast("timestamp").as("r_ts"),
-        lit(null).cast("double").as("r_value"))
+        lit(null).cast("double").as("r_value"),
+        col("event_id").as("tie"))
     val clicks = e.filter(col("event_type") === "click")
       .select(lit(null).cast("long").as("event_id"), col("user_id"), col("ts"),
         lit(null).cast("double").as("value"),
         lit(0).as("side"),
         col("ts").as("r_ts"),
-        col("value").as("r_value"))
+        col("value").as("r_value"),
+        col("event_id").as("tie"))
     val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("side"))
+      .orderBy(col("ts"), col("side"), col("tie"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     clicks.unionByName(errors)
       .withColumn("click_ts", last(col("r_ts"), ignoreNulls = true).over(w))
@@ -322,89 +331,91 @@ object RelationalOps {
     * reference's data model; init.sql's aggregates leave gap minutes
     * absent, and a plotting client needs the dense spine).
     *
-    * Per metric: bucket the observations, derive the [min, max] bucket
-    * bounds, explode a dense minute spine from the bounds, left-join the
-    * observed aggregates back, and carry the last observed value forward
-    * with `last(..., ignoreNulls)`. The spine generation is a Generate
-    * bounded by time-range/grain (never by corpus size); the join and
-    * window shuffle on (metric[, bucket]) — three narrow shuffles over
-    * bucket-cardinality data, no row-count term from the raw events
-    * beyond the first aggregation.
-    *
-    * The first spine row of each metric is an observed bucket by
-    * construction (lo = min observed), so locf_value is never null —
-    * deterministic without a lookback horizon.
+    * Built on [[gapfillExpanded]]: gap minutes are generated FROM their
+    * enclosing segment, so each one is born already knowing its left
+    * observation — the carried-forward value is a projection, not a
+    * spine-wide ignoreNulls window. The first bucket of each metric is an
+    * observed one by construction (segments start at the first
+    * observation), so locf_value is never null — deterministic without a
+    * lookback horizon.
     */
-  def gapfillLocf(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("metric")).orderBy(col("bucket"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    gapfillSpine(s, dir)
-      .select(col("metric"), col("bucket"),
-        col("avg_value"),
-        last(col("avg_value"), ignoreNulls = true).over(w).as("locf_value"),
-        col("avg_value").isNull.as("is_gap"),
-        coalesce(col("sample_count"), lit(0L)).as("sample_count"))
+  def gapfillLocf(s: SparkSession, dir: String): DataFrame =
+    gapfillExpanded(s, dir)
+      .select(col("metric"), col("g.b").as("bucket"),
+        when(!col("g.gap"), col("avg_value")).as("avg_value"),
+        col("avg_value").as("locf_value"),
+        col("g.gap").as("is_gap"),
+        when(col("g.gap"), lit(0L)).otherwise(col("sample_count")).as("sample_count"))
       .resultOrder(col("metric"), col("bucket"))
-  }
 
-  /** The dense spine left-joined with the observed per-minute aggregates —
-    * shared by the locf and interpolate fill policies.
+  /** The segment-expanded dense series shared by the locf and interpolate
+    * fill policies: per-minute observed aggregates, each row extended with
+    * its successor observation (`lead` over the OBSERVED buckets — a
+    * window over bucket-cardinality rows, bounded by time-range/grain,
+    * never by corpus size), then one Generate per segment emitting the
+    * observed bucket itself plus every gap minute strictly between it and
+    * the next observation.
+    *
+    * This replaces the earlier bounds→dense-spine→left-join→two-
+    * ignoreNulls-carries formulation: the spine join and both spine-wide
+    * window sorts are gone — every gap row is created adjacent to the two
+    * observations that define it, so both fill policies become pure
+    * projections of the Generate output. Shuffles: the (metric, bucket)
+    * aggregation exchange and one (metric) exchange for the lead window
+    * over observed buckets. The [min, max] observed bounds per metric are
+    * implicit (segments exist only between observations), so the output
+    * rows are exactly the old spine's.
     */
-  private def gapfillSpine(s: SparkSession, dir: String): DataFrame = {
-    val agg = ev(s, dir).filter(col("value").isNotNull)
+  private def gapfillExpanded(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wobs = Window.partitionBy(col("metric")).orderBy(col("bucket"))
+    ev(s, dir).filter(col("value").isNotNull)
       .groupBy(col("event_type").as("metric"),
         date_trunc("minute", col("ts")).as("bucket"))
       .agg(Model.exactAvg4("value").as("avg_value"),
         count(col("value")).as("sample_count"))
-    val spine = agg.groupBy(col("metric"))
-      .agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
-      .select(col("metric"),
-        explode(expr("sequence(lo, hi, interval 1 minute)")).as("bucket"))
-    spine.join(agg, Seq("metric", "bucket"), "left")
+      .withColumn("next_b", lead(col("bucket"), 1).over(wobs))
+      .withColumn("next_v", lead(col("avg_value"), 1).over(wobs))
+      .select(col("metric"), col("bucket"), col("avg_value"),
+        col("sample_count"), col("next_b"), col("next_v"),
+        explode(expr(
+          """concat(
+            |  array(named_struct('b', bucket, 'gap', false)),
+            |  transform(
+            |    CASE WHEN next_b > bucket + INTERVAL 1 MINUTE
+            |         THEN sequence(bucket + INTERVAL 1 MINUTE,
+            |                       next_b - INTERVAL 1 MINUTE,
+            |                       INTERVAL 1 MINUTE)
+            |         ELSE cast(array() AS array<timestamp>) END,
+            |    x -> named_struct('b', x, 'gap', true)))""".stripMargin)).as("g"))
   }
 
   /** Gap-fill with LINEAR INTERPOLATION — TimescaleDB's `interpolate`
     * sibling of [[gapfillLocf]]: each gap minute takes the value on the
-    * straight line between its nearest observed neighbors; trailing gaps
-    * (no later observation) stay null, observed buckets pass through.
+    * straight line between its nearest observed neighbors, observed
+    * buckets pass through.
     *
-    * Same spine machinery, one backward and one forward ignoreNulls
-    * window carry per metric. The forward carry runs as a DESCENDING
-    * running frame, not a `currentRow..unboundedFollowing` frame: Spark
-    * executes an unbounded-FOLLOWING frame by re-aggregating from every
-    * row to the partition end — O(rows²) per partition, measured ~100 s
-    * on the sf0.1 spine — while the reversed running frame is the O(rows)
-    * incremental path (cost: one extra in-partition sort, no shuffle).
-    * The interpolation arithmetic — integer second deltas divided as
-    * doubles, then one fused multiply-add on 4-decimal-exact endpoint
-    * values — is the identical operation sequence in the oracle, so
-    * results are bit-equal cross-engine.
+    * Each generated gap row carries its segment's two endpoints
+    * directly ([[gapfillExpanded]]), so the interpolation is a pure
+    * projection — no spine-wide carries in either direction. The
+    * arithmetic — integer second deltas divided as doubles, then one
+    * fused multiply-add on 4-decimal-exact endpoint values — is the
+    * identical operation sequence in the oracle, so results are
+    * bit-equal cross-engine.
     */
   def gapfillInterp(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val wb = Window.partitionBy(col("metric")).orderBy(col("bucket"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // at-or-after current in ascending time == at-or-before current in
-    // descending time: same rows, linear frame
-    val wf = Window.partitionBy(col("metric")).orderBy(col("bucket").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val obsBucket = when(col("avg_value").isNotNull, col("bucket"))
     val ratio =
-      (unix_timestamp(col("bucket")) - unix_timestamp(col("prev_b"))).cast("double") /
-        (unix_timestamp(col("next_b")) - unix_timestamp(col("prev_b"))).cast("double")
-    gapfillSpine(s, dir)
-      .withColumn("prev_v", last(col("avg_value"), ignoreNulls = true).over(wb))
-      .withColumn("prev_b", last(obsBucket, ignoreNulls = true).over(wb))
-      .withColumn("next_v", last(col("avg_value"), ignoreNulls = true).over(wf))
-      .withColumn("next_b", last(obsBucket, ignoreNulls = true).over(wf))
-      .select(col("metric"), col("bucket"), col("avg_value"),
+      (unix_timestamp(col("g.b")) - unix_timestamp(col("bucket"))).cast("double") /
+        (unix_timestamp(col("next_b")) - unix_timestamp(col("bucket"))).cast("double")
+    gapfillExpanded(s, dir)
+      .select(col("metric"), col("g.b").as("bucket"),
+        when(!col("g.gap"), col("avg_value")).as("avg_value"),
         Model.roundN(
-          when(col("avg_value").isNotNull, col("avg_value"))
+          when(!col("g.gap"), col("avg_value"))
             .when(col("next_v").isNotNull,
-              col("prev_v") + (col("next_v") - col("prev_v")) * ratio),
+              col("avg_value") + (col("next_v") - col("avg_value")) * ratio),
           4).as("interp_value"),
-        col("avg_value").isNull.as("is_gap"))
+        col("g.gap").as("is_gap"))
       .resultOrder(col("metric"), col("bucket"))
   }
 
@@ -423,20 +434,40 @@ object RelationalOps {
     * double division at the end. The lag ordering is total
     * ((ts, event_id)).
     *
-    * Scale: one shuffle on metric for the lag window, then the standard
-    * partial+final bucket aggregate — same shape as q_bucket_agg with a
-    * window in front.
+    * Scale: the lag runs as a TWO-PHASE window. The reference metric key
+    * space is ~46 values (opcua_server/main.py:152-203), so a
+    * per-metric window would sort each metric's ENTIRE history on one
+    * task — a hard parallelism ceiling at 100×. Instead the lag
+    * partitions on the composite (metric, day): thousands of
+    * bounded-size partitions, each sorted locally. Only the FIRST
+    * sample of each day is missing its predecessor; those boundaries
+    * are repaired with a per-day carry table (last sample of each
+    * (metric, day), shifted one present-day forward by a window over
+    * the day-cardinality aggregate) broadcast back onto the stream.
+    * Then the standard partial+final bucket aggregate.
     */
   def counterRate(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("metric")).orderBy(col("ts"), col("event_id"))
     val cents = floor(col("value") * 100 + 0.5).cast("long")
-    val withPrev = ev(s, dir).filter(col("value").isNotNull)
+    val rows = ev(s, dir).filter(col("value").isNotNull)
       .select(col("event_type").as("metric"), col("ts"), col("event_id"),
         cents.as("cents"))
-      .withColumn("prev", lag(col("cents"), 1).over(w))
+      .withColumn("day", date_trunc("day", col("ts")))
+    // in-partition lag: composite (metric, day) key — bounded partitions
+    val wDay = Window.partitionBy(col("metric"), col("day"))
+      .orderBy(col("ts"), col("event_id"))
+    // boundary repair: last sample of each present (metric, day), carried
+    // to the NEXT present day — a lag over the tiny day-level aggregate
+    val carries = rows.groupBy(col("metric"), col("day"))
+      .agg(max_by(col("cents"), struct(col("ts"), col("event_id"))).as("day_last"))
+      .withColumn("carry",
+        lag(col("day_last"), 1).over(Window.partitionBy(col("metric")).orderBy(col("day"))))
+      .select(col("metric"), col("day"), col("carry"))
+    rows
+      .withColumn("prev_in", lag(col("cents"), 1).over(wDay))
+      .join(broadcast(carries), Seq("metric", "day"))
+      .withColumn("prev", coalesce(col("prev_in"), col("carry")))
       .filter(col("prev").isNotNull)
-    withPrev
       .withColumn("inc",
         when(col("cents") >= col("prev"), col("cents") - col("prev"))
           .otherwise(col("cents")))
@@ -511,9 +542,12 @@ object RelationalOps {
       .agg(min(col("c")).as("cmin"), max(col("c")).as("cmax"))
     vals.join(broadcast(bounds), "metric")
       .withColumn("bin",
+        // integer `div`, matching the oracle's '//' by construction —
+        // Column./ is double division and would only agree via an exactness
+        // argument on the cent magnitudes (percentiles already uses div)
         when(col("cmax") === col("cmin"), lit(0L))
           .otherwise(least(lit(HistBins - 1L),
-            ((col("c") - col("cmin")) * HistBins) / (col("cmax") - col("cmin"))))
+            expr(s"((c - cmin) * $HistBins) div (cmax - cmin)")))
           .cast("long"))
       .groupBy(col("metric"), col("bin"))
       .agg(count(lit(1)).as("n"),
@@ -528,30 +562,58 @@ object RelationalOps {
   /** Discrete percentile targets in per-mille (p50/p90/p95/p99). */
   val PercentilesPerMille: Seq[Int] = Seq(500, 900, 950, 990)
 
+  /** Value-domain bin count for the two-phase exact percentile rank. */
+  val PctBins = 4096
+
   /** Per-metric discrete percentiles: the value whose ascending
     * (value, event_id) rank is ceil(p·n) — no interpolation, so the
     * result is an actual sample and the index arithmetic is exact
     * integers (per-mille p avoids 0.95·n landing ε away from an
     * integer and ceiling differently than intended).
     *
-    * Scale: ONE (metric)-partition window sort (rank + count) for all
-    * four percentiles — the targets explode in-row from the per-mille
-    * list, so the plan is a single scan + sort + Generate + filter (a
-    * union-of-filters formulation re-scans and re-sorts the table once
-    * per percentile). At production scale a percentile over a full metric
-    * history would go through the approximate sketch instead; this
-    * operator is the exact dashboard-range form.
+    * Scale: the global per-metric rank runs as a TWO-PHASE window over
+    * the VALUE domain (same ~46-metric argument as [[counterRate]], but
+    * time-bucketing can't split a value-ordered rank): each row lands in
+    * one of `PctBins` equal-width cent bins (per-metric bounds are a tiny
+    * aggregate broadcast back, exactly the [[histogram]] shape), rows
+    * rank locally within their (metric, bin) — bin order IS value order,
+    * so global rank = in-bin rank + the running count of lower bins,
+    * computed by a window over the bin-cardinality count table and
+    * broadcast back. Equal-width bins inherit the value distribution's
+    * skew; a pathological single-value metric degrades to one bin —
+    * [[percentilesApprox]] is the constant-memory path for that and for
+    * unbounded ranges.
     */
   def percentiles(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("metric")).orderBy(col("value"), col("event_id"))
-    val wc = Window.partitionBy(col("metric"))
+    val cents = floor(col("value") * 100 + 0.5).cast("long")
+    val rows = ev(s, dir).filter(col("value").isNotNull)
+      .select(col("event_type").as("metric"), col("value"), col("event_id"),
+        cents.as("cv"))
+    val bounds = rows.groupBy(col("metric"))
+      .agg(min(col("cv")).as("cmin"), max(col("cv")).as("cmax"),
+        count(lit(1)).as("n"))
+    val binned = rows.join(broadcast(bounds), "metric")
+      .withColumn("bin",
+        when(col("cmax") === col("cmin"), lit(0L))
+          .otherwise(least(lit(PctBins - 1L),
+            expr(s"((cv - cmin) * $PctBins) div (cmax - cmin)")))
+          .cast("long"))
+    val binOff = binned.groupBy(col("metric"), col("bin"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("boff",
+        coalesce(
+          sum(col("cnt")).over(Window.partitionBy(col("metric")).orderBy(col("bin"))
+            .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("metric"), col("bin"), col("boff"))
+    val wBin = Window.partitionBy(col("metric"), col("bin"))
+      .orderBy(col("value"), col("event_id"))
     // `div`, not `/`, in the target arithmetic: Column./ is double
     // division and the rank equality would never match
-    ev(s, dir).filter(col("value").isNotNull)
-      .select(col("event_type").as("metric"), col("value"), col("event_id"))
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(wc))
+    binned
+      .join(broadcast(binOff), Seq("metric", "bin"))
+      .withColumn("rn", col("boff") + row_number().over(wBin))
       .select(col("metric"), col("value"), col("rn"),
         explode(expr(
           s"transform(array(${PercentilesPerMille.mkString(", ")}), " +
@@ -560,6 +622,39 @@ object RelationalOps {
       .filter(col("rn") === col("t.target"))
       .select(col("metric"), col("t.p_permille").as("p_permille"),
         col("value").as("p_value"))
+      .resultOrder(col("metric"), col("p_permille"))
+  }
+
+  /** Relative rank-error denominator for [[percentilesApprox]]: the
+    * returned value's rank is within n/`PctApproxAccuracy` of the target
+    * rank (Greenwald-Khanna bound). 2^17 keeps the sketch a few MB and
+    * the error ≤ 8 ranks per million rows.
+    */
+  val PctApproxAccuracy: Int = 1 << 17
+
+  /** Approximate sibling of [[percentiles]] — the constant-memory path
+    * for unbounded time ranges at corpus scale: one partial+final
+    * aggregation of a per-metric Greenwald-Khanna sketch
+    * (`percentile_approx`), no window, no sort, no second scan. Rank
+    * error is bounded by n/[[PctApproxAccuracy]]; the exact operator is
+    * the dashboard-range form when ranks must be exact. Sketch merge
+    * order varies with partitioning, so cross-engine hash equality is
+    * not a meaningful contract here — the driver's rows-only check (no
+    * oracle SQL) is the right gate, and PropertySpec asserts the
+    * rank-error bound against the exact operator.
+    */
+  def percentilesApprox(s: SparkSession, dir: String): DataFrame = {
+    val pcts = array(PercentilesPerMille.map(pm => lit(pm / 1000.0)): _*)
+    ev(s, dir).filter(col("value").isNotNull)
+      .groupBy(col("event_type").as("metric"))
+      .agg(percentile_approx(col("value"), pcts, lit(PctApproxAccuracy)).as("ps"))
+      .select(col("metric"),
+        posexplode(col("ps")).as(Seq("i", "p_value")))
+      .select(col("metric"),
+        element_at(
+          array(PercentilesPerMille.map(pm => lit(pm)): _*), col("i") + 1
+        ).as("p_permille"),
+        col("p_value"))
       .resultOrder(col("metric"), col("p_permille"))
   }
 
@@ -580,9 +675,15 @@ object RelationalOps {
     * would sum DECIMAL(38) instead. Run detection is the gaps-and-islands
     * trick (global rank minus per-side rank), all integer.
     *
-    * Scale: the per-metric stats are a tiny aggregate broadcast back;
-    * the run windows partition on (metric[, side, island]) — ordered
-    * scans per metric, the same shape as the alarm-engine windows.
+    * Scale: the per-metric stats are a tiny aggregate broadcast back.
+    * The gaps-and-islands ranks run as TWO-PHASE windows (same argument
+    * as [[counterRate]]: ~46 metrics ⇒ a per-metric window is one task
+    * per metric): both row_numbers partition on a composite
+    * (metric[, above], day) key and are lifted to global ranks by adding
+    * per-day running offsets, computed by windows over the tiny
+    * day-level count aggregates and broadcast back. The run-position
+    * window keys on (metric, above, island) — island cardinality grows
+    * with the data, so that one is already fine-grained.
     */
   def spcRules(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -597,15 +698,37 @@ object RelationalOps {
         (col("s").cast("double") / col("n").cast("double")).as("mean_c"),
         sqrt((col("n") * col("q") - col("s") * col("s")).cast("double") /
           (col("n") * (col("n") - 1)).cast("double")).as("sd_c"))
-    val w = Window.partitionBy(col("metric")).orderBy(col("ts"), col("event_id"))
-    val ws = Window.partitionBy(col("metric"), col("above"))
-      .orderBy(col("ts"), col("event_id"))
     val sided = v.join(broadcast(stats), "metric")
       .withColumn("above", col("c").cast("double") > col("mean_c"))
-      .withColumn("grp", row_number().over(w) - row_number().over(ws))
+      .withColumn("day", date_trunc("day", col("ts")))
+    // strictly-preceding-day running counts — the offsets that lift the
+    // in-day ranks to global ranks; both are day-cardinality aggregates
+    def offsets(counts: DataFrame, part: Seq[String], offName: String) =
+      counts.withColumn(offName,
+        coalesce(
+          sum(col("cnt")).over(Window.partitionBy(part.map(col): _*).orderBy(col("day"))
+            .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+        .drop("cnt")
+    val dayOff = offsets(
+      sided.groupBy(col("metric"), col("day")).agg(count(lit(1)).as("cnt")),
+      Seq("metric"), "off")
+    val sideOff = offsets(
+      sided.groupBy(col("metric"), col("above"), col("day")).agg(count(lit(1)).as("cnt")),
+      Seq("metric", "above"), "soff")
+    val wDay = Window.partitionBy(col("metric"), col("day"))
+      .orderBy(col("ts"), col("event_id"))
+    val wSideDay = Window.partitionBy(col("metric"), col("above"), col("day"))
+      .orderBy(col("ts"), col("event_id"))
+    val grped = sided
+      .withColumn("rn_in", row_number().over(wDay))
+      .withColumn("rs_in", row_number().over(wSideDay))
+      .join(broadcast(dayOff), Seq("metric", "day"))
+      .join(broadcast(sideOff), Seq("metric", "above", "day"))
+      .withColumn("grp", (col("off") + col("rn_in")) - (col("soff") + col("rs_in")))
     val wrun = Window.partitionBy(col("metric"), col("above"), col("grp"))
       .orderBy(col("ts"), col("event_id"))
-    sided
+    grped
       .withColumn("run_pos", row_number().over(wrun))
       .withColumn("rule1_3sigma",
         abs(col("c").cast("double") - col("mean_c")) > lit(3.0) * col("sd_c"))

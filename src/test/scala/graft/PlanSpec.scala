@@ -71,20 +71,27 @@ class PlanSpec extends SparkSuite {
   }
 
   test("q_dedup_minhash: in-row native signature — corpus never exploded pre-banding") {
-    val p = plan("q_dedup_minhash")
-    assert(p.contains("word_shingle_hashes") && p.contains("minhash_sig"),
-      "native in-row expressions missing from plan:\n" + p)
-    assert(!p.toLowerCase.contains("scalaudf"), "signature fell back to a UDF:\n" + p)
+    // the signature stage is materialized (eager localCheckpoint — the
+    // cache-lifecycle fix), so its plan is asserted on the lazy accessor
+    val sig = graft.ops.DedupOps.minhashDocsPlan(Tables.documents(spark, SfDir))
+      .queryExecution.explainString(FormattedMode)
+    assert(sig.contains("word_shingle_hashes") && sig.contains("minhash_sig"),
+      "native in-row expressions missing from plan:\n" + sig)
+    assert(!sig.toLowerCase.contains("scalaudf"), "signature fell back to a UDF:\n" + sig)
     // the old pipeline exploded the corpus into a ~200x shingle stream and
     // shuffled it back through an aggregation; the in-row form must plan
-    // neither — the only aggregation left is the candidate distinct
+    // neither — the only aggregation left in the registered query is the
+    // candidate distinct
+    val p = plan("q_dedup_minhash")
     assert(!p.contains("collect_set"), "shingle aggregation reappeared:\n" + p)
+    assert(!p.toLowerCase.contains("scalaudf"), p)
   }
 
   test("q_dedup_ngram: gram extraction is the native codegen expression, not a UDF") {
-    val p = plan("q_dedup_ngram")
-    assert(p.contains("ngram_hashes"), "native expression missing from plan:\n" + p)
-    assert(!p.toLowerCase.contains("scalaudf"), "gram extraction fell back to a UDF:\n" + p)
+    val g = graft.ops.DedupOps.ngramGramsPlan(Tables.documents(spark, SfDir))
+      .queryExecution.explainString(FormattedMode)
+    assert(g.contains("ngram_hashes"), "native expression missing from plan:\n" + g)
+    assert(!g.toLowerCase.contains("scalaudf"), "gram extraction fell back to a UDF:\n" + g)
   }
 
   test("q_sim_topk_lsh: codegen'd sign buckets (no UDF), broadcast probe ring, top-k") {
@@ -211,33 +218,60 @@ class PlanSpec extends SparkSuite {
       s"shuffle on a non-user_id key crept in:\n$p")
   }
 
-  test("gapfill family: spine generated from bounds, no cross join, no corpus re-scan") {
+  test("gapfill family: segment-expanded, join-free — no spine-wide carries") {
     Seq("q_gapfill_locf", "q_gapfill_interp").foreach { k =>
       val p = plan(k)
-      // the dense spine must come from a Generate over per-metric bounds —
-      // never a cartesian of metrics x minutes
-      assert(p.contains("Generate"), s"$k spine not generated:\n$p")
-      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
-        s"$k spine built by cross join:\n$p")
-      assert(p.contains("Window"), s"$k fill window missing:\n$p")
+      // gap minutes are generated FROM their enclosing segment (one
+      // Generate), born knowing both endpoints — never a dense spine
+      // left-joined back to the observations, and never a cartesian of
+      // metrics x minutes
+      assert(p.contains("Generate"), s"$k gap rows not generated:\n$p")
+      assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+        s"$k rebuilt the spine-join formulation:\n$p")
+      // one lead() window over the OBSERVED buckets; the fill itself is a
+      // projection of the Generate output, so exactly two hash exchanges
+      // exist: the (metric, bucket) aggregation and the (metric) window
+      assert(p.contains("Window"), s"$k segment lead window missing:\n$p")
+      assert("Arguments: hashpartitioning\\(metric".r.findAllIn(p).size <= 2,
+        s"$k shuffles beyond agg + segment window:\n$p")
       assert(!p.toLowerCase.contains("scalaudf"), p)
     }
-    // interp's backward + forward carries share one sorted partitioning:
-    // the two frames must not force a second sort of the spine
-    val p = plan("q_gapfill_interp")
-    assert("Arguments: hashpartitioning\\(metric".r.findAllIn(p).size <= 2,
-      s"interp re-shuffles the spine per direction:\n$p")
   }
 
-  test("q_percentiles: one scan and one window sort for all percentile targets") {
+  test("q_percentiles: two-phase value-bin rank — no per-metric corpus window") {
     val p = plan("q_percentiles")
-    // a union-of-filters formulation re-scans and re-sorts the table once
-    // per percentile; the in-row target explode needs exactly one scan
-    assert("InMemoryFileIndex".r.findAllIn(p).size == 1,
-      s"percentiles scan the table more than once:\n$p")
+    // the metric key space is ~46 values: a row_number window partitioned
+    // on metric alone sorts each metric's entire history on ONE task. The
+    // two-phase form ranks within (metric, bin) and lifts with broadcast
+    // bin offsets — the corpus-wide value sort must be keyed composite
+    assert(!"windowspecdefinition\\(metric#\\d+, value#".r.findFirstIn(p).isDefined,
+      s"per-metric corpus value sort crept back:\n$p")
+    assert("windowspecdefinition\\(metric#\\d+, bin#\\d+L, value#".r.findFirstIn(p).isDefined,
+      s"(metric, bin) in-bin rank window missing:\n$p")
+    // bounds and bin offsets join back as broadcasts, never a shuffle join
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"), p)
     assert(!p.contains("Union"), s"per-percentile union crept back:\n$p")
     assert(p.contains("Generate"), s"target explode missing:\n$p")
-    assert(p.contains("Window"), p)
+  }
+
+  test("q_counter_rate: two-phase (metric, day) lag with broadcast boundary carries") {
+    val p = plan("q_counter_rate")
+    assert(!"windowspecdefinition\\(metric#\\d+, ts#".r.findFirstIn(p).isDefined,
+      s"per-metric corpus lag window crept back:\n$p")
+    assert("windowspecdefinition\\(metric#\\d+, day#\\d+, ts#".r.findFirstIn(p).isDefined,
+      s"(metric, day) in-bucket lag window missing:\n$p")
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+      s"day-carry table not broadcast:\n$p")
+  }
+
+  test("q_spc_rules: two-phase gaps-and-islands ranks — no per-metric corpus window") {
+    val p = plan("q_spc_rules")
+    assert(!"windowspecdefinition\\(metric#\\d+, ts#".r.findFirstIn(p).isDefined &&
+      !"windowspecdefinition\\(metric#\\d+, above#\\d+, ts#".r.findFirstIn(p).isDefined,
+      s"per-metric corpus rank window crept back:\n$p")
+    assert("windowspecdefinition\\(metric#\\d+, day#\\d+, ts#".r.findFirstIn(p).isDefined &&
+      "windowspecdefinition\\(metric#\\d+, above#\\d+, day#\\d+, ts#".r.findFirstIn(p).isDefined,
+      s"(metric[, above], day) in-bucket rank windows missing:\n$p")
   }
 
   test("q_histogram / q_spc_rules: per-metric stats broadcast back, fact side unshuffled for the join") {

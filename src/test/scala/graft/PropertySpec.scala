@@ -346,4 +346,29 @@ class PropertySpec extends SparkSuite {
     val pos = (Seq.fill(16)(10.42) ++ Seq.fill(8)(10.41)).toDF("v")
     assert(pos.agg(graft.model.Model.exactAvg4("v").as("a")).head().getDouble(0) == 10.4167)
   }
+
+  test("percentilesApprox: every value within the GK rank-error bound of the exact target") {
+    import graft.ops.RelationalOps
+    // the sketch's contract is a rank guarantee, not a value hash: the
+    // returned sample's feasible rank interval (ties widen it) must
+    // contain the exact operator's target rank within n/accuracy slack
+    val vals = Tables.events(spark, SfDir).filter(col("value").isNotNull)
+      .groupBy(col("event_type")).agg(collect_list(col("value")).as("vs"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](1).sorted)
+      .toMap
+    val approx = RelationalOps.percentilesApprox(spark, SfDir).collect()
+    assert(approx.length == vals.size * RelationalOps.PercentilesPerMille.size)
+    approx.foreach { r =>
+      val (m, pm, v) = (r.getString(0), r.getInt(1), r.getDouble(2))
+      val vs = vals(m)
+      val n = vs.length
+      val target = math.max(1L, (n.toLong * pm + 999) / 1000)
+      val rankLo = vs.count(_ < v) + 1
+      val rankHi = vs.count(_ <= v)
+      val slack = n.toDouble / RelationalOps.PctApproxAccuracy + 1
+      assert(target >= rankLo - slack && target <= rankHi + slack,
+        s"$m p$pm: value $v occupies ranks [$rankLo, $rankHi] of $n, target $target")
+    }
+  }
 }

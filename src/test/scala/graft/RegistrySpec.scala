@@ -4,14 +4,23 @@ package graft
 class RegistrySpec extends SparkSuite {
 
   test("every registered query has a DuckDB oracle and vice versa") {
-    // the engine's claim is zero rows-only entries: a key registered in
-    // queries without oracleSql silently downgrades the driver's gate to
-    // a rows-only check; an oracle without a query is dead SQL
+    // a key registered in queries without oracleSql silently downgrades
+    // the driver's gate to a rows-only check, so rows-only entries must
+    // be DECLARED here, with the reason, not accidental; an oracle
+    // without a query is dead SQL. The only declared exception:
+    //  - q_percentiles_approx: a GK sketch's returned sample depends on
+    //    partition merge order (any value within the rank-error bound is
+    //    a correct answer), so cross-engine hash equality is not a
+    //    meaningful contract; PropertySpec pins the rank-error bound
+    //    against the exact operator instead.
+    val rowsOnly = Set("q_percentiles_approx")
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
-    assert(q == o,
-      s"queries without oracle: ${(q -- o).toSeq.sorted.mkString(", ")}; " +
+    assert((q -- rowsOnly) == o,
+      s"queries without oracle: ${(q -- rowsOnly -- o).toSeq.sorted.mkString(", ")}; " +
         s"oracles without query: ${(o -- q).toSeq.sorted.mkString(", ")}")
+    assert(rowsOnly.subsetOf(q), "declared rows-only key not registered")
+    assert((rowsOnly & o).isEmpty, "declared rows-only key has an oracle — undeclare it")
   }
 
   test("flagship entry returns rows on the smoke fixture") {
