@@ -26,6 +26,45 @@ object IdempotentSink {
         .mode("overwrite")
         .parquet(s"$outDir/batch_id=$batchId")
 
+  /** JDBC arm of the same contract — the direct analog of the reference's
+    * consume → INSERT → commit loop (kafka_db_agent/main.py:92-103), made
+    * idempotent: each micro-batch's rows carry their batchId, and a replay
+    * first DELETEs its own batchId's rows before re-INSERTing — the
+    * DELETE+INSERT-keyed-on-batch_id pattern for transactional targets
+    * (the parquet arm's batch_id directory overwrite, in SQL). The DELETE
+    * + the batch INSERT run per batch exactly like the reference's
+    * per-poll commit; a crash mid-INSERT re-delivers the same batchId and
+    * the replay replaces the partial write.
+    *
+    * Exercised in PipelineSpec against an embedded Derby database (a real
+    * `java.sql` engine in-JVM — the closest a zero-egress sandbox gets to
+    * the reference's network Postgres).
+    */
+  def jdbcAppend(url: String, table: String,
+      props: java.util.Properties = new java.util.Properties): (DataFrame, Long) => Unit =
+    (df: DataFrame, batchId: Long) => {
+      val conn = java.sql.DriverManager.getConnection(url, props)
+      try {
+        val st = conn.createStatement()
+        // ANSI-quoted column: Spark's JDBC writer creates case-preserved
+        // quoted identifiers, and an unquoted batch_id would case-fold to
+        // a different (absent) column on engines like Derby/Postgres —
+        // and the absent-column error must NOT be swallowed below
+        try st.executeUpdate(s"""DELETE FROM $table WHERE "batch_id" = $batchId""")
+        catch {
+          // only "table does not exist" is benign (first batch runs before
+          // the writer's CREATE TABLE); anything else is a real failure
+          // that must fail the batch, not silently skip idempotence
+          case e: java.sql.SQLException if e.getSQLState != null &&
+            // Derby 42X05 / Postgres 42P01 / MySQL+H2 42S02
+            Set("42X05", "42P01", "42S02").contains(e.getSQLState) => ()
+        }
+        finally st.close()
+      } finally conn.close()
+      df.withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId))
+        .write.mode("append").jdbc(url, table, props)
+    }
+
   /** Day-partitioned variant with retention scheduled in the job loop — the
     * hypertable layout (day dirs under each batch dir, both partition
     * columns at read time) plus the reference's `drop_chunks` policy
