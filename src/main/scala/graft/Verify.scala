@@ -24,8 +24,14 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // optional comma-separated subset for local iteration (same contract as
+    // Bench's SPARK_GRAFT_ONLY); the dumped oracle_sql.json is filtered to
+    // the subset so check_oracle.py compares exactly what was dumped.
+    // Driver runs set no subset and get the full registry.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    val selected = only.fold(SparkEntry.queries)(ks => SparkEntry.queries.filter(kv => ks(kv._1)))
     var failures = List.empty[String]
-    SparkEntry.queries.foreach { case (name, fn) =>
+    selected.foreach { case (name, fn) =>
       // delete any previous dump FIRST: a query that throws before its
       // overwrite starts must leave a missing dir (a red row in the
       // driver's compare), never a stale pass from an earlier run
@@ -70,6 +76,7 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => selected.contains(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
