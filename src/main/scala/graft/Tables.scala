@@ -23,6 +23,18 @@ object Tables {
   private val schemaCache =
     scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.types.StructType]
 
+  // Whole-DataFrame memoization, OPT-IN via spark.graft.fixtureCache: a
+  // DataFrame strongly references its session (the WeakHashMap-defeating
+  // self-reference documented above), so an always-on cache would leak
+  // every stopped session for the JVM's lifetime. Bench and Verify enable
+  // it: they own exactly one session, their JVM exits with it, and across
+  // a 68-query suite the per-call file-listing + relation re-analysis is
+  // pure floor. Library/production sessions leave it off and pay one
+  // cheap re-read per call. Keyed on session identity + path so two
+  // sessions never share plans.
+  private val dfCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     // The driver's fixtures carry TIMESTAMP(NANOS) columns, which Spark 4
     // rejects outright; read them as long nanos and convert below. Set once
@@ -30,8 +42,13 @@ object Tables {
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     if (!spark.conf.getOption(key).contains("true")) spark.conf.set(key, "true")
     val path = s"$dir/$name.parquet"
-    val schema = schemaCache.getOrElseUpdate(path, spark.read.parquet(path).schema)
-    spark.read.schema(schema).parquet(path)
+    def read() = {
+      val schema = schemaCache.getOrElseUpdate(path, spark.read.parquet(path).schema)
+      spark.read.schema(schema).parquet(path)
+    }
+    if (spark.conf.getOption("spark.graft.fixtureCache").contains("true"))
+      dfCache.getOrElseUpdate((System.identityHashCode(spark), path), read())
+    else read()
   }
 
   /** The time-series fact table. Stand-in for the reference's `opcua_data`
@@ -62,9 +79,22 @@ object Tables {
   def fanOut(df: DataFrame): DataFrame = {
     val cores = df.sparkSession.sparkContext.defaultParallelism
     val rowGroupBytes = 128L << 20
-    val size = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val size = planningSize(df)
     if (size < BigInt(cores) * rowGroupBytes) df.repartition(cores) else df
   }
+
+  /** Planning-time size estimate off the ANALYZED plan. Dataset
+    * construction has already run the analyzer, so this is a cached-plan
+    * stats visit — using `optimizedPlan.stats` here cost one EXTRA full
+    * optimizer run per call whose output was then discarded (the final
+    * plan re-optimizes from scratch), a measurable slice of the per-query
+    * floor across a 68-query suite. The size-only stats visitor yields
+    * the same relation-size × projection-width estimate on both plans —
+    * basic (non-CBO) stats don't apply filter selectivity either way, so
+    * the fanOut/resultOrder threshold decisions are unchanged.
+    */
+  private def planningSize(df: DataFrame): BigInt =
+    df.queryExecution.analyzed.stats.sizeInBytes
 
   /** Total-order presentation of a result set. Dashboard/report queries
     * end in ORDER BY; Spark's global range sort runs a separate sampling
@@ -80,7 +110,7 @@ object Tables {
   implicit class ResultOrdering(private val df: DataFrame) extends AnyVal {
     def resultOrder(cols: org.apache.spark.sql.Column*): DataFrame = {
       val singleReducerMax = 64L << 20
-      val size = df.queryExecution.optimizedPlan.stats.sizeInBytes
+      val size = planningSize(df)
       if (size < singleReducerMax) df.repartition(1).sortWithinPartitions(cols: _*)
       else df.orderBy(cols: _*)
     }

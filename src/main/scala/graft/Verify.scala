@@ -21,6 +21,9 @@ object Verify {
       // tmpfs shuffle dir — see Bench.scala: the backing virtual disk
       // stalls shuffles for seconds under host contention
       .config("spark.local.dir", "/dev/shm/graft-spark")
+      // reuse one analyzed DataFrame per fixture table across the suite
+      // (see Tables.load — safe here: this main owns its only session)
+      .config("spark.graft.fixtureCache", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
