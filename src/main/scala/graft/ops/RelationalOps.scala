@@ -202,7 +202,7 @@ object RelationalOps {
     * recompute definition — materialize-then-read must equal it exactly.
     */
   def mvRead(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(graft.pipeline.MaterializedViews.minuteMvDir(s, dir))
+    graft.pipeline.MaterializedViews.minuteMvDf(s, dir)
       .filter(
         col("day").between("2024-01-08", "2024-01-22") &&
           col("metric") === "click" &&

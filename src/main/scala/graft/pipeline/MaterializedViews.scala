@@ -50,4 +50,24 @@ object MaterializedViews {
       out
     })
   }
+
+  private val dfCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), org.apache.spark.sql.DataFrame]
+
+  /** The MV as a DataFrame. A partitioned-parquet read pays partition
+    * discovery + schema inference on every `spark.read.parquet` call —
+    * pure per-read floor once the MV exists. Under the same opt-in
+    * `spark.graft.fixtureCache` flag Tables.load uses (single-session
+    * mains only — a DataFrame pins its session), the analyzed relation
+    * (with its file index) is built once per (session, dir); a
+    * dashboard deployment gets the same effect from a registered table
+    * in the catalog.
+    */
+  def minuteMvDf(spark: SparkSession, sfDir: String): org.apache.spark.sql.DataFrame = {
+    val out = minuteMvDir(spark, sfDir)
+    def read() = spark.read.parquet(out)
+    if (spark.conf.getOption("spark.graft.fixtureCache").contains("true"))
+      dfCache.getOrElseUpdate((System.identityHashCode(spark), out), read())
+    else read()
+  }
 }
