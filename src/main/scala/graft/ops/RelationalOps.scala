@@ -456,19 +456,24 @@ object RelationalOps {
     // in-partition lag: composite (metric, day) key — bounded partitions
     val wDay = Window.partitionBy(col("metric"), col("day"))
       .orderBy(col("ts"), col("event_id"))
-    val lagged = rows.withColumn("prev_in", lag(col("cents"), 1).over(wDay))
     // boundary repair: last sample of each present (metric, day), carried
     // to the NEXT present day — a lag over the tiny day-level aggregate.
-    // Derived from `lagged`, not `rows`: both consumers then contain the
-    // IDENTICAL (metric, day) exchange subtree, so the physical planner
-    // shuffles the corpus once (ReusedExchange) instead of re-scanning
-    // and re-exchanging it for the carry branch.
-    val carries = lagged.groupBy(col("metric"), col("day"))
+    // Deliberately a SEPARATE scan branch, not a derivation of the
+    // windowed stream: a shared-exchange form (offsets from the ranked
+    // rows) only deduplicates when the branches' subtrees stay
+    // sameResult()-identical, which per-branch column pruning and
+    // constraint propagation both break — and when reuse misses, that
+    // form re-exchanges and re-sorts the corpus for the carry side. This
+    // branch instead scans 4 pruned columns and map-side-combines to
+    // day-cardinality rows before its (tiny) exchange — the cheap,
+    // conf-independent distributed plan.
+    val carries = rows.groupBy(col("metric"), col("day"))
       .agg(max_by(col("cents"), struct(col("ts"), col("event_id"))).as("day_last"))
       .withColumn("carry",
         lag(col("day_last"), 1).over(Window.partitionBy(col("metric")).orderBy(col("day"))))
       .select(col("metric"), col("day"), col("carry"))
-    lagged
+    rows
+      .withColumn("prev_in", lag(col("cents"), 1).over(wDay))
       .join(broadcast(carries), Seq("metric", "day"))
       .withColumn("prev", coalesce(col("prev_in"), col("carry")))
       .filter(col("prev").isNotNull)
@@ -605,13 +610,11 @@ object RelationalOps {
           .cast("long"))
     val wBin = Window.partitionBy(col("metric"), col("bin"))
       .orderBy(col("value"), col("event_id"))
-    // rank FIRST: the running bin-offset table is then max(row_number)
-    // per (metric, bin) over the already-ranked stream, sharing the
-    // window's corpus exchange (ReusedExchange) instead of re-scanning
-    // events for a separate count aggregate (counterRate/spcRules shape)
-    val ranked = binned.withColumn("rn_in", row_number().over(wBin))
-    val binOff = ranked.groupBy(col("metric"), col("bin"))
-      .agg(max(col("rn_in")).as("cnt"))
+    // bin-offset branch as a separate count-aggregate scan (see spcRules
+    // for why shared-exchange derivations are conf-fragile): pruned scan,
+    // map-side combine to bin-cardinality rows, tiny exchange.
+    val binOff = binned.groupBy(col("metric"), col("bin"))
+      .agg(count(lit(1)).as("cnt"))
       .withColumn("boff",
         coalesce(
           sum(col("cnt")).over(Window.partitionBy(col("metric")).orderBy(col("bin"))
@@ -620,9 +623,9 @@ object RelationalOps {
       .select(col("metric"), col("bin"), col("boff"))
     // `div`, not `/`, in the target arithmetic: Column./ is double
     // division and the rank equality would never match
-    ranked
+    binned
       .join(broadcast(binOff), Seq("metric", "bin"))
-      .withColumn("rn", col("boff") + col("rn_in"))
+      .withColumn("rn", col("boff") + row_number().over(wBin))
       .select(col("metric"), col("value"), col("rn"),
         explode(expr(
           s"transform(array(${PercentilesPerMille.mkString(", ")}), " +
@@ -723,23 +726,25 @@ object RelationalOps {
       .orderBy(col("ts"), col("event_id"))
     val wSideDay = Window.partitionBy(col("metric"), col("above"), col("day"))
       .orderBy(col("ts"), col("event_id"))
-    // rank FIRST; both windows run off one (metric, day) exchange —
-    // HashPartitioning(metric, day) satisfies the (metric, above, day)
-    // clustering (subset key), so the second window only re-sorts.
-    val ranked = sided
-      .withColumn("rn_in", row_number().over(wDay))
-      .withColumn("rs_in", row_number().over(wSideDay))
-    // per-day counts are max(row_number) over the ALREADY-RANKED stream:
-    // the offset branches then share the ranked subtree's corpus exchange
-    // (ReusedExchange) instead of re-scanning events for two count
-    // aggregates; the groupBys themselves reuse the in-place partitioning.
+    // Offset branches are SEPARATE count-aggregate scans, not derivations
+    // of the ranked stream: shared-exchange forms only deduplicate while
+    // the branch subtrees stay sameResult()-identical (column pruning and
+    // constraint propagation both break that), and a missed reuse would
+    // re-exchange and re-sort the corpus per branch. These branches scan
+    // a few pruned columns and map-side-combine to day-cardinality rows
+    // before their tiny exchanges — cheap at any scale, conf-independent.
     val dayOff = offsets(
-      ranked.groupBy(col("metric"), col("day")).agg(max(col("rn_in")).as("cnt")),
+      sided.groupBy(col("metric"), col("day")).agg(count(lit(1)).as("cnt")),
       Seq("metric"), "off")
     val sideOff = offsets(
-      ranked.groupBy(col("metric"), col("above"), col("day")).agg(max(col("rs_in")).as("cnt")),
+      sided.groupBy(col("metric"), col("above"), col("day")).agg(count(lit(1)).as("cnt")),
       Seq("metric", "above"), "soff")
-    val grped = ranked
+    // both rank windows run off one (metric, day) exchange —
+    // HashPartitioning(metric, day) satisfies the (metric, above, day)
+    // clustering (subset key), so the second window only re-sorts.
+    val grped = sided
+      .withColumn("rn_in", row_number().over(wDay))
+      .withColumn("rs_in", row_number().over(wSideDay))
       .join(broadcast(dayOff), Seq("metric", "day"))
       .join(broadcast(sideOff), Seq("metric", "above", "day"))
       .withColumn("grp", (col("off") + col("rn_in")) - (col("soff") + col("rs_in")))

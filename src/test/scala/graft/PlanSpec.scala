@@ -274,6 +274,25 @@ class PlanSpec extends SparkSuite {
       s"(metric[, above], day) in-bucket rank windows missing:\n$p")
   }
 
+  test("two-phase trio: offset branches are pruned count scans, never a corpus re-sort") {
+    // counterRate/spcRules/percentiles repair bucket boundaries with
+    // SEPARATE count/max_by aggregate branches (pruned scan, map-side
+    // combine, tiny exchange). A shared-exchange derivation of the
+    // offsets from the ranked stream was tried and reverted: it only
+    // deduplicates while the branch subtrees stay sameResult()-identical
+    // (per-branch column pruning and constraint propagation both break
+    // that), and a missed reuse re-exchanges AND re-sorts the corpus per
+    // branch. The guard here: exactly as many window sorts as the main
+    // stream needs — an offset branch that regrows a Window would add one.
+    Seq("q_counter_rate" -> 2, "q_spc_rules" -> 4, "q_percentiles" -> 2).foreach {
+      case (q, maxWindows) =>
+        val p = plan(q)
+        val n = "windowspecdefinition".r.findAllIn(p).size / 2 // plan prints each twice (tree + detail)
+        assert(n <= maxWindows,
+          s"$q grew to $n window nodes (max $maxWindows) — an offset branch is sorting the corpus:\n$p")
+    }
+  }
+
   test("q_histogram / q_spc_rules: per-metric stats broadcast back, fact side unshuffled for the join") {
     Seq("q_histogram", "q_spc_rules").foreach { k =>
       val p = plan(k)
