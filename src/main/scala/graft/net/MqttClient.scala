@@ -1,0 +1,63 @@
+package graft.net
+
+import java.io.{DataInputStream, DataOutputStream}
+import java.net.{InetAddress, Socket}
+import java.util.concurrent.{CountDownLatch, TimeUnit}
+
+/** Minimal MQTT 3.1.1 client (QoS 0) for [[MqttBroker]] — the engine-side
+  * twin of the reference's paho usage: `publish` mirrors
+  * opcua_mqtt_agent/main.py:54-59 (fire-and-forget JSON envelopes),
+  * `subscribe` mirrors hydration_agent/main.py:64-71 (callback per
+  * message). Blocking CONNECT→CONNACK handshake; one daemon reader thread
+  * dispatches inbound PUBLISH packets to the subscription callback.
+  */
+final class MqttClient(host: String, port: Int, clientId: String) extends AutoCloseable {
+  private val socket = new Socket(InetAddress.getByName(host), port)
+  socket.setTcpNoDelay(true)
+  private val out = new DataOutputStream(socket.getOutputStream)
+  private val in = new DataInputStream(socket.getInputStream)
+
+  @volatile private var onMessage: (String, Array[Byte]) => Unit = (_, _) => ()
+  private val connacked = new CountDownLatch(1)
+  private val subacked = new java.util.concurrent.ConcurrentHashMap[Integer, CountDownLatch]()
+  private val pids = new java.util.concurrent.atomic.AtomicInteger(1)
+
+  private val reader = new Thread(() => {
+    try while (true) MqttWire.decode(in) match {
+      case MqttWire.Connack => connacked.countDown()
+      case MqttWire.Suback(pid, _) =>
+        Option(subacked.remove(Integer.valueOf(pid))).foreach(_.countDown())
+      case MqttWire.Publish(topic, payload) => onMessage(topic, payload)
+      case _ => ()
+    } catch { case _: Throwable => () }
+  }, s"mqtt-client-$clientId")
+  reader.setDaemon(true)
+  reader.start()
+
+  send(MqttWire.Connect(clientId))
+  require(connacked.await(10, TimeUnit.SECONDS), "CONNACK timeout")
+
+  private def send(p: MqttWire.Packet): Unit =
+    out.synchronized { MqttWire.write(out, p) }
+
+  /** QoS-0 publish — returns after the bytes are flushed (at-most-once). */
+  def publish(topic: String, payload: Array[Byte]): Unit =
+    send(MqttWire.Publish(topic, payload))
+
+  /** Subscribe; `f` runs on the reader thread per inbound message. Blocks
+    * until SUBACK so a publish issued after return is routable.
+    */
+  def subscribe(filter: String)(f: (String, Array[Byte]) => Unit): Unit = {
+    onMessage = f
+    val pid = pids.getAndIncrement() & 0xffff
+    val latch = new CountDownLatch(1)
+    subacked.put(pid, latch)
+    send(MqttWire.Subscribe(pid, Seq(filter)))
+    require(latch.await(10, TimeUnit.SECONDS), "SUBACK timeout")
+  }
+
+  override def close(): Unit = {
+    try send(MqttWire.Disconnect) catch { case _: Throwable => () }
+    try socket.close() catch { case _: Throwable => () }
+  }
+}

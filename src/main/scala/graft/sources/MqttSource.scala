@@ -1,0 +1,143 @@
+package graft.sources
+
+import graft.net.MqttClient
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import java.util
+
+/** DataSource V2 streaming source subscribed to a live MQTT broker — the
+  * real-transport twin of the reference's ingestion edge
+  * (hydration_agent/main.py:64-71: paho subscribe on `machine/data`,
+  * JSON envelope per message). Pairs with [[graft.net.MqttBroker]] /
+  * [[graft.net.MqttClient]], which speak actual MQTT 3.1.1 framing over
+  * TCP.
+  *
+  * Usage: `spark.readStream.format("mqtt-sub")
+  *           .option("host", "127.0.0.1").option("port", p)
+  *           .option("topic", "machine/data")    // filter, +/# supported
+  *           .load()`
+  * Schema: (msg_offset long, topic string, payload string,
+  * arrived_at timestamp) — payload stays raw JSON text; parsing is the
+  * stream's first projection (from_json with envelopeSchema), exactly
+  * where the Kafka path puts it.
+  *
+  * Scale honesty (same caveat as Spark's own socket source): MQTT QoS-0 is
+  * a PUSH protocol into one subscribing session, so admission happens on
+  * the driver and each micro-batch ships its slice to a single task —
+  * at-most-once, no replay after restart. The production-scale path is the
+  * MQTT→Kafka bridge (the reference's own hop, kafka_db_agent: Kafka gives
+  * the partitioned, replayable log Spark wants); this source exists so the
+  * reference's exact MQTT topology runs end-to-end with real wire
+  * semantics.
+  */
+class MqttSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "mqtt-sub"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = MqttSource.Schema
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new MqttTable(properties)
+}
+
+object MqttSource {
+  val Schema: StructType = StructType(Seq(
+    StructField("msg_offset", LongType),
+    StructField("topic", StringType),
+    StructField("payload", StringType),
+    StructField("arrived_at", TimestampType)
+  ))
+}
+
+private final class MqttTable(props: util.Map[String, String])
+    extends Table with SupportsRead {
+  override def name(): String = s"mqtt-sub(${props.get("topic")})"
+  override def schema(): StructType = MqttSource.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new Scan {
+      override def readSchema(): StructType = MqttSource.Schema
+      override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+        new MqttMicroBatchStream(
+          Option(options.get("host")).getOrElse("127.0.0.1"),
+          options.get("port").toInt,
+          Option(options.get("topic")).getOrElse("#"),
+          Option(options.get("clientId")).getOrElse("graft-sub"))
+    }
+}
+
+private final case class MqttOffset(n: Long) extends Offset {
+  override def json(): String = n.toString
+}
+
+/** Driver-side subscription buffer with prefix eviction on commit. */
+private final class MqttMicroBatchStream(
+    host: String, port: Int, topic: String, clientId: String)
+    extends MicroBatchStream {
+
+  // (topic, payload, arrivalMicros) indexed by absolute message offset
+  private val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+  private var base = 0L // absolute offset of buf(0)
+  private val lock = new Object
+
+  private val client = new MqttClient(host, port, clientId)
+  client.subscribe(topic) { (t, payload) =>
+    val row = (t, new String(payload, java.nio.charset.StandardCharsets.UTF_8),
+      System.currentTimeMillis() * 1000L)
+    lock.synchronized { buf += row }
+  }
+
+  override def initialOffset(): Offset = MqttOffset(0L)
+  override def latestOffset(): Offset =
+    lock.synchronized(MqttOffset(base + buf.length))
+  override def deserializeOffset(json: String): Offset = MqttOffset(json.toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[MqttOffset].n
+    val e = end.asInstanceOf[MqttOffset].n
+    val rows = lock.synchronized {
+      buf.slice((s - base).toInt.max(0), (e - base).toInt.max(0))
+        .zipWithIndex
+        .map { case ((t, p, us), i) => (s + i, t, p, us) }
+        .toArray
+    }
+    Array(MqttBatchPartition(rows))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    (partition: InputPartition) => {
+      val rows = partition.asInstanceOf[MqttBatchPartition].rows
+      new PartitionReader[InternalRow] {
+        private var i = -1
+        override def next(): Boolean = { i += 1; i < rows.length }
+        override def get(): InternalRow = {
+          val (off, t, p, us) = rows(i)
+          new GenericInternalRow(Array[Any](
+            off, UTF8String.fromString(t), UTF8String.fromString(p), us))
+        }
+        override def close(): Unit = ()
+      }
+    }
+
+  override def commit(end: Offset): Unit = lock.synchronized {
+    // drop the committed prefix — the broker will never redeliver QoS-0
+    val e = end.asInstanceOf[MqttOffset].n
+    val drop = (e - base).toInt
+    if (drop > 0) { buf.remove(0, drop.min(buf.length)); base = e }
+  }
+
+  override def stop(): Unit = client.close()
+}
+
+private final case class MqttBatchPartition(
+    rows: Array[(Long, String, String, Long)]) extends InputPartition

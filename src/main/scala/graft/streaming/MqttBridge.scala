@@ -1,0 +1,81 @@
+package graft.streaming
+
+import graft.net.MqttClient
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Live-MQTT wiring for the reference's first transport hop
+  * (opcua_mqtt_agent/main.py:54-59 publish → eclipse-mosquitto →
+  * hydration_agent/main.py:64-71 subscribe, topic `machine/data`), built
+  * on the engine's own MQTT 3.1.1 loopback stack
+  * ([[graft.net.MqttBroker]]/[[graft.net.MqttClient]]/
+  * [[graft.sources.MqttSource]]) — real wire framing, not a Kafka
+  * substitution.
+  *
+  * Scale notes: QoS-0 MQTT pushes into ONE subscribing session, so this
+  * leg is the ingestion EDGE; the data-plane hop stays MQTT→Kafka
+  * (KafkaBridge) exactly as in the reference, because Kafka gives the
+  * partitioned replayable log that parallel executors can own. decode()
+  * is a pure codegen projection (from_json), no shuffle before the first
+  * aggregation — identical shape to KafkaBridge.decode.
+  */
+object MqttBridge {
+
+  val Topic = "machine/data"
+
+  /** Streaming read from a live broker (see [[graft.sources.MqttSource]]
+    * for schema and the driver-side admission caveat).
+    */
+  def source(spark: SparkSession, host: String, port: Int,
+      topic: String = Topic): DataFrame =
+    spark.readStream.format("mqtt-sub")
+      .option("host", host).option("port", port.toString)
+      .option("topic", topic)
+      .load()
+
+  /** Raw MQTT rows → decoded envelope — the same from_json schema the
+    * batch surrogate (DataflowOps.srcMqtt) hash-verifies against the
+    * oracle, applied to live-transport payloads.
+    */
+  def decode(raw: DataFrame): DataFrame = {
+    val envelope = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("node_id", StringType),
+      StructField("value", StringType),
+      StructField("ts_us", LongType),
+      StructField("user_id", LongType)
+    ))
+    raw
+      .select(col("msg_offset"), col("topic"),
+        from_json(col("payload"), envelope).as("m"))
+      .select(
+        col("msg_offset"), col("topic"),
+        col("m.event_id").as("event_id"),
+        timestamp_micros(col("m.ts_us")).as("ts"),
+        col("m.node_id").as("metric"),
+        col("m.value").as("value"),
+        col("m.user_id").as("user_id"))
+  }
+
+  /** foreachBatch publisher — the engine-side twin of the reference's
+    * publish loop (opcua_mqtt_agent/main.py:54-59): each batch row's
+    * `payload` column goes out as one QoS-0 PUBLISH on `topic`. The
+    * payload is prepared IN the stream (to_json projection on executors);
+    * the publish loop itself runs driver-side over the collected batch —
+    * correct for an edge publisher whose counterpart is a single Python
+    * process, and deliberately NOT the data-plane path (that is
+    * KafkaBridge, where executors write partitions in parallel).
+    */
+  def publishBatch(batch: DataFrame, host: String, port: Int,
+      topic: String = Topic, clientId: String = "graft-pub"): Long = {
+    val payloads = batch.select(col("payload").cast("string")).collect()
+    val client = new MqttClient(host, port, clientId)
+    try {
+      payloads.foreach { (r: Row) =>
+        client.publish(topic, r.getString(0).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+      payloads.length.toLong
+    } finally client.close()
+  }
+}
