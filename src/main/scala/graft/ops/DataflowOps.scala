@@ -182,6 +182,39 @@ object DataflowOps {
       .resultOrder(col("event_id"))
   }
 
+  /** Live-KV enrichment variant — the reference's ACTUAL lookup shape
+    * (hydration_agent/main.py:73-74: `redis_client.get("context:operator")`
+    * / `get("context:last_maintenance")` per message) against a real RESP
+    * server ([[graft.net.RespServer]]). The default `enrichJoin` broadcast
+    * is semantically stronger for STATIC dims (and is the oracle-checked
+    * path); this variant exists for context that MUTATES mid-stream,
+    * where each row must see the value current at processing time — a
+    * broadcast would pin stream start-time state.
+    *
+    * Scale: one connection per PARTITION (opened in mapPartitions, closed
+    * by a task-completion listener), synchronous GETs per row against a
+    * loopback/LAN KV — the connection-pool pattern; no shuffle, no
+    * driver participation. Executors at 1000 nodes each hold one
+    * connection per running task, which is exactly how the Python agent
+    * fleet scales (one redis connection per process).
+    */
+  def enrichViaKv(events: DataFrame, host: String, port: Int): DataFrame = {
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val outSchema = StructType(events.schema.fields ++ Seq(
+      StructField("operator", StringType),
+      StructField("last_maintenance", StringType)))
+    events.mapPartitions { it =>
+      val client = new graft.net.RespClient(host, port)
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => client.close()))
+      it.map { r =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq ++ Seq(
+          client.get("context:operator").orNull,
+          client.get("context:last_maintenance").orNull))
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
   /** Raw dynamic value per event, pre-dispatch — numbers arrive as decimal
     * strings, 'error' rows as JSON text, 'signup' rows as booleans
     * (mirrors the OPC-UA variant union, §1.3).
