@@ -135,13 +135,17 @@ object Bench {
     if (selected.contains("q_mv_read"))
       try pipeline.MaterializedViews.minuteMvDir(spark, sfDir)
       catch { case _: Throwable => () }
+    // noop sink: materializes every projected column and the final sort
+    // (count() would be wrong: Catalyst prunes projections and drops the
+    // orderBy under it; a direct toRdd.foreach was measured NOT faster
+    // despite skipping the write path's second planning pass)
+    def materialize(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
     val results = selected.map { case (name, fn) =>
       val samples = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        // noop sink: materializes every projected column and the final sort
-        // (count() lets Catalyst prune projections and drop the orderBy)
         val err =
-          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
+          try { materialize(fn(spark, sfDir)); None }
           catch { case e: Throwable => Some(s"${e.getClass.getSimpleName}: ${e.getMessage}") }
         val dt = (System.nanoTime() - t0) / 1e9
         // drop blocks cached inside the op so queries are measured independently
@@ -177,7 +181,7 @@ object Bench {
           case (name, t, None) if t > 3.0 && t > 10 * median =>
             val t0 = System.nanoTime()
             val err =
-              try { selected(name)(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
+              try { materialize(selected(name)(spark, sfDir)); None }
               catch { case e: Throwable => Some(s"${e.getClass.getSimpleName}: ${e.getMessage}") }
             // clock stops BEFORE clearCache, same as the main rep loop —
             // the two samples feeding the min must measure the same thing
