@@ -185,6 +185,26 @@ class ExtensionOpsSpec extends SparkSuite {
       s"ngram pairs differ: only-op=${(got -- ref).take(5)} only-ref=${(ref -- got).take(5)}")
   }
 
+  test("ngram dedup: singleton posting lists survive (Spark sequence(1,0) DESCENDS, unlike range)") {
+    import spark.implicits._
+    // doc 3's grams are all df=1 → every posting list it appears in has
+    // size 1. The pair generator iterates sequence(1, size-1); for
+    // size=1 that is sequence(1, 0), which Spark evaluates as the
+    // DESCENDING [1, 0] (DuckDB's range(1, 1) is empty) — ungated it
+    // dereferences ids[-1] and throws INVALID_ARRAY_INDEX. Round-7
+    // regression: the guard must keep singleton lists out of the
+    // 2-combination expansion while still counting them for doc sizes.
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"),
+      (3L, "zzzz yyyy xxxx wwww vvvv uuuu")
+    ).toDF("doc_id", "text")
+    val pairs = DedupOps.dedupNgramOn(docs)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)),
+      s"expected exactly the near-dup pair (1,2), got $pairs")
+  }
+
   test("ngram extraction slides over code points, not UTF-16 code units") {
     import spark.implicits._
     // 9 non-BMP chars = 18 UTF-16 code units; code-point slicing yields

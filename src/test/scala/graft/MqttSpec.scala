@@ -39,6 +39,21 @@ class MqttSpec extends AnyFunSuite {
     assert(back.payload.length == 200 && back.payload.forall(_ == 42))
   }
 
+  test("wire codec rejects what it cannot represent") {
+    // >64 KiB topic cannot be length-prefixed
+    intercept[IllegalArgumentException](
+      MqttWire.encode(MqttWire.Publish("x" * 70000, Array.emptyByteArray)))
+    // QoS>0 PUBLISH flag bits must be refused, not silently degraded
+    val qos1 = MqttWire.encode(MqttWire.Publish("t", Array.emptyByteArray))
+    qos1(0) = (qos1(0) | 0x02).toByte // set QoS-1 bit
+    intercept[IllegalArgumentException](
+      MqttWire.decode(new DataInputStream(new ByteArrayInputStream(qos1))))
+    // a 5-byte remaining length is malformed per spec
+    val bad = Array[Byte](0x30, 0x80.toByte, 0x80.toByte, 0x80.toByte, 0x80.toByte, 0x01)
+    intercept[IllegalArgumentException](
+      MqttWire.decode(new DataInputStream(new ByteArrayInputStream(bad))))
+  }
+
   test("topic filter matching follows spec 4.7 (+ one level, # tail)") {
     import MqttWire.topicMatches
     assert(topicMatches("machine/data", "machine/data"))

@@ -26,6 +26,31 @@ class RespSpec extends AnyFunSuite {
     } finally server.close()
   }
 
+  test("concurrent clients: 8 connections interleaving set/get stay isolated and lossless") {
+    val server = new RespServer()
+    try {
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val threads = (0 until 8).map { t =>
+        new Thread(() => {
+          try {
+            val c = new RespClient("127.0.0.1", server.port)
+            try (0 until 50).foreach { i =>
+              c.set(s"k-$t-$i", s"v-$t-$i")
+              assert(c.get(s"k-$t-$i").contains(s"v-$t-$i"))
+            } finally c.close()
+          } catch { case e: Throwable => errs.add(e) }
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join(30000))
+      assert(errs.isEmpty, s"concurrent client failures: ${errs.peek()}")
+      // every key visible afterwards through a fresh connection
+      val check = new RespClient("127.0.0.1", server.port)
+      try (0 until 8).foreach(t =>
+        assert(check.get(s"k-$t-49").contains(s"v-$t-49")))
+      finally check.close()
+    } finally server.close()
+  }
+
   test("mapPartitions enrichment: every row sees the live context, one connection per partition") {
     val spark = SparkSuite.session
     import org.apache.spark.sql.functions._
