@@ -100,7 +100,18 @@ private final class MqttMicroBatchStream(
   override def initialOffset(): Offset = MqttOffset(0L)
   override def latestOffset(): Offset =
     lock.synchronized(MqttOffset(base + buf.length))
-  override def deserializeOffset(json: String): Offset = MqttOffset(json.toLong)
+  override def deserializeOffset(json: String): Offset = {
+    val o = json.toLong
+    // restart rebase: a fresh source instance starts counting at 0, but
+    // the checkpoint may be at offset N from the previous run. Offsets
+    // must never go backwards, so adopt the checkpointed position as the
+    // new base — messages buffered since subscribe are renumbered from N
+    // (they are all post-restart arrivals), and a batch planned before
+    // the crash but never committed replays EMPTY: QoS-0 at-most-once,
+    // the documented loss mode, never a duplicate.
+    lock.synchronized { if (o > base + buf.length) { base = o; buf.clear() } }
+    MqttOffset(o)
+  }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[MqttOffset].n

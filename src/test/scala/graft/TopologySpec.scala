@@ -59,7 +59,9 @@ class TopologySpec extends AnyFunSuite {
           java.nio.file.Files.createTempDirectory("topo-ck").toString)
         .start()
       try {
-        // publish AFTER the stream's SUBSCRIBE (QoS 0 has no replay)
+        // publish AFTER the stream's SUBSCRIBE (QoS 0 has no replay) —
+        // processAllAvailable forces the lazy source construction
+        q.processAllAvailable()
         val pub = new MqttClient("127.0.0.1", broker.port, "topo-pub")
         try payloads.collect().foreach(r =>
           pub.publish(graft.streaming.MqttBridge.Topic, r.getString(0).getBytes("UTF-8")))
