@@ -72,7 +72,8 @@ private final class MqttTable(props: util.Map[String, String])
           Option(options.get("host")).getOrElse("127.0.0.1"),
           options.get("port").toInt,
           Option(options.get("topic")).getOrElse("#"),
-          Option(options.get("clientId")).getOrElse("graft-sub"))
+          Option(options.get("clientId")).getOrElse("graft-sub"),
+          Option(options.get("maxBufferedRows")).map(_.toLong).getOrElse(1L << 20))
     }
 }
 
@@ -80,21 +81,39 @@ private final case class MqttOffset(n: Long) extends Offset {
   override def json(): String = n.toString
 }
 
-/** Driver-side subscription buffer with prefix eviction on commit. */
+/** Driver-side subscription buffer with prefix eviction on commit and a
+  * hard cap: past `maxBuffered` pending rows the newest message is DROPPED
+  * (counted and logged once per overflow episode) — QoS-0 is at-most-once,
+  * so shedding under backpressure is the protocol's own contract, and an
+  * unbounded buffer would instead OOM the driver under a flood.
+  */
 private final class MqttMicroBatchStream(
-    host: String, port: Int, topic: String, clientId: String)
+    host: String, port: Int, topic: String, clientId: String, maxBuffered: Long)
     extends MicroBatchStream {
 
   // (topic, payload, arrivalMicros) indexed by absolute message offset
   private val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
   private var base = 0L // absolute offset of buf(0)
+  private var dropped = 0L
   private val lock = new Object
 
   private val client = new MqttClient(host, port, clientId)
   client.subscribe(topic) { (t, payload) =>
     val row = (t, new String(payload, java.nio.charset.StandardCharsets.UTF_8),
       System.currentTimeMillis() * 1000L)
-    lock.synchronized { buf += row }
+    lock.synchronized {
+      if (buf.length < maxBuffered) {
+        if (dropped > 0) {
+          System.err.println(s"[mqtt-sub] resumed after dropping $dropped messages at cap $maxBuffered")
+          dropped = 0
+        }
+        buf += row
+      } else {
+        if (dropped == 0)
+          System.err.println(s"[mqtt-sub] buffer cap $maxBuffered reached — shedding (QoS-0 at-most-once)")
+        dropped += 1
+      }
+    }
   }
 
   override def initialOffset(): Offset = MqttOffset(0L)

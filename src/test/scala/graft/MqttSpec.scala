@@ -184,6 +184,37 @@ class MqttSpec extends AnyFunSuite {
     } finally broker.close()
   }
 
+  test("bounded buffer: past maxBufferedRows the source sheds (QoS-0), never grows unbounded") {
+    val spark = SparkSuite.session
+    val broker = new MqttBroker()
+    try {
+      val q = graft.streaming.MqttBridge
+        .decode(spark.readStream.format("mqtt-sub")
+          .option("host", "127.0.0.1").option("port", broker.port.toString)
+          .option("topic", graft.streaming.MqttBridge.Topic)
+          .option("maxBufferedRows", "5")
+          .load())
+        .writeStream.format("memory").queryName("mqtt_cap")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("mqtt-cap-ck").toString)
+        .start()
+      try {
+        q.processAllAvailable() // SUBSCRIBE before publish
+        val pub = new MqttClient("127.0.0.1", broker.port, "cap-pub")
+        // burst 50 messages with the stream idle: at most 5 can buffer
+        try (1 to 50).foreach(i => pub.publish(graft.streaming.MqttBridge.Topic,
+          s"""{"event_id":$i,"node_id":"S","value":"1","ts_us":$i,"user_id":1}"""
+            .getBytes("UTF-8")))
+        finally pub.close()
+        Thread.sleep(500) // let the burst drain into (or bounce off) the buffer
+        q.processAllAvailable()
+        val n = spark.table("mqtt_cap").count()
+        assert(n >= 1 && n <= 10,
+          s"expected a capped admission (1..10 rows for cap 5), got $n")
+      } finally q.stop()
+    } finally broker.close()
+  }
+
   test("publishBatch sink: every batch row arrives at a live subscriber") {
     val spark = SparkSuite.session
     val broker = new MqttBroker()
