@@ -162,14 +162,19 @@ object Bench {
     // Host-contention defense. This container's wall-clock swings 10-40x on
     // identical binaries with the CPU idle (PERF.md: a 0.45 s JSON
     // projection has benched at 255 s with zero code delta). A query whose
-    // time is BOTH absolutely slow AND a >10x outlier against the suite
-    // median is re-measured once under the identical protocol and the
-    // minimum kept. This selection is one-sided by construction — min-of-2
-    // applied only to first-pass outliers can shave ordinary run-to-run
-    // variance off a genuinely heavy query, not just contention bursts —
-    // so every retry is DISCLOSED in the output ("retried": both samples),
-    // making the provenance of each corrected number auditable rather than
-    // indistinguishable from a speedup.
+    // time is a cross-query outlier — above median + 6×MAD of the suite's
+    // successful times, with a 0.4 s absolute floor so sub-100 ms noise
+    // never triggers — is re-measured once under the identical protocol
+    // and the minimum kept. (The previous criterion, >3 s AND >10×median,
+    // let 0.5-3 s bursts through: a 0.14 s projection that caught a burst
+    // and recorded 2.84 s landed in the artifact of record.) MAD, not
+    // stddev, so one huge burst cannot inflate the spread estimate and
+    // mask a second one. This selection is one-sided by construction —
+    // an extra rep granted only to first-pass outliers can shave ordinary
+    // run-to-run variance off a genuinely heavy query, not just contention
+    // bursts — so every retry is DISCLOSED in the output ("retried": both
+    // samples), making the provenance of each corrected number auditable
+    // rather than indistinguishable from a speedup.
     val firstPass = results
     val okTimes = firstPass.collect { case (_, v, None) => v }.toSeq.sorted
     val retried = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
@@ -177,8 +182,10 @@ object Bench {
       if (okTimes.isEmpty) firstPass
       else {
         val median = okTimes(okTimes.size / 2)
+        val mad = okTimes.map(t => math.abs(t - median)).sorted.apply(okTimes.size / 2)
+        val cutoff = math.max(0.4, median + 6 * mad)
         firstPass.map {
-          case (name, t, None) if t > 3.0 && t > 10 * median =>
+          case (name, t, None) if t > cutoff =>
             val t0 = System.nanoTime()
             val err =
               try { materialize(selected(name)(spark, sfDir)); None }

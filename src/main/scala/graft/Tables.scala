@@ -30,10 +30,14 @@ object Tables {
   // it: they own exactly one session, their JVM exits with it, and across
   // a 68-query suite the per-call file-listing + relation re-analysis is
   // pure floor. Library/production sessions leave it off and pay one
-  // cheap re-read per call. Keyed on session identity + path so two
-  // sessions never share plans.
+  // cheap re-read per call. Keyed on the session OBJECT + path so two
+  // sessions never share plans — an identityHashCode key could collide
+  // between a stopped and a live session and hand out a DataFrame pinned
+  // to the dead one; the strong session reference adds no leak the cached
+  // DataFrame's own QueryExecution->session reference doesn't already
+  // carry.
   private val dfCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     // The driver's fixtures carry TIMESTAMP(NANOS) columns, which Spark 4
@@ -47,7 +51,7 @@ object Tables {
       spark.read.schema(schema).parquet(path)
     }
     if (spark.conf.getOption("spark.graft.fixtureCache").contains("true"))
-      dfCache.getOrElseUpdate((System.identityHashCode(spark), path), read())
+      dfCache.getOrElseUpdate((spark, path), read())
     else read()
   }
 
@@ -95,6 +99,26 @@ object Tables {
     */
   private def planningSize(df: DataFrame): BigInt =
     df.queryExecution.analyzed.stats.sizeInBytes
+
+  /** Broadcast hint gated on the planning-time size estimate — for the
+    * small aggregate side of an enrichment join (per-day carries, rank
+    * offsets, per-metric bounds/stats). An UNCONDITIONAL hint is the
+    * template bug the LLM-pipeline ops must not inherit: forced onto a
+    * years×millions-of-keys offset table it OOMs the driver. Below the
+    * bound the hint is provably safe (the estimate is an upper bound —
+    * basic stats scale an aggregate's size from its CHILD, never below);
+    * above it the hint is dropped and the planner decides: statically a
+    * sort-merge join, and in AQE sessions (production — GraftSession) a
+    * runtime broadcast conversion if the aggregate's ACTUAL shuffle size
+    * turns out small. The bound is deliberately larger than Spark's
+    * 10 MB autoBroadcastJoinThreshold because these callers KNOW the
+    * true post-aggregate cardinality is key-bounded (days×metrics,
+    * bins×metrics) — the estimate's corpus-proportionality, not the real
+    * size, is what grows with SF.
+    */
+  def broadcastIfSmall(df: DataFrame, maxBytes: Long = 256L << 20): DataFrame =
+    if (planningSize(df) <= maxBytes) org.apache.spark.sql.functions.broadcast(df)
+    else df
 
   /** Total-order presentation of a result set. Dashboard/report queries
     * end in ORDER BY; Spark's global range sort runs a separate sampling

@@ -17,7 +17,12 @@ final class MqttClient(host: String, port: Int, clientId: String) extends AutoCl
   private val out = new DataOutputStream(socket.getOutputStream)
   private val in = new DataInputStream(socket.getInputStream)
 
-  @volatile private var onMessage: (String, Array[Byte]) => Unit = (_, _) => ()
+  // per-filter callback map, not a single slot: the broker honors every
+  // filter this client ever subscribed, so a second subscribe() must not
+  // silently reroute the first filter's messages to the new callback —
+  // each inbound PUBLISH dispatches to every filter that matches its topic
+  private val callbacks =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Array[Byte]) => Unit]()
   private val connacked = new CountDownLatch(1)
   private val subacked = new java.util.concurrent.ConcurrentHashMap[Integer, CountDownLatch]()
   private val pids = new java.util.concurrent.atomic.AtomicInteger(1)
@@ -27,7 +32,10 @@ final class MqttClient(host: String, port: Int, clientId: String) extends AutoCl
       case MqttWire.Connack => connacked.countDown()
       case MqttWire.Suback(pid, _) =>
         Option(subacked.remove(Integer.valueOf(pid))).foreach(_.countDown())
-      case MqttWire.Publish(topic, payload) => onMessage(topic, payload)
+      case MqttWire.Publish(topic, payload) =>
+        callbacks.forEach { (filter, f) =>
+          if (MqttWire.topicMatches(filter, topic)) f(topic, payload)
+        }
       case _ => ()
     } catch { case _: Throwable => () }
   }, s"mqtt-client-$clientId")
@@ -44,11 +52,14 @@ final class MqttClient(host: String, port: Int, clientId: String) extends AutoCl
   def publish(topic: String, payload: Array[Byte]): Unit =
     send(MqttWire.Publish(topic, payload))
 
-  /** Subscribe; `f` runs on the reader thread per inbound message. Blocks
-    * until SUBACK so a publish issued after return is routable.
+  /** Subscribe; `f` runs on the reader thread per inbound message whose
+    * topic matches `filter` (a message matching several of this client's
+    * filters runs each filter's callback). Blocks until SUBACK so a
+    * publish issued after return is routable. Re-subscribing the same
+    * filter replaces its callback.
     */
   def subscribe(filter: String)(f: (String, Array[Byte]) => Unit): Unit = {
-    onMessage = f
+    callbacks.put(filter, f)
     val pid = pids.getAndIncrement() & 0xffff
     val latch = new CountDownLatch(1)
     subacked.put(pid, latch)

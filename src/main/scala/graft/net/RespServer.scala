@@ -24,6 +24,10 @@ final class RespServer(port0: Int = 0) extends AutoCloseable {
   def port: Int = server.getLocalPort
 
   private val store = new ConcurrentHashMap[String, String]()
+  // accepted sockets, tracked so close() can unblock handler threads
+  // sitting in read() — closing only the listener would leave each
+  // connection's thread (and its client) hung instead of seeing EOF
+  private val conns = ConcurrentHashMap.newKeySet[Socket]()
   @volatile private var closed = false
 
   def put(k: String, v: String): Unit = store.put(k, v)
@@ -36,6 +40,7 @@ final class RespServer(port0: Int = 0) extends AutoCloseable {
   acceptor.start()
 
   private def serve(socket: Socket): Unit = {
+    conns.add(socket)
     val t = new Thread(() => {
       val in = new BufferedInputStream(socket.getInputStream)
       val out = new BufferedOutputStream(socket.getOutputStream)
@@ -50,7 +55,10 @@ final class RespServer(port0: Int = 0) extends AutoCloseable {
         }
         out.flush()
       } catch { case _: Throwable => () }
-      finally { try socket.close() catch { case _: Throwable => () } }
+      finally {
+        conns.remove(socket)
+        try socket.close() catch { case _: Throwable => () }
+      }
     }, s"resp-server-conn-${socket.getPort}")
     t.setDaemon(true)
     t.start()
@@ -59,6 +67,10 @@ final class RespServer(port0: Int = 0) extends AutoCloseable {
   override def close(): Unit = {
     closed = true
     try server.close() catch { case _: Throwable => () }
+    // close live connections too (the MqttBroker pattern): clients then
+    // see EOF promptly instead of a hung server
+    conns.forEach(s => try s.close() catch { case _: Throwable => () })
+    conns.clear()
   }
 }
 

@@ -474,15 +474,23 @@ object RelationalOps {
       .select(col("metric"), col("day"), col("carry"))
     rows
       .withColumn("prev_in", lag(col("cents"), 1).over(wDay))
-      .join(broadcast(carries), Seq("metric", "day"))
+      .join(Tables.broadcastIfSmall(carries), Seq("metric", "day"))
       .withColumn("prev", coalesce(col("prev_in"), col("carry")))
       .filter(col("prev").isNotNull)
       .withColumn("inc",
         when(col("cents") >= col("prev"), col("cents") - col("prev"))
           .otherwise(col("cents")))
-      .groupBy(col("metric"), date_trunc("hour", col("ts")).as("bucket"))
+      // `day` rides along in the grouping: hour buckets nest inside days,
+      // so the extra key never splits a group, and the lag window's
+      // existing HashPartitioning(metric, day) satisfies the
+      // (metric, day, bucket) clustering (subset key) — the final
+      // aggregate runs in the window's stage with NO second corpus
+      // exchange. Grouping on (metric, bucket) alone re-shuffled the
+      // whole stream to co-locate keys the window had already co-located.
+      .groupBy(col("metric"), col("day"), date_trunc("hour", col("ts")).as("bucket"))
       .agg((sum(col("inc")).cast("double") / 100.0).as("increase"),
         count(lit(1)).as("n_samples"))
+      .select(col("metric"), col("bucket"), col("increase"), col("n_samples"))
       .resultOrder(col("metric"), col("bucket"))
   }
 
@@ -549,7 +557,7 @@ object RelationalOps {
       .select(col("event_type").as("metric"), cents.as("c"))
     val bounds = vals.groupBy(col("metric"))
       .agg(min(col("c")).as("cmin"), max(col("c")).as("cmax"))
-    vals.join(broadcast(bounds), "metric")
+    vals.join(Tables.broadcastIfSmall(bounds), "metric")
       .withColumn("bin",
         // integer `div`, matching the oracle's '//' by construction —
         // Column./ is double division and would only agree via an exactness
@@ -571,67 +579,53 @@ object RelationalOps {
   /** Discrete percentile targets in per-mille (p50/p90/p95/p99). */
   val PercentilesPerMille: Seq[Int] = Seq(500, 900, 950, 990)
 
-  /** Value-domain bin count for the two-phase exact percentile rank. */
-  val PctBins = 4096
-
   /** Per-metric discrete percentiles: the value whose ascending
     * (value, event_id) rank is ceil(p·n) — no interpolation, so the
     * result is an actual sample and the index arithmetic is exact
     * integers (per-mille p avoids 0.95·n landing ε away from an
     * integer and ceiling differently than intended).
     *
-    * Scale: the global per-metric rank runs as a TWO-PHASE window over
-    * the VALUE domain (same ~46-metric argument as [[counterRate]], but
-    * time-bucketing can't split a value-ordered rank): each row lands in
-    * one of `PctBins` equal-width cent bins (per-metric bounds are a tiny
-    * aggregate broadcast back, exactly the [[histogram]] shape), rows
-    * rank locally within their (metric, bin) — bin order IS value order,
-    * so global rank = in-bin rank + the running count of lower bins,
-    * computed by a window over the bin-cardinality count table and
-    * broadcast back. Equal-width bins inherit the value distribution's
-    * skew; a pathological single-value metric degrades to one bin —
-    * [[percentilesApprox]] is the constant-memory path for that and for
-    * unbounded ranges.
+    * Computed by VALUE COUNTING, not row ranking: the value at rank r
+    * depends only on the value (the (value, event_id) tie-break never
+    * changes which VALUE sits at a rank), so one partial+final
+    * `count(*) GROUP BY (metric, value)` collapses the corpus to its
+    * distinct values, a running sum over that tiny table assigns each
+    * value its rank interval (cum−cnt, cum], and the percentile is the
+    * unique row whose interval covers ceil(p·n) — n is a whole-partition
+    * sum over the SAME window partitioning, so no second branch and no
+    * join exists anywhere in the plan: one corpus scan, one corpus
+    * exchange (map-side-combined), one value-cardinality window.
+    *
+    * Scale: state is O(distinct values), not O(rows) — the reference's
+    * 2-decimal bounded sensor domains (opcua_server/main.py:152-203)
+    * keep per-metric distinct values in the thousands regardless of
+    * corpus size, and value counting is immune to the distribution skew
+    * that equal-width binning inherits (a single-value metric is ONE
+    * row here, the bin approach's worst case). For genuinely unbounded/
+    * continuous domains whose distinct-value table would rival the
+    * corpus, [[percentilesApprox]] is the constant-memory path.
     */
   def percentiles(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cents = floor(col("value") * 100 + 0.5).cast("long")
-    val rows = ev(s, dir).filter(col("value").isNotNull)
-      .select(col("event_type").as("metric"), col("value"), col("event_id"),
-        cents.as("cv"))
-    val bounds = rows.groupBy(col("metric"))
-      .agg(min(col("cv")).as("cmin"), max(col("cv")).as("cmax"),
-        count(lit(1)).as("n"))
-    val binned = rows.join(broadcast(bounds), "metric")
-      .withColumn("bin",
-        when(col("cmax") === col("cmin"), lit(0L))
-          .otherwise(least(lit(PctBins - 1L),
-            expr(s"((cv - cmin) * $PctBins) div (cmax - cmin)")))
-          .cast("long"))
-    val wBin = Window.partitionBy(col("metric"), col("bin"))
-      .orderBy(col("value"), col("event_id"))
-    // bin-offset branch as a separate count-aggregate scan (see spcRules
-    // for why shared-exchange derivations are conf-fragile): pruned scan,
-    // map-side combine to bin-cardinality rows, tiny exchange.
-    val binOff = binned.groupBy(col("metric"), col("bin"))
+    val vcnt = ev(s, dir).filter(col("value").isNotNull)
+      .select(col("event_type").as("metric"), col("value"))
+      .groupBy(col("metric"), col("value"))
       .agg(count(lit(1)).as("cnt"))
-      .withColumn("boff",
-        coalesce(
-          sum(col("cnt")).over(Window.partitionBy(col("metric")).orderBy(col("bin"))
-            .rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)))
-      .select(col("metric"), col("bin"), col("boff"))
+    val wCum = Window.partitionBy(col("metric")).orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("metric"))
     // `div`, not `/`, in the target arithmetic: Column./ is double
-    // division and the rank equality would never match
-    binned
-      .join(broadcast(binOff), Seq("metric", "bin"))
-      .withColumn("rn", col("boff") + row_number().over(wBin))
-      .select(col("metric"), col("value"), col("rn"),
+    // division and the rank-interval containment would never match
+    vcnt
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+      .select(col("metric"), col("value"), col("cnt"), col("cum"),
         explode(expr(
           s"transform(array(${PercentilesPerMille.mkString(", ")}), " +
             "pm -> struct(pm AS p_permille, greatest(1L, (n * pm + 999) div 1000) AS target))"))
           .as("t"))
-      .filter(col("rn") === col("t.target"))
+      .filter(col("t.target") > col("cum") - col("cnt") &&
+        col("t.target") <= col("cum"))
       .select(col("metric"), col("t.p_permille").as("p_permille"),
         col("value").as("p_value"))
       .resultOrder(col("metric"), col("p_permille"))
@@ -692,10 +686,20 @@ object RelationalOps {
     * as [[counterRate]]: ~46 metrics ⇒ a per-metric window is one task
     * per metric): both row_numbers partition on a composite
     * (metric[, above], day) key and are lifted to global ranks by adding
-    * per-day running offsets, computed by windows over the tiny
-    * day-level count aggregates and broadcast back. The run-position
-    * window keys on (metric, above, island) — island cardinality grows
-    * with the data, so that one is already fine-grained.
+    * per-day running offsets. BOTH offsets come from ONE
+    * (metric, above, day) count branch (pruned scan, map-side combine to
+    * day-cardinality rows, tiny exchange): the same-side offset is the
+    * running same-side total minus the row's own count, and the all-rows
+    * offset is the running total minus the current day's total — all as
+    * RANGE-frame sums over one (metric)-partitioned day ordering, so the
+    * branch costs one tiny exchange and one sort, and the main stream
+    * joins ONE broadcast table instead of two. (A derivation from the
+    * ranked stream itself was tried and reverted: exchange reuse only
+    * holds while branch subtrees stay sameResult()-identical, which
+    * column pruning and constraint propagation both break.) The
+    * run-position window keys on (metric, above, island) — island
+    * cardinality grows with the data, so that one is already
+    * fine-grained.
     */
   def spcRules(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -703,6 +707,13 @@ object RelationalOps {
     val v = ev(s, dir).filter(col("value").isNotNull)
       .select(col("event_type").as("metric"), col("ts"), col("event_id"),
         col("value"), cents.as("c"))
+    // stats feeds BOTH the main stream and the offset count branch (each
+    // needs `above`, hence the mean); without materialization the whole
+    // stats subtree — a corpus scan + aggregate — is duplicated into each
+    // branch of the DAG. Eager localCheckpoint (the minhashPairsOn
+    // pattern: no CacheManager pin, blocks reclaimed when the result is
+    // dropped) computes the metric-cardinality table once; both joins
+    // then broadcast the materialized rows.
     val stats = v.groupBy(col("metric"))
       .agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
         sum(col("c") * col("c")).as("q"))
@@ -710,43 +721,51 @@ object RelationalOps {
         (col("s").cast("double") / col("n").cast("double")).as("mean_c"),
         sqrt((col("n") * col("q") - col("s") * col("s")).cast("double") /
           (col("n") * (col("n") - 1)).cast("double")).as("sd_c"))
-    val sided = v.join(broadcast(stats), "metric")
+      .localCheckpoint(eager = true)
+    val sided = v.join(Tables.broadcastIfSmall(stats), "metric")
       .withColumn("above", col("c").cast("double") > col("mean_c"))
       .withColumn("day", date_trunc("day", col("ts")))
-    // strictly-preceding-day running counts — the offsets that lift the
-    // in-day ranks to global ranks; both are day-cardinality aggregates
-    def offsets(counts: DataFrame, part: Seq[String], offName: String) =
-      counts.withColumn(offName,
-        coalesce(
-          sum(col("cnt")).over(Window.partitionBy(part.map(col): _*).orderBy(col("day"))
-            .rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)))
-        .drop("cnt")
     val wDay = Window.partitionBy(col("metric"), col("day"))
       .orderBy(col("ts"), col("event_id"))
     val wSideDay = Window.partitionBy(col("metric"), col("above"), col("day"))
       .orderBy(col("ts"), col("event_id"))
-    // Offset branches are SEPARATE count-aggregate scans, not derivations
-    // of the ranked stream: shared-exchange forms only deduplicate while
-    // the branch subtrees stay sameResult()-identical (column pruning and
-    // constraint propagation both break that), and a missed reuse would
-    // re-exchange and re-sort the corpus per branch. These branches scan
-    // a few pruned columns and map-side-combine to day-cardinality rows
-    // before their tiny exchanges — cheap at any scale, conf-independent.
-    val dayOff = offsets(
-      sided.groupBy(col("metric"), col("day")).agg(count(lit(1)).as("cnt")),
-      Seq("metric"), "off")
-    val sideOff = offsets(
-      sided.groupBy(col("metric"), col("above"), col("day")).agg(count(lit(1)).as("cnt")),
-      Seq("metric", "above"), "soff")
+    // ONE day-level count branch serves both offsets. Rows are unique per
+    // (metric, above, day); a RANGE frame ordered by day makes same-day
+    // rows peers, so over a (metric) partitioning:
+    //   cumAll   = rows in days <= d        (range unbounded..current)
+    //   cumAbove = above-side rows <= d     (conditional sum, same frame)
+    //   dayTotal = rows in day d exactly    (range current..current peers)
+    //   soff     = strictly-earlier same-side count
+    //            = (above ? cumAbove : cumAll − cumAbove) − own cnt
+    //   off      = strictly-earlier all-rows count = cumAll − dayTotal
+    // All exact integer sums; one tiny exchange + sort for all three.
+    // (The previous form ran TWO count branches — each a full corpus
+    // scan — because deriving one from the other as DataFrames would
+    // duplicate the subtree in the DAG absent fragile exchange reuse;
+    // computing both offsets as window columns of the SAME branch keeps
+    // the plan a tree with no reuse needed.)
+    val wCum = Window.partitionBy(col("metric")).orderBy(col("day"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPeer = Window.partitionBy(col("metric")).orderBy(col("day"))
+      .rangeBetween(Window.currentRow, Window.currentRow)
+    val offs = sided
+      .groupBy(col("metric"), col("above"), col("day"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum_all", sum(col("cnt")).over(wCum))
+      .withColumn("cum_above",
+        sum(when(col("above"), col("cnt")).otherwise(lit(0L))).over(wCum))
+      .withColumn("day_total", sum(col("cnt")).over(wPeer))
+      .select(col("metric"), col("above"), col("day"),
+        (when(col("above"), col("cum_above"))
+          .otherwise(col("cum_all") - col("cum_above")) - col("cnt")).as("soff"),
+        (col("cum_all") - col("day_total")).as("off"))
     // both rank windows run off one (metric, day) exchange —
     // HashPartitioning(metric, day) satisfies the (metric, above, day)
     // clustering (subset key), so the second window only re-sorts.
     val grped = sided
       .withColumn("rn_in", row_number().over(wDay))
       .withColumn("rs_in", row_number().over(wSideDay))
-      .join(broadcast(dayOff), Seq("metric", "day"))
-      .join(broadcast(sideOff), Seq("metric", "above", "day"))
+      .join(Tables.broadcastIfSmall(offs), Seq("metric", "above", "day"))
       .withColumn("grp", (col("off") + col("rn_in")) - (col("soff") + col("rs_in")))
     val wrun = Window.partitionBy(col("metric"), col("above"), col("grp"))
       .orderBy(col("ts"), col("event_id"))

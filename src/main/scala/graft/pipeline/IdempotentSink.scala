@@ -46,11 +46,18 @@ object IdempotentSink {
       val conn = java.sql.DriverManager.getConnection(url, props)
       try {
         val st = conn.createStatement()
-        // ANSI-quoted column: Spark's JDBC writer creates case-preserved
-        // quoted identifiers, and an unquoted batch_id would case-fold to
-        // a different (absent) column on engines like Derby/Postgres —
-        // and the absent-column error must NOT be swallowed below
-        try st.executeUpdate(s"""DELETE FROM $table WHERE "batch_id" = $batchId""")
+        // Quoted column: Spark's JDBC writer creates case-preserved quoted
+        // identifiers, and an unquoted batch_id would case-fold to a
+        // different (absent) column on engines like Derby/Postgres — and
+        // the absent-column error must NOT be swallowed below. The quote
+        // character comes from the connection's own metadata, not a
+        // hardcoded ANSI double quote: MySQL's default SQL mode reads
+        // "batch_id" as a string literal, so the DELETE would silently
+        // match zero rows and a replayed batch would duplicate — the
+        // engine itself knows its identifier quote (backtick there).
+        val q = Option(conn.getMetaData.getIdentifierQuoteString)
+          .map(_.trim).filter(_.nonEmpty).getOrElse("\"")
+        try st.executeUpdate(s"DELETE FROM $table WHERE ${q}batch_id$q = $batchId")
         catch {
           // only "table does not exist" is benign (first batch runs before
           // the writer's CREATE TABLE); anything else is a real failure

@@ -51,8 +51,11 @@ object MaterializedViews {
     })
   }
 
+  // keyed on the session OBJECT, not identityHashCode (hash collision
+  // between a stopped and a live session could serve a dead-session plan);
+  // see Tables.dfCache for the leak analysis
   private val dfCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), org.apache.spark.sql.DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), org.apache.spark.sql.DataFrame]
 
   /** The MV as a DataFrame. A partitioned-parquet read pays partition
     * discovery + schema inference on every `spark.read.parquet` call —
@@ -67,7 +70,7 @@ object MaterializedViews {
     val out = minuteMvDir(spark, sfDir)
     def read() = spark.read.parquet(out)
     if (spark.conf.getOption("spark.graft.fixtureCache").contains("true"))
-      dfCache.getOrElseUpdate((System.identityHashCode(spark), out), read())
+      dfCache.getOrElseUpdate((spark, out), read())
     else read()
   }
 }

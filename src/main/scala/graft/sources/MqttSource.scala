@@ -121,14 +121,21 @@ private final class MqttMicroBatchStream(
     lock.synchronized(MqttOffset(base + buf.length))
   override def deserializeOffset(json: String): Offset = {
     val o = json.toLong
-    // restart rebase: a fresh source instance starts counting at 0, but
+    // Restart rebase: a fresh source instance starts counting at 0, but
     // the checkpoint may be at offset N from the previous run. Offsets
     // must never go backwards, so adopt the checkpointed position as the
-    // new base — messages buffered since subscribe are renumbered from N
-    // (they are all post-restart arrivals), and a batch planned before
-    // the crash but never committed replays EMPTY: QoS-0 at-most-once,
-    // the documented loss mode, never a duplicate.
-    lock.synchronized { if (o > base + buf.length) { base = o; buf.clear() } }
+    // new base. The buffer is KEPT, not cleared: everything in it arrived
+    // after this instance's subscribe(), i.e. post-restart — those rows
+    // are renumbered to start at N and flow out in the next planned
+    // batch. Only the pre-crash window is lost (a batch planned before
+    // the crash but never committed replays EMPTY): QoS-0 at-most-once,
+    // the documented loss mode, never a duplicate and never a drop of
+    // post-restart arrivals. The guard makes this parse-side mutation
+    // safe outside recovery too: offsets this instance itself produced
+    // satisfy o <= base + buf.length, so steady-state round-trips of the
+    // offset log are pure parses and the rebase fires only when the
+    // checkpoint is genuinely ahead of this instance's numbering.
+    lock.synchronized { if (o > base + buf.length) base = o }
     MqttOffset(o)
   }
 

@@ -78,4 +78,36 @@ object MqttBridge {
       payloads.length.toLong
     } finally client.close()
   }
+
+  /** Executor-side publisher — the distributed arm of [[publishBatch]]:
+    * each partition's task opens ITS OWN broker connection, publishes its
+    * rows, and closes it (the connection-per-partition idiom the RESP
+    * enrichment uses — DataflowOps.enrichViaKv). Nothing is collected to
+    * the driver, so batch size is bounded by executor memory per
+    * partition, not driver memory; use this arm whenever the batch isn't
+    * trivially small. At-least-once under task retries (a re-run
+    * partition re-publishes its rows) on an at-most-once transport —
+    * QoS-0 subscribers already own dedup/loss semantics.
+    *
+    * Returns the number of rows published this attempt, counted by
+    * accumulator (retried tasks may over-count; the number is
+    * diagnostic, like the driver arm's).
+    */
+  def publishBatchFromExecutors(batch: DataFrame, host: String, port: Int,
+      topic: String = Topic, clientIdPrefix: String = "graft-pub"): Long = {
+    val published = batch.sparkSession.sparkContext.longAccumulator("mqtt_published")
+    batch.select(col("payload").cast("string"))
+      .foreachPartition { (rows: Iterator[Row]) =>
+        if (rows.hasNext) {
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val client = new MqttClient(host, port, s"$clientIdPrefix-p$pid")
+          try rows.foreach { r =>
+            client.publish(topic,
+              r.getString(0).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            published.add(1L)
+          } finally client.close()
+        }
+      }
+    published.value
+  }
 }

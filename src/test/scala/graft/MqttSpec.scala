@@ -237,4 +237,32 @@ class MqttSpec extends AnyFunSuite {
       } finally sub.close()
     } finally broker.close()
   }
+
+  test("publishBatchFromExecutors: multi-partition batch publishes from tasks, nothing via the driver") {
+    val spark = SparkSuite.session
+    val broker = new MqttBroker()
+    try {
+      val total = 40
+      val got = new ConcurrentLinkedQueue[String]()
+      val latch = new CountDownLatch(total)
+      val sub = new MqttClient("127.0.0.1", broker.port, "exec-sub")
+      try {
+        sub.subscribe(graft.streaming.MqttBridge.Topic) { (_, p) =>
+          got.add(new String(p, "UTF-8")); latch.countDown()
+        }
+        import org.apache.spark.sql.functions._
+        // 8 partitions — each task opens its own connection; payload
+        // prepared in the stream exactly like the driver arm
+        val batch = spark.range(total).repartition(8).select(
+          concat(lit("""{"event_id":"""), col("id"), lit("}")).as("payload"))
+        val n = graft.streaming.MqttBridge
+          .publishBatchFromExecutors(batch, "127.0.0.1", broker.port)
+        assert(n == total)
+        assert(latch.await(15, TimeUnit.SECONDS),
+          s"executor-published messages not delivered (${got.size}/$total)")
+        assert(got.asScala.toSeq.sorted ==
+          (0 until total).map(i => s"""{"event_id":$i}""").sorted)
+      } finally sub.close()
+    } finally broker.close()
+  }
 }

@@ -238,20 +238,26 @@ class PlanSpec extends SparkSuite {
     }
   }
 
-  test("q_percentiles: two-phase value-bin rank — no per-metric corpus window") {
+  test("q_percentiles: value-counting rank — windows over distinct values, no join, one corpus exchange") {
     val p = plan("q_percentiles")
-    // the metric key space is ~46 values: a row_number window partitioned
-    // on metric alone sorts each metric's entire history on ONE task. The
-    // two-phase form ranks within (metric, bin) and lifts with broadcast
-    // bin offsets — the corpus-wide value sort must be keyed composite
-    assert(!"windowspecdefinition\\(metric#\\d+, value#".r.findFirstIn(p).isDefined,
-      s"per-metric corpus value sort crept back:\n$p")
-    assert("windowspecdefinition\\(metric#\\d+, bin#\\d+L, value#".r.findFirstIn(p).isDefined,
-      s"(metric, bin) in-bin rank window missing:\n$p")
-    // bounds and bin offsets join back as broadcasts, never a shuffle join
-    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"), p)
+    // value counting collapses the corpus to distinct (metric, value)
+    // rows BEFORE any window: the only corpus-wide exchange is the
+    // map-side-combined count aggregate, the running-rank window sorts
+    // value-cardinality rows, and no join exists anywhere — targets come
+    // from a whole-partition sum over the same window partitioning
+    assert(!p.contains("Join"), s"percentile rank regrew a join:\n$p")
+    assert(!"row_number".r.findFirstIn(p).isDefined,
+      s"row-level ranking crept back (rank must be counted, not numbered):\n$p")
+    // the window's input is the aggregate, so a HashAggregate must sit
+    // below the Window in the tree (corpus rows never reach the sort)
+    assert(p.contains("Window") && p.contains("HashAggregate"),
+      s"count-then-rank shape missing:\n$p")
     assert(!p.contains("Union"), s"per-percentile union crept back:\n$p")
     assert(p.contains("Generate"), s"target explode missing:\n$p")
+    // one corpus hash exchange (the count agg) + one value-cardinality
+    // window exchange + the single-reducer result sort
+    assert("Arguments: hashpartitioning".r.findAllIn(p).size <= 2,
+      s"q_percentiles grew extra shuffles:\n$p")
   }
 
   test("q_counter_rate: two-phase (metric, day) lag with broadcast boundary carries") {
@@ -262,6 +268,12 @@ class PlanSpec extends SparkSuite {
       s"(metric, day) in-bucket lag window missing:\n$p")
     assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
       s"day-carry table not broadcast:\n$p")
+    // the final hour aggregate carries `day` in its grouping so the lag
+    // window's (metric, day) partitioning satisfies it (subset key) —
+    // exactly 3 hash exchanges exist (main window, carry agg, carry
+    // window); a 4th means the aggregate re-shuffled the corpus
+    assert("Arguments: hashpartitioning".r.findAllIn(p).size <= 3,
+      s"final aggregate regrew its corpus exchange:\n$p")
   }
 
   test("q_spc_rules: two-phase gaps-and-islands ranks — no per-metric corpus window") {
@@ -272,6 +284,19 @@ class PlanSpec extends SparkSuite {
     assert("windowspecdefinition\\(metric#\\d+, day#\\d+, ts#".r.findFirstIn(p).isDefined &&
       "windowspecdefinition\\(metric#\\d+, above#\\d+, day#\\d+, ts#".r.findFirstIn(p).isDefined,
       s"(metric[, above], day) in-bucket rank windows missing:\n$p")
+    // BOTH lift offsets come from ONE count branch joined back as ONE
+    // broadcast: exactly 3 join nodes (stats onto main, stats onto the
+    // count branch — both against the materialized checkpoint, never a
+    // recomputed stats subtree — and the single offsets join); a 4th
+    // means the dual offset-branch form is back. Formatted explain
+    // prints each node twice (tree + detail).
+    assert("BroadcastHashJoin".r.findAllIn(p).size / 2 == 3,
+      s"expected exactly stats(x2) + offsets broadcasts:\n$p")
+    // the stats subtree is materialized once — branches scan its
+    // checkpoint blocks, not a duplicated corpus aggregate
+    assert(p.contains("ExistingRDD"), s"stats checkpoint missing:\n$p")
+    assert("Scan parquet".r.findAllIn(p).size / 2 <= 2,
+      s"a third corpus scan branch appeared:\n$p")
   }
 
   test("two-phase trio: offset branches are pruned count scans, never a corpus re-sort") {
@@ -291,6 +316,34 @@ class PlanSpec extends SparkSuite {
         assert(n <= maxWindows,
           s"$q grew to $n window nodes (max $maxWindows) — an offset branch is sorting the corpus:\n$p")
     }
+  }
+
+  test("broadcastIfSmall: hints under the bound, falls back to planner choice when the estimate is large") {
+    import org.apache.spark.sql.functions.col
+    // small side: estimate far under the bound -> hinted broadcast join
+    // (the trio/histogram plans above pin this at fixture scale; here the
+    // gate itself is exercised in isolation on both sides of the bound)
+    val small = spark.range(100).select(col("id"), (col("id") % 7).as("k"))
+    val fact = spark.range(10000).select(col("id").as("fid"), (col("id") % 7).as("k"))
+    val hinted = fact.join(graft.Tables.broadcastIfSmall(small), "k")
+    val pSmall = hinted.queryExecution.executedPlan.toString
+    assert(pSmall.contains("BroadcastHashJoin"), s"small side not broadcast:\n$pSmall")
+    // large side: a range whose 8-bytes-per-row estimate exceeds any sane
+    // broadcast bound -> the hint is DROPPED (no forced driver-side
+    // collect of a huge table); with the static planner's own threshold
+    // shrunk below the estimate, the join degrades to shuffle/sort-merge
+    val big = spark.range(1L << 32).select(col("id"), (col("id") % 7).as("k"))
+    assert(graft.Tables.broadcastIfSmall(big) eq big,
+      "broadcastIfSmall hinted a table whose estimate exceeds the bound")
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val unhinted = fact.join(graft.Tables.broadcastIfSmall(big), "k")
+      val pBig = unhinted.queryExecution.executedPlan.toString
+      assert(!pBig.contains("BroadcastHashJoin") && pBig.contains("SortMergeJoin"),
+        s"large side still forced a broadcast:\n$pBig")
+    } finally spark.conf.set(key, saved)
   }
 
   test("q_histogram / q_spc_rules: per-metric stats broadcast back, fact side unshuffled for the join") {
