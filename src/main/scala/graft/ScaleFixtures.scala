@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic ×N scale-up of the driver fixtures for empirical scale
+  * validation (PERF.md's sf0.1→sf1 table). The driver's generator isn't
+  * in this repo, so sf1 is DERIVED from sf0.1 by unioning N disjoint
+  * copies, constructed so each operator's workload scales LINEARLY in N —
+  * the same property a real 10× corpus would have:
+  *
+  *  - `events`: copy k is day-shifted by k×(span+1) days, event_id offset
+  *    into a disjoint range. The metric key space stays the reference's
+  *    ~46 names (opcua_server/main.py:152-203) — the exact shape the
+  *    two-phase (metric, day) windows were built for: 10× the days, the
+  *    same per-(metric, day) density.
+  *  - `documents`: copy k>0 prefixes every whitespace token with `q<k>`
+  *    and doc_id moves to a disjoint range. Within a copy the near-dup
+  *    structure is IDENTICAL to the original (shingle sets are the
+  *    original's, renamed); across copies no shingle collides, so
+  *    MinHash/SimHash/ngram pair counts scale ×N, never ×N² — copies that
+  *    kept the original text verbatim would instead make every doc a
+  *    10-way near-dup and the join superlinear (a different experiment).
+  *    n_chars is recomputed over the rewritten text.
+  *  - `embeddings`: vectors unchanged, vec_id and label offset into
+  *    disjoint ranges per copy — label-blocked dedup again scales ×N.
+  *
+  * Usage: `runMain graft.ScaleFixtures <srcDir> <outDir> [factor]`.
+  * Writes parquet with enough files for parallel scans. Perf-only data:
+  * correctness stays pinned to the driver's own sf0.01 + DuckDB oracle.
+  */
+object ScaleFixtures {
+  def main(args: Array[String]): Unit = {
+    val src = args(0)
+    val out = args(1)
+    val n = if (args.length > 2) args(2).toInt else 10
+    val spark = SparkSession.builder()
+      .master(s"local[${math.min(Runtime.getRuntime.availableProcessors, 32)}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val ev = Tables.events(spark, src)
+    val span = ev.agg(
+      (datediff(max(col("ts")), min(col("ts"))) + 1).as("d")).head().getInt(0)
+    val events = copies(n) { k =>
+      ev.select(
+        (col("event_id") + k * 1000000000000L).as("event_id"),
+        expr(s"timestampadd(DAY, ${k.toLong * span}, ts)").as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+    }
+    write(events, s"$out/events.parquet")
+
+    val docs = Tables.documents(spark, src)
+    val documents = copies(n) { k =>
+      val text =
+        if (k == 0) col("text")
+        else array_join(transform(split(col("text"), " "),
+          t => concat(lit(s"q$k"), t)), " ")
+      docs.select(
+        (col("doc_id") + k * 1000000000L).as("doc_id"),
+        text.as("text"), col("lang"), col("source"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    }
+    write(documents, s"$out/documents.parquet")
+
+    val emb = Tables.embeddings(spark, src)
+    val embeddings = copies(n) { k =>
+      emb.select(
+        (col("vec_id") + k * 1000000000L).as("vec_id"),
+        col("embedding"),
+        (col("label") + lit(k * 1000)).cast("int").as("label"))
+    }
+    write(embeddings, s"$out/embeddings.parquet")
+
+    println(s"""{"out":"$out","factor":$n,"events":${spark.read.parquet(s"$out/events.parquet").count()},"documents":${spark.read.parquet(s"$out/documents.parquet").count()},"embeddings":${spark.read.parquet(s"$out/embeddings.parquet").count()}}""")
+    spark.stop()
+  }
+
+  private def copies(n: Int)(mk: Int => DataFrame): DataFrame =
+    (0 until n).map(mk).reduce(_.unionByName(_))
+
+  private def write(df: DataFrame, path: String): Unit =
+    df.repartition(8).write.mode("overwrite").parquet(path)
+}

@@ -97,7 +97,7 @@ object Tables {
     * basic (non-CBO) stats don't apply filter selectivity either way, so
     * the fanOut/resultOrder threshold decisions are unchanged.
     */
-  private def planningSize(df: DataFrame): BigInt =
+  private[graft] def planningSize(df: DataFrame): BigInt =
     df.queryExecution.analyzed.stats.sizeInBytes
 
   /** Broadcast hint gated on the planning-time size estimate — for the

@@ -611,12 +611,22 @@ object RelationalOps {
       .select(col("event_type").as("metric"), col("value"))
       .groupBy(col("metric"), col("value"))
       .agg(count(lit(1)).as("cnt"))
+    // Stage fusion, size-gated: when the value-cardinality table's
+    // estimate is small, exchange it to ONE hash(metric) partition —
+    // HashPartitioning(metric, 1) still satisfies the windows' clustering,
+    // so the rank windows, the target explode/filter, AND the final
+    // presentation sort all run inside that single post-exchange stage
+    // (2 exchanges total; the generic resultOrder would add a third).
+    // Past the gate the default shuffle width stays and the plan scales
+    // out per metric.
+    val fuseSmall = Tables.planningSize(vcnt) <= (64L << 20)
+    val ranked = if (fuseSmall) vcnt.repartition(1, col("metric")) else vcnt
     val wCum = Window.partitionBy(col("metric")).orderBy(col("value"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy(col("metric"))
     // `div`, not `/`, in the target arithmetic: Column./ is double
     // division and the rank-interval containment would never match
-    vcnt
+    val out = ranked
       .withColumn("cum", sum(col("cnt")).over(wCum))
       .withColumn("n", sum(col("cnt")).over(wAll))
       .select(col("metric"), col("value"), col("cnt"), col("cum"),
@@ -628,7 +638,8 @@ object RelationalOps {
         col("t.target") <= col("cum"))
       .select(col("metric"), col("t.p_permille").as("p_permille"),
         col("value").as("p_value"))
-      .resultOrder(col("metric"), col("p_permille"))
+    if (fuseSmall) out.sortWithinPartitions(col("metric"), col("p_permille"))
+    else out.resultOrder(col("metric"), col("p_permille"))
   }
 
   /** Relative rank-error denominator for [[percentilesApprox]]: the
