@@ -1,0 +1,331 @@
+package graft.net
+
+import OpcuaWire._
+
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream}
+import java.net.{InetAddress, Socket}
+import java.util.concurrent.{ConcurrentHashMap, CountDownLatch, TimeUnit}
+import java.util.concurrent.atomic.AtomicLong
+
+/** Minimal opc.tcp client (SecurityPolicy#None, anonymous) — the
+  * engine-side twin of the reference agent's asyncua usage
+  * (opcua_mqtt_agent/main.py:88-130): connect, read the namespace array
+  * to find the model namespace, browse Objects for the root object,
+  * browse its Variable children, then a 500 ms subscription whose
+  * data-change notifications drive the downstream publish. One socket,
+  * blocking request/response; a daemon publish-loop thread keeps a
+  * PublishRequest outstanding and dispatches notifications to the
+  * registered callback (the paho-style handler the reference wraps in
+  * `SubscriptionHandler.datachange_notification`).
+  */
+final class OpcuaClient(host: String, port: Int,
+    endpointUrl: String) extends AutoCloseable {
+
+  private val socket = new Socket(InetAddress.getByName(host), port)
+  socket.setTcpNoDelay(true)
+  private val in = new DataInputStream(new BufferedInputStream(socket.getInputStream))
+  private val out = new DataOutputStream(new BufferedOutputStream(socket.getOutputStream))
+
+  private val reqIds = new AtomicLong(1)
+  private val handles = new AtomicLong(1)
+  private val clientHandles = new AtomicLong(1)
+  // reqId -> response body latch
+  private final class Pending { val latch = new CountDownLatch(1); @volatile var body: R = _ }
+  private val pending = new ConcurrentHashMap[Long, Pending]()
+  @volatile private var channelId = 0L
+  @volatile private var tokenId = 0L
+  @volatile private var authToken: NodeId = NumericId(0, 0)
+  @volatile private var closed = false
+
+  /** clientHandle -> (variable name, callback). */
+  private val watches =
+    new ConcurrentHashMap[Long, (String, (String, Variant, Long) => Unit)]()
+
+  // ---- reader thread: dispatches OPN/MSG responses by request id ----
+  private val reader = new Thread(() => {
+    try while (!closed) {
+      val f = readFrame(in)
+      f.tpe match {
+        case "ACK" =>
+          val p = pending.remove(0L)
+          if (p != null) { p.body = new R(f.body); p.latch.countDown() }
+        case "OPN" | "MSG" =>
+          val r = new R(f.body)
+          r.u32() // channel id
+          if (f.tpe == "OPN") { r.str(); r.bytes(); r.bytes() } else r.u32()
+          r.u32() // sequence number
+          val reqId = r.u32()
+          val p = pending.remove(reqId)
+          if (p != null) { p.body = r; p.latch.countDown() }
+        case "ERR" =>
+          pending.forEach((_, p) => p.latch.countDown())
+        case _ => ()
+      }
+    } catch { case _: Throwable => pending.forEach((_, p) => p.latch.countDown()) }
+  }, "opcua-client-reader")
+  reader.setDaemon(true)
+  reader.start()
+
+  // ---- handshake: HEL/ACK, OPN, CreateSession, ActivateSession ----
+  locally {
+    val ackWait = new Pending
+    pending.put(0L, ackWait)
+    writeFrame(out, "HEL", helloBody(endpointUrl))
+    require(ackWait.latch.await(10, TimeUnit.SECONDS) && ackWait.body != null, "ACK timeout")
+
+    val opnId = reqIds.getAndIncrement()
+    val opn = new W()
+    opn.u32(0L).str(SecurityPolicyNone).bytes(null).bytes(null)
+    opn.u32(1L).u32(opnId)
+    opn.nodeId(NumericId(0, IdOpenSecureChannelRequest))
+    opn.requestHeader(NumericId(0, 0), handles.getAndIncrement())
+    opn.u32(0L)      // client protocol version
+    opn.u32(0L)      // request type: Issue
+    opn.u32(1L)      // security mode: None
+    opn.bytes(null)  // client nonce
+    opn.u32(3600000L)
+    val opnResp = await(opnId, () => writeFrame(out, "OPN", opn.result))
+    require(opnResp.nodeId() == NumericId(0, IdOpenSecureChannelResponse),
+      "OPN response carried the wrong service")
+    val (_, opnStatus) = opnResp.responseHeader()
+    require(opnStatus == StatusGood, f"OpenSecureChannel failed: 0x$opnStatus%08x")
+    opnResp.u32() // server protocol version
+    channelId = opnResp.u32()
+    tokenId = opnResp.u32()
+
+    val createResp = serviceChecked(IdCreateSessionRequest, IdCreateSessionResponse) { w =>
+      // client ApplicationDescription
+      w.str("urn:graft:client").str("urn:graft")
+      w.localized("graft").u32(1L) // ApplicationType Client
+      w.str(null).str(null).i32(0)
+      w.str(null)             // serverUri
+      w.str(endpointUrl)
+      w.str("graft-session")
+      w.bytes(Array[Byte](0)) // client nonce
+      w.bytes(null)           // client certificate
+      w.f64(3600000.0)
+      w.u32(1L << 24)
+    }
+    createResp.nodeId() // session id
+    authToken = createResp.nodeId()
+
+    serviceChecked(IdActivateSessionRequest, IdActivateSessionResponse) { w =>
+      w.str(null); w.bytes(null) // client signature
+      w.i32(0)                   // software certificates
+      w.i32(0)                   // locale ids
+      // anonymous identity token (policy id from the None endpoint)
+      val tok = new W().str("anonymous")
+      w.ext(IdAnonymousIdentityToken, tok.result)
+      w.str(null); w.bytes(null) // user token signature
+    }
+  }
+
+  private def await(reqId: Long, send: () => Unit): R = {
+    val p = new Pending
+    pending.put(reqId, p)
+    send()
+    require(p.latch.await(15, TimeUnit.SECONDS) && p.body != null,
+      s"opc.tcp response timeout (reqId $reqId)")
+    p.body
+  }
+
+  /** Send one service request in a MSG frame; returns the body reader
+    * positioned AFTER the response header (status checked, fault thrown).
+    */
+  private def service(typeId: Int)(fill: W => Unit): R = {
+    val reqId = reqIds.getAndIncrement()
+    val w = new W()
+    w.u32(channelId).u32(tokenId)
+    w.u32(reqId).u32(reqId) // sequence number tracks reqId in the subset
+    w.nodeId(NumericId(0, typeId))
+    w.requestHeader(authToken, handles.getAndIncrement())
+    fill(w)
+    await(reqId, () => writeFrame(out, "MSG", w.result))
+  }
+
+  /** The response's service NodeId + header, validated. */
+  private def serviceChecked(typeId: Int, expectResponse: Int)(fill: W => Unit): R = {
+    val r = service(typeId)(fill)
+    val tid = r.nodeId() match {
+      case NumericId(0, id) => id
+      case other => throw new IllegalStateException(s"service response $other")
+    }
+    val (_, status) = r.responseHeader()
+    if (tid == IdServiceFault || status != StatusGood)
+      throw new IllegalStateException(f"service $typeId failed: 0x$status%08x (response $tid)")
+    require(tid == expectResponse, s"expected $expectResponse got $tid")
+    r
+  }
+
+  /** Namespace index of `uri` from Server_NamespaceArray — the agent's
+    * `get_namespace_index` (opcua_mqtt_agent/main.py:96).
+    */
+  def namespaceIndex(uri: String): Int = {
+    val r = serviceChecked(IdReadRequest, IdReadResponse) { w =>
+      w.f64(0.0).u32(0L)
+      w.i32(1)
+      w.nodeId(NumericId(0, NodeServerNamespaceArray))
+      w.u32(AttrValue)
+      w.str(null)
+      w.qualifiedName(0, null)
+    }
+    val n = r.i32()
+    require(n == 1, s"expected 1 read result, got $n")
+    val mask = r.u8()
+    require((mask & 0x01) != 0, "NamespaceArray read returned no value")
+    val enc = r.u8()
+    require(enc == (0x80 | Variant.TString), s"NamespaceArray variant enc $enc")
+    val len = r.i32()
+    val arr = (0 until len).map(_ => r.str())
+    arr.indexOf(uri)
+  }
+
+  /** Forward references of a node: (browseName, nodeId, nodeClass). */
+  def browse(node: NodeId): Seq[(String, NodeId, Long)] = {
+    val r = serviceChecked(IdBrowseRequest, IdBrowseResponse) { w =>
+      w.nodeId(NumericId(0, 0)); w.i64(0L); w.u32(0L) // view
+      w.u32(0L) // max refs per node
+      w.i32(1)
+      w.nodeId(node)
+      w.u32(0L)               // BrowseDirection Forward
+      w.nodeId(NumericId(0, 33L)) // HierarchicalReferences
+      w.bool(true)
+      w.u32(0L)               // all node classes
+      w.u32(0x3fL)            // full result mask
+    }
+    val nResults = r.i32()
+    require(nResults == 1, s"expected 1 browse result, got $nResults")
+    val status = r.u32()
+    require(status == StatusGood, f"browse failed 0x$status%08x")
+    r.bytes() // continuation point
+    val nRefs = r.i32()
+    (0 until nRefs).map { _ =>
+      r.nodeId() // reference type
+      r.bool()   // isForward
+      val target = r.expanded()
+      val (_, name) = r.qualifiedName()
+      r.localized()
+      val cls = r.u32()
+      r.expanded() // type definition
+      (name, target, cls)
+    }
+  }
+
+  /** Read the Value attribute of one node. */
+  def readValue(node: NodeId): DataValue = {
+    val r = serviceChecked(IdReadRequest, IdReadResponse) { w =>
+      w.f64(0.0).u32(0L)
+      w.i32(1)
+      w.nodeId(node); w.u32(AttrValue); w.str(null); w.qualifiedName(0, null)
+    }
+    val n = r.i32()
+    require(n == 1, s"expected 1 read result, got $n")
+    r.dataValue()
+  }
+
+  /** Create a subscription; returns its id
+    * (`client.create_subscription(500, handler)`,
+    * opcua_mqtt_agent/main.py:127).
+    */
+  def createSubscription(publishingIntervalMs: Double = 500.0): Long = {
+    val r = serviceChecked(IdCreateSubscriptionRequest, IdCreateSubscriptionResponse) { w =>
+      w.f64(publishingIntervalMs)
+      w.u32(10000L) // requested lifetime count
+      w.u32(10L)    // max keep-alive count
+      w.u32(0L)     // max notifications per publish (0 = unlimited)
+      w.bool(true)  // publishing enabled
+      w.u8(0)       // priority
+    }
+    val subId = r.u32()
+    // keep a publish request outstanding from now on
+    publishLoop()
+    subId
+  }
+
+  /** Monitor the Value attribute of string-id variables; `f(name, value,
+    * sourceTsMicros)` runs on the publish thread per data change
+    * (`sub.subscribe_data_change(nodes)`, opcua_mqtt_agent/main.py:128).
+    */
+  def subscribeDataChange(subId: Long, ns: Int, names: Seq[String])(
+      f: (String, Variant, Long) => Unit): Unit = {
+    val handleByName = names.map(n => n -> clientHandles.getAndIncrement()).toMap
+    handleByName.foreach { case (n, h) => watches.put(h, (n, f)) }
+    val r = serviceChecked(IdCreateMonitoredItemsRequest, IdCreateMonitoredItemsResponse) { w =>
+      w.u32(subId)
+      w.u32(0L) // timestamps: source
+      w.i32(names.length)
+      names.foreach { n =>
+        w.nodeId(StringId(ns, n)); w.u32(AttrValue); w.str(null); w.qualifiedName(0, null)
+        w.u32(2L) // monitoring mode: Reporting
+        w.u32(handleByName(n))
+        w.f64(500.0)
+        w.extNull()
+        w.u32(100L)
+        w.bool(true)
+      }
+    }
+    val n = r.i32()
+    (0 until n).foreach { _ =>
+      val st = r.u32()
+      require(st == StatusGood, f"monitored item rejected 0x$st%08x")
+      r.u32(); r.f64(); r.u32(); r.ext()
+    }
+  }
+
+  /** One outstanding PublishRequest at a time, re-armed after each
+    * response — the subset's publish pipeline (depth 1 is enough for a
+    * loopback fixture; asyncua keeps several in flight).
+    */
+  private def publishLoop(): Unit = {
+    val t = new Thread(() => {
+      while (!closed) try {
+        val r = serviceChecked(IdPublishRequest, IdPublishResponse) { w =>
+          w.i32(0) // no acknowledgements (subset: server never retransmits)
+        }
+        r.u32() // subscription id
+        val nAvail = r.i32()
+        (0 until math.max(nAvail, 0)).foreach(_ => r.u32())
+        r.bool() // more notifications
+        r.u32(); r.i64() // sequence number, publish time
+        val nData = r.i32()
+        (0 until math.max(nData, 0)).foreach { _ =>
+          val (tid, body) = r.ext()
+          if (tid == NumericId(0, IdDataChangeNotification) && body != null) {
+            val nr = new R(body)
+            val items = nr.i32()
+            (0 until items).foreach { _ =>
+              val handle = nr.u32()
+              val dv = nr.dataValue()
+              val w = watches.get(handle)
+              if (w != null && dv.value.isDefined)
+                w._2(w._1, dv.value.get,
+                  dv.sourceTs.map(ticksToMicros).getOrElse(0L))
+            }
+          }
+        }
+        r.i32() // results
+      } catch {
+        // a quiet interval times the outstanding publish out — that is
+        // the subset's keep-alive: re-arm unless the client is closing
+        case _: Throwable if closed => ()
+        case _: Throwable => ()
+      }
+    }, "opcua-client-publish")
+    t.setDaemon(true)
+    t.start()
+  }
+
+  override def close(): Unit = {
+    closed = true
+    try {
+      val w = new W()
+      w.u32(channelId).u32(tokenId)
+      val reqId = reqIds.getAndIncrement()
+      w.u32(reqId).u32(reqId)
+      w.nodeId(NumericId(0, IdCloseSecureChannelRequest))
+      w.requestHeader(authToken, handles.getAndIncrement())
+      writeFrame(out, "CLO", w.result)
+    } catch { case _: Throwable => () }
+    try socket.close() catch { case _: Throwable => () }
+  }
+}

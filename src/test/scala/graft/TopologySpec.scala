@@ -96,4 +96,58 @@ class TopologySpec extends AnyFunSuite {
       }
     } finally { broker.close(); kv.close() }
   }
+
+  test("LIVE head: opc.tcp server → OpcuaMqttAgent → MQTT wire → stream decode") {
+    val spark = SparkSuite.session
+    import spark.implicits._
+    val machine = new graft.net.OpcuaServer()
+    val broker = new MqttBroker()
+    try {
+      // the PickAndPlace model's variables exist BEFORE the agent browses
+      // (opcua_server/main.py:150-203 builds the address space at init)
+      machine.put("Status", "Running")
+      machine.put("ActualPlacementRateCPH", 41847.0)
+      machine.put("VacuumPressureKPa", -78.5)
+
+      // consumer side first: live MQTT subscription + envelope decode
+      val q = graft.streaming.MqttBridge
+        .decode(graft.streaming.MqttBridge.source(spark, "127.0.0.1", broker.port))
+        .writeStream.format("memory").queryName("live_head")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("live-head-ck").toString)
+        .start()
+      try {
+        q.processAllAvailable() // subscribe before the agent publishes
+        // the reference's first hop, both protocols real: browse the
+        // namespace, subscribe all variables, publish per data change
+        val agent = graft.streaming.OpcuaMqttAgent.run(
+          "127.0.0.1", machine.port, machine.endpointUrl,
+          "urn:example:pick-and-place", "127.0.0.1", broker.port)
+        try {
+          assert(agent.variables.toSet ==
+            Set("Status", "ActualPlacementRateCPH", "VacuumPressureKPa"))
+          // live machine-state changes (the server loop's writes)
+          machine.put("Status", "Error")
+          machine.put("VacuumPressureKPa", -60.25)
+          // 3 initial + 2 live envelopes
+          val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+          var n = 0L
+          while (n < 5 && System.nanoTime() < deadline) {
+            q.processAllAvailable()
+            n = spark.table("live_head").count()
+            if (n < 5) Thread.sleep(50)
+          }
+          val rows = spark.table("live_head")
+            .select("metric", "value").as[(String, String)].collect().toSeq
+          assert(rows.count(_ == ("Status", "Running")) == 1, rows.toString)
+          assert(rows.count(_ == ("Status", "Error")) == 1)
+          assert(rows.count(_ == ("ActualPlacementRateCPH", "41847.0")) == 1)
+          assert(rows.count(_ == ("VacuumPressureKPa", "-78.5")) == 1)
+          assert(rows.count(_ == ("VacuumPressureKPa", "-60.25")) == 1)
+          // source timestamps crossed both wires into the ts column
+          assert(spark.table("live_head").filter($"ts".isNotNull).count() == n)
+        } finally agent.close()
+      } finally q.stop()
+    } finally { machine.close(); broker.close() }
+  }
 }
