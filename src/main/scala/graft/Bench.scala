@@ -174,7 +174,10 @@ object Bench {
     // run-to-run variance off a genuinely heavy query, not just contention
     // bursts — so every retry is DISCLOSED in the output ("retried": both
     // samples), making the provenance of each corrected number auditable
-    // rather than indistinguishable from a speedup.
+    // rather than indistinguishable from a speedup. The oracle side of
+    // every pairing (tools/bench_oracle.py) applies the IDENTICAL
+    // median+6×MAD retry with the same 0.4 s floor, so the protocol is
+    // symmetric and paired ratios carry no one-sided retry bias.
     val firstPass = results
     val okTimes = firstPass.collect { case (_, v, None) => v }.toSeq.sorted
     val retried = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]

@@ -66,11 +66,19 @@ object ScaleFixtures {
     write(documents, s"$out/documents.parquet")
 
     val emb = Tables.embeddings(spark, src)
+    // label stride = max(label)+1, computed from the data: a fixed stride
+    // would silently collide copy k's labels with copy k+1's if the
+    // fixture's label domain ever grew past it, making label-blocked
+    // dedup pair counts superlinear — the exact opposite of the
+    // linear-scaling property this generator exists to guarantee
+    val labelStride = emb.agg(max(col("label"))).head().getInt(0).toLong + 1L
+    require(labelStride * n < Int.MaxValue,
+      s"label stride $labelStride x $n copies overflows the int label domain")
     val embeddings = copies(n) { k =>
       emb.select(
         (col("vec_id") + k * 1000000000L).as("vec_id"),
         col("embedding"),
-        (col("label") + lit(k * 1000)).cast("int").as("label"))
+        (col("label") + lit(k * labelStride)).cast("int").as("label"))
     }
     write(embeddings, s"$out/embeddings.parquet")
 

@@ -142,9 +142,20 @@ object Tables {
 
   def events(spark: SparkSession, dir: String): DataFrame = {
     val df = load(spark, dir, "events")
-    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-    else df
+    df.schema("ts").dataType match {
+      // TIMESTAMP(NANOS) fixtures read as long via nanosAsLong
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      // TIMESTAMP(MICROS, isAdjustedToUTC=false) fixtures read as
+      // TIMESTAMP_NTZ; normalize to the instant type the nanos path
+      // produced (sessions run UTC, so the values are identical) — the
+      // engine's time-weight/envelope paths use unix_micros, which Spark 4
+      // rejects on NTZ input
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")

@@ -36,10 +36,20 @@ final class OpcuaClient(host: String, port: Int,
   @volatile private var tokenId = 0L
   @volatile private var authToken: NodeId = NumericId(0, 0)
   @volatile private var closed = false
+  // set when the transport is known broken (reader thread exited, or a
+  // send failed) — every in-flight and future await fails fast, and the
+  // publish loop terminates instead of retrying against a dead socket
+  @volatile private var deadFlag = false
+
+  /** True once the transport failed or the reader thread exited; the
+    * client cannot recover (no reconnect in the subset) — callers should
+    * close() and rebuild.
+    */
+  def isDead: Boolean = deadFlag || closed
 
   /** clientHandle -> (variable name, callback). */
   private val watches =
-    new ConcurrentHashMap[Long, (String, (String, Variant, Long) => Unit)]()
+    new ConcurrentHashMap[Long, (String, (String, Variant, Option[Long]) => Unit)]()
 
   // ---- reader thread: dispatches OPN/MSG responses by request id ----
   private val reader = new Thread(() => {
@@ -58,16 +68,23 @@ final class OpcuaClient(host: String, port: Int,
           val p = pending.remove(reqId)
           if (p != null) { p.body = r; p.latch.countDown() }
         case "ERR" =>
+          deadFlag = true
           pending.forEach((_, p) => p.latch.countDown())
         case _ => ()
       }
-    } catch { case _: Throwable => pending.forEach((_, p) => p.latch.countDown()) }
+    } catch {
+      case _: Throwable =>
+        deadFlag = true
+        pending.forEach((_, p) => p.latch.countDown())
+    }
   }, "opcua-client-reader")
   reader.setDaemon(true)
   reader.start()
 
   // ---- handshake: HEL/ACK, OPN, CreateSession, ActivateSession ----
-  locally {
+  // a failed handshake must not leak the socket + reader thread: close
+  // before rethrowing (the caller never gets a reference to close)
+  try {
     val ackWait = new Pending
     pending.put(0L, ackWait)
     writeFrame(out, "HEL", helloBody(endpointUrl))
@@ -118,15 +135,25 @@ final class OpcuaClient(host: String, port: Int,
       w.ext(IdAnonymousIdentityToken, tok.result)
       w.str(null); w.bytes(null) // user token signature
     }
+  } catch {
+    case e: Throwable =>
+      closed = true
+      try socket.close() catch { case _: Throwable => () }
+      throw e
   }
 
   private def await(reqId: Long, send: () => Unit): R = {
     val p = new Pending
     pending.put(reqId, p)
-    send()
-    require(p.latch.await(15, TimeUnit.SECONDS) && p.body != null,
-      s"opc.tcp response timeout (reqId $reqId)")
-    p.body
+    // the entry is normally removed by the reader thread on the matching
+    // response; remove it here too so a send failure or await timeout
+    // cannot leak it into the map for the life of the client
+    try {
+      send()
+      require(p.latch.await(15, TimeUnit.SECONDS) && p.body != null,
+        s"opc.tcp response timeout (reqId $reqId)")
+      p.body
+    } finally pending.remove(reqId)
   }
 
   /** Send one service request in a MSG frame; returns the body reader
@@ -245,9 +272,12 @@ final class OpcuaClient(host: String, port: Int,
   /** Monitor the Value attribute of string-id variables; `f(name, value,
     * sourceTsMicros)` runs on the publish thread per data change
     * (`sub.subscribe_data_change(nodes)`, opcua_mqtt_agent/main.py:128).
+    * `sourceTsMicros` is None when the DataValue carried no source
+    * timestamp — callers decide their own null rendering (a 1970 epoch
+    * default would silently fabricate a timestamp).
     */
   def subscribeDataChange(subId: Long, ns: Int, names: Seq[String])(
-      f: (String, Variant, Long) => Unit): Unit = {
+      f: (String, Variant, Option[Long]) => Unit): Unit = {
     val handleByName = names.map(n => n -> clientHandles.getAndIncrement()).toMap
     handleByName.foreach { case (n, h) => watches.put(h, (n, f)) }
     val r = serviceChecked(IdCreateMonitoredItemsRequest, IdCreateMonitoredItemsResponse) { w =>
@@ -278,7 +308,7 @@ final class OpcuaClient(host: String, port: Int,
     */
   private def publishLoop(): Unit = {
     val t = new Thread(() => {
-      while (!closed) try {
+      while (!closed && !deadFlag) try {
         val r = serviceChecked(IdPublishRequest, IdPublishResponse) { w =>
           w.i32(0) // no acknowledgements (subset: server never retransmits)
         }
@@ -298,17 +328,28 @@ final class OpcuaClient(host: String, port: Int,
               val dv = nr.dataValue()
               val w = watches.get(handle)
               if (w != null && dv.value.isDefined)
-                w._2(w._1, dv.value.get,
-                  dv.sourceTs.map(ticksToMicros).getOrElse(0L))
+                w._2(w._1, dv.value.get, dv.sourceTs.map(ticksToMicros))
             }
           }
         }
         r.i32() // results
       } catch {
-        // a quiet interval times the outstanding publish out — that is
-        // the subset's keep-alive: re-arm unless the client is closing
-        case _: Throwable if closed => ()
-        case _: Throwable => ()
+        case _: Throwable if closed || deadFlag => ()
+        case _: java.io.IOException =>
+          // the send itself failed: the socket is gone and the client
+          // cannot recover (no reconnect in the subset) — terminate the
+          // loop instead of busy-spinning writeFrame against a dead pipe
+          deadFlag = true
+        case _: IllegalArgumentException =>
+          // await timeout on a quiet interval — that is the subset's
+          // keep-alive (the server holds the publish until data): re-arm
+          // immediately. If the reader thread died instead, deadFlag is
+          // set and the loop condition exits.
+          ()
+        case _: Throwable =>
+          // unexpected (e.g. a service fault on the publish): back off so
+          // a persistent fault cannot become a 100%-CPU retry loop
+          try Thread.sleep(200) catch { case _: InterruptedException => deadFlag = true }
       }
     }, "opcua-client-publish")
     t.setDaemon(true)

@@ -108,7 +108,14 @@ final class OpcuaServer(
     private val sessionToken = NumericId(1, 424242L)
     // publish backlog: requests we owe responses to (handle, seqHdr reqId)
     private val pendingPublishes = new java.util.ArrayDeque[(Long, Long)]()
+    // secure-channel sequence counter. Guarded by writeLock: replies are
+    // written from two thread families (the connection's handler thread
+    // and writer threads via put() → onWrite → pumpPublish), and the spec
+    // requires sequence numbers to be strictly increasing IN WIRE ORDER —
+    // allocating the number and writing the frame must be one atomic
+    // step, or a strict client drops the channel on a sequence error.
     private var seq = 1L
+    private val writeLock = new Object
 
     def start(): Unit = {
       conns.add(socket)
@@ -150,17 +157,20 @@ final class OpcuaServer(
       val (_, handle) = r.requestHeader()
       // remainder (protocol version, request type, mode, nonce, lifetime)
       // is accepted as-is: one channel, one token, no renewal in subset
-      val w = new W()
-      w.u32(channelId).str(SecurityPolicyNone).bytes(null).bytes(null)
-      w.u32(nextSeq()).u32(reqId)
-      w.nodeId(NumericId(0, IdOpenSecureChannelResponse))
-      w.responseHeader(handle, StatusGood)
-      w.u32(0L) // server protocol version
-      w.u32(channelId).u32(tokenId).i64(nowTicks()).u32(3600000L)
-      w.bytes(Array[Byte](0)) // server nonce
-      writeFrame(out, "OPN", w.result)
+      writeLock.synchronized {
+        val w = new W()
+        w.u32(channelId).str(SecurityPolicyNone).bytes(null).bytes(null)
+        w.u32(nextSeq()).u32(reqId)
+        w.nodeId(NumericId(0, IdOpenSecureChannelResponse))
+        w.responseHeader(handle, StatusGood)
+        w.u32(0L) // server protocol version
+        w.u32(channelId).u32(tokenId).i64(nowTicks()).u32(3600000L)
+        w.bytes(Array[Byte](0)) // server nonce
+        writeFrame(out, "OPN", w.result)
+      }
     }
 
+    // call only while holding writeLock
     private def nextSeq(): Long = { val s = seq; seq += 1; s }
 
     /** Symmetric header + sequence header; returns (reqId, typeId, reader). */
@@ -175,14 +185,15 @@ final class OpcuaServer(
       (reqId, tid, r)
     }
 
-    private def reply(reqId: Long, typeId: Int)(fill: W => Unit): Unit = {
-      val w = new W()
-      w.u32(channelId).u32(tokenId)
-      w.u32(nextSeq()).u32(reqId)
-      w.nodeId(NumericId(0, typeId))
-      fill(w)
-      writeFrame(out, "MSG", w.result)
-    }
+    private def reply(reqId: Long, typeId: Int)(fill: W => Unit): Unit =
+      writeLock.synchronized {
+        val w = new W()
+        w.u32(channelId).u32(tokenId)
+        w.u32(nextSeq()).u32(reqId)
+        w.nodeId(NumericId(0, typeId))
+        fill(w)
+        writeFrame(out, "MSG", w.result)
+      }
 
     private def handleMsg(body: Array[Byte]): Unit = {
       val (reqId, tid, r) = openMsg(body)

@@ -515,13 +515,20 @@ object RelationalOps {
     * partial+final aggregate — the window partitioning IS the group key,
     * so Catalyst reuses one exchange.
     */
-  def timeWeight(s: SparkSession, dir: String): DataFrame = {
+  def timeWeight(s: SparkSession, dir: String): DataFrame =
+    timeWeightOn(ev(s, dir).select(
+      col("event_type").as("metric"), col("ts"), col("event_id"), col("value")))
+
+  /** [[timeWeight]] over any (metric, ts, event_id, value) frame — the
+    * form the streaming twin's spec recomputes batch-side.
+    */
+  def timeWeightOn(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("metric"), col("bucket"))
       .orderBy(col("ts"), col("event_id"))
     val cents = floor(col("value") * 100 + 0.5).cast("long")
-    val withDt = ev(s, dir).filter(col("value").isNotNull)
-      .select(col("event_type").as("metric"), col("ts"), col("event_id"),
+    val withDt = events.filter(col("value").isNotNull)
+      .select(col("metric"), col("ts"), col("event_id"),
         cents.as("cents"))
       .withColumn("bucket", date_trunc("hour", col("ts")))
       .withColumn("until",

@@ -99,13 +99,18 @@ private final class OpcuaMicroBatchStream(
     rootName: String, maxBuffered: Long)
     extends MicroBatchStream {
 
-  private val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+  // (node, value, sourceTsMicros) — ts None when the notification carried
+  // no source timestamp; the column emits null, not 1970-01-01
+  private val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String, Option[Long])]
   private var base = 0L
   private var dropped = 0L
   private val lock = new Object
 
   private val client = new OpcuaClient(host, port, endpointUrl)
-  locally {
+  // init failure (unknown namespace/root, browse fault) must close the
+  // already-opened client — its socket + reader thread are otherwise
+  // orphaned for the life of the JVM
+  try {
     val idx = client.namespaceIndex(nsUri)
     require(idx >= 0, s"namespace $nsUri not registered")
     val root = client.browse(NumericId(0, NodeObjectsFolder)).collectFirst {
@@ -131,6 +136,10 @@ private final class OpcuaMicroBatchStream(
         }
       }
     }
+  } catch {
+    case e: Throwable =>
+      try client.close() catch { case _: Throwable => () }
+      throw e
   }
 
   override def initialOffset(): Offset = OpcuaOffset(0L)
@@ -151,7 +160,7 @@ private final class OpcuaMicroBatchStream(
     val rows = lock.synchronized {
       buf.slice((s - base).toInt.max(0), (e - base).toInt.max(0))
         .zipWithIndex
-        .map { case ((n, v, us), i) => (s + i, n, v, us) }
+        .map { case ((n, v, us), i) => (s + i, n, v, us.map(Long.box).orNull) }
         .toArray
     }
     Array(OpcuaBatchPartition(rows))
@@ -167,7 +176,8 @@ private final class OpcuaMicroBatchStream(
           val (off, n, v, us) = rows(i)
           new GenericInternalRow(Array[Any](
             off, UTF8String.fromString(n),
-            if (v == null) null else UTF8String.fromString(v), us))
+            if (v == null) null else UTF8String.fromString(v),
+            if (us == null) null else us.longValue()))
         }
         override def close(): Unit = ()
       }
@@ -183,4 +193,4 @@ private final class OpcuaMicroBatchStream(
 }
 
 private final case class OpcuaBatchPartition(
-    rows: Array[(Long, String, String, Long)]) extends InputPartition
+    rows: Array[(Long, String, String, java.lang.Long)]) extends InputPartition

@@ -51,9 +51,11 @@ object OpcuaMqttAgent {
     val counter = new java.util.concurrent.atomic.AtomicLong(1)
     val sub = opc.createSubscription(500.0)
     opc.subscribeDataChange(sub, idx, vars) { (name, v, tsMicros) =>
+      // absent source timestamp renders as JSON null (from_json then
+      // yields a null ts column) — not a fabricated 1970 epoch
       val payload =
         s"""{"event_id":${counter.getAndIncrement()},"node_id":${jsonStr(name)},""" +
-          s""""value":${jsonScalar(v)},"ts_us":$tsMicros,"user_id":null}"""
+          s""""value":${jsonScalar(v)},"ts_us":${tsMicros.map(_.toString).getOrElse("null")},"user_id":null}"""
       mqtt.publish(topic, payload.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
     new Handle(opc, mqtt, vars)

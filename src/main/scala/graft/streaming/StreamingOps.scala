@@ -254,6 +254,68 @@ object StreamingOps {
         spcFlatMap(limits, runLen))
   }
 
+  case class TwState(bucketUs: Long, lastTsUs: Long, lastCents: Long,
+      sumCentsDt: Long, sumDtUs: Long, n: Long)
+  case class TwRow(metric: String, bucket: Timestamp, twa: Double, n_samples: Long)
+
+  /** Streaming twin of RelationalOps.timeWeight (the irregular-sampling
+    * time-weighted hourly average): per metric, each sample's weight is
+    * the microseconds until the next sample in the same hour bucket, the
+    * last sample extending to the bucket end — so a bucket's row is fully
+    * determined the moment the first sample of a LATER bucket arrives,
+    * and that is when the twin emits it (closed-bucket convention, same
+    * as the mv twins' watermark close). State per metric is O(1): the
+    * open bucket's running exact-integer sums plus the last sample. The
+    * tail bucket stays open awaiting its closing sample, exactly like an
+    * in-progress bucket under the batch recompute's next refresh.
+    *
+    * Arithmetic is the batch operator's, verbatim: integer cents × exact
+    * integer microseconds, one double division, portable half-up rounding
+    * to 4 digits — so closed buckets match the batch output
+    * digit-for-digit. Same in-order arrival assumption as
+    * [[counterIncFlatMap]] (sorted within each micro-batch; ordered-per-
+    * key transport across batches).
+    */
+  def timeWeightFlatMap(
+      metric: String,
+      rows: Iterator[MetricEvent],
+      state: GroupState[TwState]
+  ): Iterator[TwRow] = {
+    val HourUs = 3600L * 1000000L
+    val out = scala.collection.mutable.ListBuffer.empty[TwRow]
+    var st = state.getOption.orNull
+    rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+      // exact event-time micros (getTime truncates to millis; the
+      // sub-milli remainder lives in getNanos)
+      val tsUs = e.ts.getTime * 1000L + (e.ts.getNanos % 1000000L) / 1000L
+      val cents = math.floor(e.value * 100 + 0.5).toLong
+      val bucket = tsUs - java.lang.Math.floorMod(tsUs, HourUs)
+      if (st == null) st = TwState(bucket, tsUs, cents, 0L, 0L, 1L)
+      else if (bucket == st.bucketUs) {
+        val dt = tsUs - st.lastTsUs
+        st = TwState(bucket, tsUs, cents,
+          st.sumCentsDt + st.lastCents * dt, st.sumDtUs + dt, st.n + 1L)
+      } else {
+        val dt = st.bucketUs + HourUs - st.lastTsUs
+        val sumCd = st.sumCentsDt + st.lastCents * dt
+        val sumDt = st.sumDtUs + dt
+        out += TwRow(metric, new Timestamp(st.bucketUs / 1000L),
+          math.floor(sumCd.toDouble / sumDt.toDouble / 100.0 * 10000.0 + 0.5) / 10000.0,
+          st.n)
+        st = TwState(bucket, tsUs, cents, 0L, 0L, 1L)
+      }
+    }
+    if (st != null) state.update(st)
+    out.iterator
+  }
+
+  def timeWeightStream(events: Dataset[MetricEvent]): Dataset[TwRow] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.metric)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(timeWeightFlatMap)
+  }
+
   case class RecoveryState(latest: Map[String, Double], wasRecoverable: Boolean)
   case class Recovery(user_id: Long, event_id: Long, last_error: Double)
 

@@ -96,7 +96,7 @@ class OpcuaSpec extends AnyFunSuite {
       server.put("VacuumPressureKPa", -78.5)
       val client = new OpcuaClient("127.0.0.1", server.port, server.endpointUrl)
       try {
-        val got = new ConcurrentLinkedQueue[(String, Any, Long)]()
+        val got = new ConcurrentLinkedQueue[(String, Any, Option[Long])]()
         val initial = new CountDownLatch(2)
         val changed = new CountDownLatch(3 + 2)
         val subId = client.createSubscription(500.0)
@@ -118,7 +118,7 @@ class OpcuaSpec extends AnyFunSuite {
         assert(status == Seq("Running", "Error", "Running"), s"status order: $status")
         val vac = seq.collect { case ("VacuumPressureKPa", v, _) => v }
         assert(vac == Seq(-78.5, -60.25))
-        assert(seq.forall(_._3 > 0L), "source timestamps missing")
+        assert(seq.forall(_._3.exists(_ > 0L)), "source timestamps missing")
       } finally client.close()
     } finally server.close()
   }
@@ -161,6 +161,32 @@ class OpcuaSpec extends AnyFunSuite {
         assert(spark.table("opcua_live").filter($"source_ts".isNotNull).count() == n)
       } finally q.stop()
     } finally server.close()
+  }
+
+  test("server death marks the client dead and terminates the publish loop") {
+    val server = new OpcuaServer()
+    val client =
+      try {
+        server.put("Status", "Running")
+        val c = new OpcuaClient("127.0.0.1", server.port, server.endpointUrl)
+        val subId = c.createSubscription(500.0)
+        c.subscribeDataChange(subId, 1, Seq("Status")) { (_, _, _) => () }
+        c
+      } catch { case e: Throwable => server.close(); throw e }
+    try {
+      assert(!client.isDead)
+      // kill the server WITHOUT client.close() — the plausible failure for
+      // a long-running streaming query holding this client: the reader
+      // sees EOF, the publish loop must terminate, not busy-spin retries
+      server.close()
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (!client.isDead && System.nanoTime() < deadline) Thread.sleep(20)
+      assert(client.isDead, "client did not notice the dead transport")
+      def publishThreads = Thread.getAllStackTraces.keySet.asScala
+        .filter(t => t.getName == "opcua-client-publish" && t.isAlive)
+      while (publishThreads.nonEmpty && System.nanoTime() < deadline) Thread.sleep(20)
+      assert(publishThreads.isEmpty, "publish loop still running against a dead socket")
+    } finally client.close()
   }
 
   test("two clients: each sees its own subscription's notifications") {

@@ -350,6 +350,50 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("time-weight stream: closed hourly buckets equal the batch operator across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // irregular samples, two metrics, split mid-bucket across micro-batches
+    val samples = Seq(
+      (1L, "2024-01-01 00:00:00", "rate", 10.00),
+      (2L, "2024-01-01 00:20:00", "rate", 20.00),
+      (3L, "2024-01-01 00:45:00", "rate", 40.00),   // hour 0: 10×20m + 20×25m + 40×15m
+      (4L, "2024-01-01 01:30:00", "rate", 50.00),   // closes rate hour 0; hour 1 stays open
+      (5L, "2024-01-01 00:10:00", "temp", -7.85),
+      (6L, "2024-01-01 02:05:00", "temp", -6.25),   // closes temp hour 0 (one sample, full-hour weight)
+      (7L, "2024-01-01 02:40:00", "temp", -6.00))
+    def ev(t: (Long, String, String, Double)) =
+      MetricEvent(t._1, Timestamp.valueOf(t._2), 1L, t._3, t._4)
+    val mem = MemoryStream[MetricEvent]
+    val q = StreamingOps.timeWeightStream(mem.toDS())
+      .writeStream.format("memory").queryName("tw_out")
+      .outputMode("append").start()
+    try {
+      // bucket-closing sample arrives in a LATER micro-batch than the
+      // bucket's own samples — the running sums must carry through state
+      mem.addData(samples.take(3).map(ev): _*)
+      q.processAllAvailable()
+      mem.addData(samples.slice(3, 5).map(ev): _*)
+      q.processAllAvailable()
+      mem.addData(samples.drop(5).map(ev): _*)
+      q.processAllAvailable()
+      val got = spark.table("tw_out").as[StreamingOps.TwRow].collect()
+        .map(r => (r.metric, r.bucket.toString, r.twa, r.n_samples)).toSet
+      // batch recompute over the same rows; the stream emits exactly the
+      // CLOSED buckets — everything but each metric's last (open) bucket
+      val batch = graft.ops.RelationalOps.timeWeightOn(
+        samples.toDF("event_id", "ts_s", "metric", "value")
+          .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s"))
+      val open = Set(("rate", "2024-01-01 01:00:00.0"), ("temp", "2024-01-01 02:00:00.0"))
+      val expect = batch.collect()
+        .map(r => (r.getString(0), r.getTimestamp(1).toString, r.getDouble(2), r.getLong(3)))
+        .filterNot(r => open(r._1, r._2)).toSet
+      assert(expect.nonEmpty && got == expect, s"stream $got vs batch $expect")
+      // spot-check the arithmetic really is time-weighted, not a plain avg
+      assert(got.contains(("rate", "2024-01-01 00:00:00.0", 21.6667, 3L)))
+    } finally q.stop()
+  }
+
   test("cleanse stream: quality gate + chunking equals batch under micro-batch splits") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

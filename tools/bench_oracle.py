@@ -23,17 +23,35 @@ def main(sf_dir: str, out_dir: str, reps: int = 2) -> None:
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+
+    def run_once(sql: str) -> float:
+        t0 = time.monotonic()
+        con.execute(sql).fetchall()
+        return time.monotonic() - t0
+
     times = {}
     for name, sql in sorted(oracle.items()):
-        best = None
-        for _ in range(reps):
-            t0 = time.monotonic()
-            con.execute(sql).fetchall()
-            dt = time.monotonic() - t0
-            best = dt if best is None else min(best, dt)
-        times[name] = round(best, 4)
+        times[name] = min(run_once(sql) for _ in range(reps))
+
+    # IDENTICAL cross-query outlier retry to graft.Bench (median + 6*MAD,
+    # 0.4 s absolute floor, min kept, disclosed): the Spark side grants
+    # first-pass outliers one extra rep to shed host-contention bursts, so
+    # the oracle side of every pairing must apply the same one-sided
+    # protocol or the paired ratio is biased in Spark's favor.
+    ordered = sorted(times.values())
+    median = ordered[len(ordered) // 2]
+    mad = sorted(abs(t - median) for t in ordered)[len(ordered) // 2]
+    cutoff = max(0.4, median + 6 * mad)
+    retried = {}
+    for name in [n for n, t in times.items() if t > cutoff]:
+        t2 = run_once(oracle[name])
+        retried[name] = [round(times[name], 4), round(t2, 4)]
+        times[name] = min(times[name], t2)
+
+    times = {k: round(v, 4) for k, v in times.items()}
     print(json.dumps({"total": round(sum(times.values()), 3),
-                      "queries": times, "reps": reps, "sf": sf_dir}))
+                      "queries": times, "retried": retried,
+                      "reps": reps, "sf": sf_dir}))
 
 
 if __name__ == "__main__":
