@@ -340,7 +340,14 @@ object RelationalOps {
     * lookback horizon.
     */
   def gapfillLocf(s: SparkSession, dir: String): DataFrame =
-    gapfillExpanded(s, dir)
+    gapfillLocfOn(ev(s, dir).select(
+      col("event_type").as("metric"), col("ts"), col("value")))
+
+  /** [[gapfillLocf]] over any (metric, ts, value) frame — the form the
+    * streaming twin's spec recomputes batch-side.
+    */
+  def gapfillLocfOn(events: DataFrame): DataFrame =
+    gapfillExpandedOn(events)
       .select(col("metric"), col("g.b").as("bucket"),
         when(!col("g.gap"), col("avg_value")).as("avg_value"),
         col("avg_value").as("locf_value"),
@@ -366,11 +373,15 @@ object RelationalOps {
     * implicit (segments exist only between observations), so the output
     * rows are exactly the old spine's.
     */
-  private def gapfillExpanded(s: SparkSession, dir: String): DataFrame = {
+  private def gapfillExpanded(s: SparkSession, dir: String): DataFrame =
+    gapfillExpandedOn(ev(s, dir).select(
+      col("event_type").as("metric"), col("ts"), col("value")))
+
+  private def gapfillExpandedOn(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wobs = Window.partitionBy(col("metric")).orderBy(col("bucket"))
-    ev(s, dir).filter(col("value").isNotNull)
-      .groupBy(col("event_type").as("metric"),
+    events.filter(col("value").isNotNull)
+      .groupBy(col("metric"),
         date_trunc("minute", col("ts")).as("bucket"))
       .agg(Model.exactAvg4("value").as("avg_value"),
         count(col("value")).as("sample_count"))

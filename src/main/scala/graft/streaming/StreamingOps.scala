@@ -316,6 +316,64 @@ object StreamingOps {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(timeWeightFlatMap)
   }
 
+  case class LocfState(bucketUs: Long, sumCents: Long, n: Long)
+  case class LocfRow(metric: String, bucket: Timestamp, avg_value: Option[Double],
+      locf_value: Double, is_gap: Boolean, sample_count: Long)
+
+  /** Streaming twin of RelationalOps.gapfillLocf (minute-grain gap-fill
+    * with last-observation-carried-forward): per metric, a minute bucket
+    * closes — and every empty minute between it and the next observation
+    * fills with its carried average — the moment the first sample of a
+    * LATER minute arrives. Same closed-bucket convention and in-order
+    * arrival assumption as [[timeWeightFlatMap]]; state per metric is
+    * O(1) (the open minute's exact-decimal running sum). The average is
+    * the batch operator's integer half-up formula (Model.exactAvg4Sql)
+    * re-expressed on longs, so closed rows match digit-for-digit.
+    */
+  def gapfillLocfFlatMap(
+      metric: String,
+      rows: Iterator[MetricEvent],
+      state: GroupState[LocfState]
+  ): Iterator[LocfRow] = {
+    val MinUs = 60L * 1000000L
+    def exactAvg4(sumCents: Long, n: Long): Double = {
+      val half = if (sumCents < 0) -n else n
+      ((sumCents * 200L + half) / (2L * n)).toDouble / 10000.0
+    }
+    val out = scala.collection.mutable.ListBuffer.empty[LocfRow]
+    var st = state.getOption.orNull
+    rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+      val tsUs = e.ts.getTime * 1000L + (e.ts.getNanos % 1000000L) / 1000L
+      val bucket = tsUs - java.lang.Math.floorMod(tsUs, MinUs)
+      // DECIMAL(28,2) cents of a fixture-exact 2-decimal value
+      val cents = BigDecimal(e.value)
+        .setScale(2, scala.math.BigDecimal.RoundingMode.HALF_UP)
+        .underlying.unscaledValue.longValue
+      if (st == null) st = LocfState(bucket, cents, 1L)
+      else if (bucket == st.bucketUs) st = LocfState(bucket, st.sumCents + cents, st.n + 1L)
+      else {
+        val avg = exactAvg4(st.sumCents, st.n)
+        out += LocfRow(metric, new Timestamp(st.bucketUs / 1000L),
+          Some(avg), avg, is_gap = false, st.n)
+        var g = st.bucketUs + MinUs
+        while (g < bucket) {
+          out += LocfRow(metric, new Timestamp(g / 1000L), None, avg, is_gap = true, 0L)
+          g += MinUs
+        }
+        st = LocfState(bucket, cents, 1L)
+      }
+    }
+    if (st != null) state.update(st)
+    out.iterator
+  }
+
+  def gapfillLocfStream(events: Dataset[MetricEvent]): Dataset[LocfRow] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.metric)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(gapfillLocfFlatMap)
+  }
+
   case class RecoveryState(latest: Map[String, Double], wasRecoverable: Boolean)
   case class Recovery(user_id: Long, event_id: Long, last_error: Double)
 

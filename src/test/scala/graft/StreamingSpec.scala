@@ -394,6 +394,47 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("locf gap-fill stream: closed minutes + carried gaps equal the batch operator") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val samples = Seq(
+      (1L, "2024-01-01 00:00:10", "m", 10.00),
+      (2L, "2024-01-01 00:00:40", "m", 20.00),   // minute 0: avg 15.0, n=2
+      (3L, "2024-01-01 00:03:05", "m", 30.00),   // closes minute 0 → gaps 00:01, 00:02 carry 15.0
+      (4L, "2024-01-01 00:03:50", "m", 50.00),   // minute 3: avg 40.0, n=2
+      (5L, "2024-01-01 00:05:30", "m", 7.77))    // closes minute 3 → gap 00:04; minute 5 open
+    def ev(t: (Long, String, String, Double)) =
+      MetricEvent(t._1, Timestamp.valueOf(t._2), 1L, t._3, t._4)
+    val mem = MemoryStream[MetricEvent]
+    val q = StreamingOps.gapfillLocfStream(mem.toDS())
+      .writeStream.format("memory").queryName("locf_out")
+      .outputMode("append").start()
+    try {
+      // the minute-0 close arrives two micro-batches after its samples
+      mem.addData(samples.take(2).map(ev): _*)
+      q.processAllAvailable()
+      mem.addData(samples.slice(2, 4).map(ev): _*)
+      q.processAllAvailable()
+      mem.addData(samples.drop(4).map(ev): _*)
+      q.processAllAvailable()
+      val got = spark.table("locf_out").as[StreamingOps.LocfRow].collect()
+        .map(r => (r.metric, r.bucket.toString, r.avg_value, r.locf_value, r.is_gap, r.sample_count))
+        .toSet
+      val batch = graft.ops.RelationalOps.gapfillLocfOn(
+        samples.toDF("event_id", "ts_s", "metric", "value")
+          .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s"))
+      // the stream emits exactly the CLOSED minutes: everything before
+      // each metric's last observed bucket (minute 5 is still open)
+      val expect = batch.collect()
+        .map(r => (r.getString(0), r.getTimestamp(1).toString,
+          Option(r.get(2)).map(_.asInstanceOf[Double]), r.getDouble(3), r.getBoolean(4), r.getLong(5)))
+        .filterNot(_._2 == "2024-01-01 00:05:00.0").toSet
+      assert(expect.size == 5 && got == expect, s"stream $got vs batch $expect")
+      // the carry really crosses the gap: minute 4 carries minute 3's avg
+      assert(got.contains(("m", "2024-01-01 00:04:00.0", None, 40.0, true, 0L)))
+    } finally q.stop()
+  }
+
   test("cleanse stream: quality gate + chunking equals batch under micro-batch splits") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
