@@ -288,9 +288,14 @@ object RelationalOps {
     * before the error (side 0 < 1), giving the inclusive `>=` DuckDB's
     * native ASOF JOIN (the oracle) defines.
     */
-  def asofJoin(s: SparkSession, dir: String): DataFrame = {
+  def asofJoin(s: SparkSession, dir: String): DataFrame =
+    asofJoinOn(ev(s, dir))
+
+  /** [[asofJoin]] over any (event_id, user_id, ts, event_type, value)
+    * frame — the form the streaming twin's spec recomputes batch-side.
+    */
+  def asofJoinOn(e: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val e = ev(s, dir)
     // `tie` carries each row's ORIGINAL event_id (clicks null out the
     // output event_id column, so it can't serve): (ts, side) alone is not
     // a total order, and two same-user clicks at the same timestamp would
@@ -414,11 +419,18 @@ object RelationalOps {
     * identical operation sequence in the oracle, so results are
     * bit-equal cross-engine.
     */
-  def gapfillInterp(s: SparkSession, dir: String): DataFrame = {
+  def gapfillInterp(s: SparkSession, dir: String): DataFrame =
+    gapfillInterpOn(ev(s, dir).select(
+      col("event_type").as("metric"), col("ts"), col("value")))
+
+  /** [[gapfillInterp]] over any (metric, ts, value) frame — the form the
+    * streaming twin's spec recomputes batch-side.
+    */
+  def gapfillInterpOn(events: DataFrame): DataFrame = {
     val ratio =
       (unix_timestamp(col("g.b")) - unix_timestamp(col("bucket"))).cast("double") /
         (unix_timestamp(col("next_b")) - unix_timestamp(col("bucket"))).cast("double")
-    gapfillExpanded(s, dir)
+    gapfillExpandedOn(events)
       .select(col("metric"), col("g.b").as("bucket"),
         when(!col("g.gap"), col("avg_value")).as("avg_value"),
         Model.roundN(

@@ -374,6 +374,120 @@ object StreamingOps {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(gapfillLocfFlatMap)
   }
 
+  case class InterpState(bucketUs: Long, sumCents: Long, n: Long,
+      prevBucketUs: Long, prevAvg: Double, hasPrev: Boolean)
+  case class InterpRow(metric: String, bucket: Timestamp, avg_value: Option[Double],
+      interp_value: Double, is_gap: Boolean)
+
+  /** Streaming twin of RelationalOps.gapfillInterp (linear interpolation
+    * between observed minutes): a gap minute's value needs BOTH
+    * endpoints, so the segment between two observations — its gap rows
+    * and its right endpoint — emits when the right endpoint's minute
+    * CLOSES (first sample of a later minute arrives). That is one bucket
+    * later than the locf twin's emission, the structural price of
+    * interpolation in a stream. State per metric is O(1): the open
+    * minute's running sum plus the last closed observation. The double
+    * operation sequence (seconds-ratio multiply-add, portable half-up
+    * round) is the batch operator's, so emitted rows match
+    * digit-for-digit.
+    */
+  def gapfillInterpFlatMap(
+      metric: String,
+      rows: Iterator[MetricEvent],
+      state: GroupState[InterpState]
+  ): Iterator[InterpRow] = {
+    val MinUs = 60L * 1000000L
+    def exactAvg4(sumCents: Long, n: Long): Double = {
+      val half = if (sumCents < 0) -n else n
+      ((sumCents * 200L + half) / (2L * n)).toDouble / 10000.0
+    }
+    def round4(x: Double): Double = math.floor(x * 10000.0 + 0.5) / 10000.0
+    val out = scala.collection.mutable.ListBuffer.empty[InterpRow]
+    var st = state.getOption.orNull
+    rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+      val tsUs = e.ts.getTime * 1000L + (e.ts.getNanos % 1000000L) / 1000L
+      val bucket = tsUs - java.lang.Math.floorMod(tsUs, MinUs)
+      val cents = BigDecimal(e.value)
+        .setScale(2, scala.math.BigDecimal.RoundingMode.HALF_UP)
+        .underlying.unscaledValue.longValue
+      if (st == null)
+        st = InterpState(bucket, cents, 1L, 0L, 0.0, hasPrev = false)
+      else if (bucket == st.bucketUs)
+        st = st.copy(sumCents = st.sumCents + cents, n = st.n + 1L)
+      else {
+        val vN = exactAvg4(st.sumCents, st.n)
+        if (st.hasPrev) {
+          // gap minutes between the previous observation and this one:
+          // the batch ratio is integer SECONDS divided as doubles
+          val spanS = ((st.bucketUs - st.prevBucketUs) / 1000000L).toDouble
+          var g = st.prevBucketUs + MinUs
+          while (g < st.bucketUs) {
+            val ratio = ((g - st.prevBucketUs) / 1000000L).toDouble / spanS
+            out += InterpRow(metric, new Timestamp(g / 1000L), None,
+              round4(st.prevAvg + (vN - st.prevAvg) * ratio), is_gap = true)
+            g += MinUs
+          }
+        }
+        out += InterpRow(metric, new Timestamp(st.bucketUs / 1000L),
+          Some(vN), round4(vN), is_gap = false)
+        st = InterpState(bucket, cents, 1L, st.bucketUs, vN, hasPrev = true)
+      }
+    }
+    if (st != null) state.update(st)
+    out.iterator
+  }
+
+  def gapfillInterpStream(events: Dataset[MetricEvent]): Dataset[InterpRow] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.metric)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(gapfillInterpFlatMap)
+  }
+
+  case class AsofEvent(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  case class AsofState(clickTs: Timestamp, clickValue: Double)
+  case class AsofRow(event_id: Long, user_id: Long, ts: Timestamp, value: Double,
+      click_ts: Timestamp, click_value: Double)
+
+  /** Streaming twin of RelationalOps.asofJoin (attach to every 'error'
+    * the most recent prior-or-same-instant 'click' of the same user):
+    * per user, one click of state — the stream-native form of the batch
+    * tagged-union carry, emitting each enriched error the moment it
+    * arrives (no closed-bucket lag: the as-of lookup only ever needs the
+    * PAST). Same-instant click-before-error ordering (the batch side
+    * marker) falls out of the per-batch sort; same in-order arrival
+    * assumption as the other twins, and errors with no prior click drop
+    * (inner as-of).
+    */
+  def asofFlatMap(
+      userId: Long,
+      rows: Iterator[AsofEvent],
+      state: GroupState[AsofState]
+  ): Iterator[AsofRow] = {
+    val out = scala.collection.mutable.ListBuffer.empty[AsofRow]
+    var st = state.getOption.orNull
+    // (ts, click-before-error, event_id): the batch window's exact order
+    rows.toSeq.sortBy(e => (e.ts.getTime, if (e.event_type == "click") 0 else 1, e.event_id))
+      .foreach { e =>
+        e.event_type match {
+          case "click" => st = AsofState(e.ts, e.value)
+          case "error" if st != null =>
+            out += AsofRow(e.event_id, userId, e.ts, e.value, st.clickTs, st.clickValue)
+          case _ => ()
+        }
+      }
+    if (st != null) state.update(st)
+    out.iterator
+  }
+
+  def asofStream(events: Dataset[AsofEvent]): Dataset[AsofRow] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(asofFlatMap)
+  }
+
   case class RecoveryState(latest: Map[String, Double], wasRecoverable: Boolean)
   case class Recovery(user_id: Long, event_id: Long, last_error: Double)
 

@@ -435,6 +435,87 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("interp gap-fill stream: segments emit when the right endpoint closes, equal batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val samples = Seq(
+      (1L, "2024-01-01 00:00:10", "m", 10.00),
+      (2L, "2024-01-01 00:00:40", "m", 20.00),   // minute 0: avg 15.0
+      (3L, "2024-01-01 00:03:05", "m", 45.00),   // minute 3 opens (gaps 1,2 pending its close)
+      (4L, "2024-01-01 00:04:30", "m", 50.00),   // closes minute 3 → segment 0→3 emits (15→45 interp)
+      (5L, "2024-01-01 00:06:00", "m", 7.77))    // closes minute 4 → segment 3→4 emits; minute 6 open
+    def ev(t: (Long, String, String, Double)) =
+      MetricEvent(t._1, Timestamp.valueOf(t._2), 1L, t._3, t._4)
+    val mem = MemoryStream[MetricEvent]
+    val q = StreamingOps.gapfillInterpStream(mem.toDS())
+      .writeStream.format("memory").queryName("interp_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(samples.take(3).map(ev): _*)
+      q.processAllAvailable()
+      mem.addData(samples.slice(3, 4).map(ev): _*)
+      q.processAllAvailable()
+      mem.addData(samples.drop(4).map(ev): _*)
+      q.processAllAvailable()
+      val got = spark.table("interp_out").as[StreamingOps.InterpRow].collect()
+        .map(r => (r.metric, r.bucket.toString, r.avg_value, r.interp_value, r.is_gap)).toSet
+      val batch = graft.ops.RelationalOps.gapfillInterpOn(
+        samples.toDF("event_id", "ts_s", "metric", "value")
+          .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s"))
+      // the stream has emitted every segment whose right endpoint is
+      // CLOSED: everything before minute 4's observed row... minute 4
+      // closed when the 00:06 sample arrived, so only the open minute 6
+      // row and the 00:05 gap (needs minute 6's final avg) are pending
+      val pending = Set("2024-01-01 00:05:00.0", "2024-01-01 00:06:00.0")
+      val expect = batch.collect()
+        .map(r => (r.getString(0), r.getTimestamp(1).toString,
+          Option(r.get(2)).map(_.asInstanceOf[Double]), r.getDouble(3), r.getBoolean(4)))
+        .filterNot(r => pending(r._2)).toSet
+      assert(expect.size == 5 && got == expect, s"stream $got vs batch $expect")
+      // linear blend across the 3-minute gap: minute 1 = 15 + (45-15)*(1/3)
+      assert(got.contains(("m", "2024-01-01 00:01:00.0", None, 25.0, true)))
+      assert(got.contains(("m", "2024-01-01 00:02:00.0", None, 35.0, true)))
+    } finally q.stop()
+  }
+
+  test("asof stream: errors enrich with the latest prior click across batches, equal batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingOps.AsofEvent
+    val events = Seq(
+      AsofEvent(1L, ts("2024-01-01 00:00:01"), 7L, "click", 1.5),
+      AsofEvent(2L, ts("2024-01-01 00:00:05"), 7L, "error", 99.0),  // → click 1
+      AsofEvent(3L, ts("2024-01-01 00:00:02"), 8L, "error", 50.0),  // no prior click: drops
+      AsofEvent(4L, ts("2024-01-01 00:00:10"), 7L, "click", 2.5),
+      AsofEvent(5L, ts("2024-01-01 00:00:10"), 7L, "error", 98.0),  // same instant → click 4 (inclusive)
+      AsofEvent(6L, ts("2024-01-01 00:00:20"), 8L, "click", 9.0),
+      AsofEvent(7L, ts("2024-01-01 00:00:30"), 8L, "error", 97.0))  // click carried ACROSS batches
+    val mem = MemoryStream[AsofEvent]
+    val q = StreamingOps.asofStream(mem.toDS())
+      .writeStream.format("memory").queryName("asof_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(events.take(5): _*)
+      q.processAllAvailable()
+      mem.addData(events.slice(5, 6): _*)
+      q.processAllAvailable()
+      mem.addData(events.drop(6): _*)
+      q.processAllAvailable()
+      val got = spark.table("asof_out").as[StreamingOps.AsofRow].collect()
+        .map(r => (r.event_id, r.user_id, r.ts.toString, r.value, r.click_ts.toString, r.click_value))
+        .toSet
+      // the as-of lookup needs only the past, so the stream emits the
+      // batch result EXACTLY — no closed-bucket exclusions
+      val batch = graft.ops.RelationalOps.asofJoinOn(
+        events.toDF().select(col("event_id"), col("user_id"), col("ts"),
+          col("event_type"), col("value")))
+      val expect = batch.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2).toString,
+          r.getDouble(3), r.getTimestamp(4).toString, r.getDouble(5))).toSet
+      assert(expect.size == 3 && got == expect, s"stream $got vs batch $expect")
+    } finally q.stop()
+  }
+
   test("cleanse stream: quality gate + chunking equals batch under micro-batch splits") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
