@@ -71,7 +71,10 @@ object ScaleFixtures {
     // fixture's label domain ever grew past it, making label-blocked
     // dedup pair counts superlinear — the exact opposite of the
     // linear-scaling property this generator exists to guarantee
-    val labelStride = emb.agg(max(col("label"))).head().getInt(0).toLong + 1L
+    val maxLabelRow = emb.agg(max(col("label"))).head()
+    require(!maxLabelRow.isNullAt(0),
+      s"embeddings fixture at $src is empty — nothing to scale")
+    val labelStride = maxLabelRow.getInt(0).toLong + 1L
     require(labelStride * n < Int.MaxValue,
       s"label stride $labelStride x $n copies overflows the int label domain")
     val embeddings = copies(n) { k =>

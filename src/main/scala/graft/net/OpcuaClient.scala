@@ -143,6 +143,10 @@ final class OpcuaClient(host: String, port: Int,
   }
 
   private def await(reqId: Long, send: () => Unit): R = {
+    // fail fast on a known-dead transport: a fresh request would otherwise
+    // block the full timeout (the reader only counts down entries present
+    // when it died), and a half-closed socket can still accept the write
+    if (isDead) throw new java.io.IOException("opc.tcp client is dead")
     val p = new Pending
     pending.put(reqId, p)
     // the entry is normally removed by the reader thread on the matching
@@ -150,8 +154,15 @@ final class OpcuaClient(host: String, port: Int,
     // cannot leak it into the map for the life of the client
     try {
       send()
-      require(p.latch.await(15, TimeUnit.SECONDS) && p.body != null,
-        s"opc.tcp response timeout (reqId $reqId)")
+      if (!p.latch.await(15, TimeUnit.SECONDS))
+        throw new java.util.concurrent.TimeoutException(
+          s"opc.tcp response timeout (reqId $reqId)")
+      if (p.body == null) {
+        // counted down without a body: the reader died or saw ERR
+        if (isDead) throw new java.io.IOException("opc.tcp transport failed mid-request")
+        else throw new java.util.concurrent.TimeoutException(
+          s"opc.tcp response aborted (reqId $reqId)")
+      }
       p.body
     } finally pending.remove(reqId)
   }
@@ -340,11 +351,14 @@ final class OpcuaClient(host: String, port: Int,
           // cannot recover (no reconnect in the subset) — terminate the
           // loop instead of busy-spinning writeFrame against a dead pipe
           deadFlag = true
-        case _: IllegalArgumentException =>
+        case _: java.util.concurrent.TimeoutException =>
           // await timeout on a quiet interval — that is the subset's
           // keep-alive (the server holds the publish until data): re-arm
-          // immediately. If the reader thread died instead, deadFlag is
-          // set and the loop condition exits.
+          // immediately. Only await's own timeout carries this type: a
+          // service fault, a wrong response type, or a throwing user
+          // callback falls through to the backoff branch below, so a
+          // persistently-misbehaving server cannot induce a full-speed
+          // request/response hot loop.
           ()
         case _: Throwable =>
           // unexpected (e.g. a service fault on the publish): back off so

@@ -24,6 +24,40 @@ import java.sql.Timestamp
   */
 object StreamingOps {
 
+  // ---- shared scalar twins of the batch operators' numeric formulas.
+  // These are load-bearing for digit-for-digit stream==batch parity:
+  // every stateful twin must use THESE, never a local re-derivation, so
+  // a future change to the half-adjust or rounding cannot silently split
+  // the twins' arithmetic from Model.exactAvg4Sql / Model.roundN. ----
+
+  /** Exact event-time micros of a Timestamp — getTime truncates to
+    * millis; the sub-milli remainder lives in getNanos. The batch
+    * windows order by full-microsecond ts, so per-batch twin sorts MUST
+    * use this, not getTime: a millisecond-truncated key lets two
+    * same-milli events process out of time order.
+    */
+  private[streaming] def tsMicros(t: Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos % 1000000L) / 1000L
+
+  /** DECIMAL(28,2) cents of a fixture-exact 2-decimal value. */
+  private[streaming] def centsOf(value: Double): Long =
+    BigDecimal(value)
+      .setScale(2, scala.math.BigDecimal.RoundingMode.HALF_UP)
+      .underlying.unscaledValue.longValue
+
+  /** Model.exactAvg4Sql re-expressed on longs: integer half-up mean of a
+    * cents sum (sign-carrying half-adjust, truncating division — both
+    * identical to Spark's `div` and DuckDB's `//` on these operands).
+    */
+  private[streaming] def exactAvg4Cents(sumCents: Long, n: Long): Double = {
+    val half = if (sumCents < 0) -n else n
+    ((sumCents * 200L + half) / (2L * n)).toDouble / 10000.0
+  }
+
+  /** Model.roundN(_, 4) re-expressed on doubles (portable half-up). */
+  private[streaming] def round4(x: Double): Double =
+    math.floor(x * 10000.0 + 0.5) / 10000.0
+
   case class MetricEvent(event_id: Long, ts: Timestamp, user_id: Long, metric: String, value: Double)
   case class TrendAlarm(user_id: Long, metric: String, event_id: Long, min_abs_pct: Double)
   case class EdgeAlarm(user_id: Long, metric: String, event_id: Long, value: Double)
@@ -107,7 +141,7 @@ object StreamingOps {
     var recent = state.getOption.map(_.recent).getOrElse(Nil)
     val out = scala.collection.mutable.ListBuffer.empty[TrendAlarm]
     // micro-batch rows are not ordered: sort by (ts, event_id) within batch
-    rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+    rows.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id)).foreach { e =>
       pctOf(metric, e.value).foreach { pct =>
         recent = (recent :+ math.abs(pct)).takeRight(3)
         // immediate precedence (opcua_server/main.py:35-36): record()
@@ -118,7 +152,7 @@ object StreamingOps {
           // output contracts agree digit-for-digit
           out += TrendAlarm(userId, metric, e.event_id,
             // same portable rounding as the batch twin (Model.roundN)
-            math.floor(recent.min * 10000.0 + 0.5) / 10000.0)
+            round4(recent.min))
       }
     }
     state.update(TrendState(recent))
@@ -136,7 +170,7 @@ object StreamingOps {
     val (userId, metric) = key
     var below = state.getOption.exists(_.below)
     val out = scala.collection.mutable.ListBuffer.empty[EdgeAlarm]
-    rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+    rows.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id)).foreach { e =>
       if (e.value < threshold) {
         if (!below) out += EdgeAlarm(userId, metric, e.event_id, e.value)
         below = true
@@ -187,7 +221,7 @@ object StreamingOps {
   ): Iterator[CounterInc] = {
     var last = state.getOption.map(_.lastCents)
     val out = scala.collection.mutable.ListBuffer.empty[CounterInc]
-    rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+    rows.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id)).foreach { e =>
       val cents = math.floor(e.value * 100 + 0.5).toLong
       last match {
         case Some(prev) =>
@@ -232,7 +266,7 @@ object StreamingOps {
     val out = scala.collection.mutable.ListBuffer.empty[SpcAlarm]
     limits.get(metric).foreach { lim =>
       var st = state.getOption.getOrElse(SpcState(above = false, runLen = 0))
-      rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+      rows.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id)).foreach { e =>
         val above = e.value > lim.mean
         st = if (st.runLen > 0 && above == st.above) SpcState(above, st.runLen + 1)
           else SpcState(above, 1)
@@ -284,10 +318,8 @@ object StreamingOps {
     val HourUs = 3600L * 1000000L
     val out = scala.collection.mutable.ListBuffer.empty[TwRow]
     var st = state.getOption.orNull
-    rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
-      // exact event-time micros (getTime truncates to millis; the
-      // sub-milli remainder lives in getNanos)
-      val tsUs = e.ts.getTime * 1000L + (e.ts.getNanos % 1000000L) / 1000L
+    rows.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id)).foreach { e =>
+      val tsUs = tsMicros(e.ts)
       val cents = math.floor(e.value * 100 + 0.5).toLong
       val bucket = tsUs - java.lang.Math.floorMod(tsUs, HourUs)
       if (st == null) st = TwState(bucket, tsUs, cents, 0L, 0L, 1L)
@@ -300,7 +332,7 @@ object StreamingOps {
         val sumCd = st.sumCentsDt + st.lastCents * dt
         val sumDt = st.sumDtUs + dt
         out += TwRow(metric, new Timestamp(st.bucketUs / 1000L),
-          math.floor(sumCd.toDouble / sumDt.toDouble / 100.0 * 10000.0 + 0.5) / 10000.0,
+          round4(sumCd.toDouble / sumDt.toDouble / 100.0),
           st.n)
         st = TwState(bucket, tsUs, cents, 0L, 0L, 1L)
       }
@@ -336,23 +368,16 @@ object StreamingOps {
       state: GroupState[LocfState]
   ): Iterator[LocfRow] = {
     val MinUs = 60L * 1000000L
-    def exactAvg4(sumCents: Long, n: Long): Double = {
-      val half = if (sumCents < 0) -n else n
-      ((sumCents * 200L + half) / (2L * n)).toDouble / 10000.0
-    }
     val out = scala.collection.mutable.ListBuffer.empty[LocfRow]
     var st = state.getOption.orNull
-    rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
-      val tsUs = e.ts.getTime * 1000L + (e.ts.getNanos % 1000000L) / 1000L
+    rows.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id)).foreach { e =>
+      val tsUs = tsMicros(e.ts)
       val bucket = tsUs - java.lang.Math.floorMod(tsUs, MinUs)
-      // DECIMAL(28,2) cents of a fixture-exact 2-decimal value
-      val cents = BigDecimal(e.value)
-        .setScale(2, scala.math.BigDecimal.RoundingMode.HALF_UP)
-        .underlying.unscaledValue.longValue
+      val cents = centsOf(e.value)
       if (st == null) st = LocfState(bucket, cents, 1L)
       else if (bucket == st.bucketUs) st = LocfState(bucket, st.sumCents + cents, st.n + 1L)
       else {
-        val avg = exactAvg4(st.sumCents, st.n)
+        val avg = exactAvg4Cents(st.sumCents, st.n)
         out += LocfRow(metric, new Timestamp(st.bucketUs / 1000L),
           Some(avg), avg, is_gap = false, st.n)
         var g = st.bucketUs + MinUs
@@ -397,25 +422,18 @@ object StreamingOps {
       state: GroupState[InterpState]
   ): Iterator[InterpRow] = {
     val MinUs = 60L * 1000000L
-    def exactAvg4(sumCents: Long, n: Long): Double = {
-      val half = if (sumCents < 0) -n else n
-      ((sumCents * 200L + half) / (2L * n)).toDouble / 10000.0
-    }
-    def round4(x: Double): Double = math.floor(x * 10000.0 + 0.5) / 10000.0
     val out = scala.collection.mutable.ListBuffer.empty[InterpRow]
     var st = state.getOption.orNull
-    rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
-      val tsUs = e.ts.getTime * 1000L + (e.ts.getNanos % 1000000L) / 1000L
+    rows.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id)).foreach { e =>
+      val tsUs = tsMicros(e.ts)
       val bucket = tsUs - java.lang.Math.floorMod(tsUs, MinUs)
-      val cents = BigDecimal(e.value)
-        .setScale(2, scala.math.BigDecimal.RoundingMode.HALF_UP)
-        .underlying.unscaledValue.longValue
+      val cents = centsOf(e.value)
       if (st == null)
         st = InterpState(bucket, cents, 1L, 0L, 0.0, hasPrev = false)
       else if (bucket == st.bucketUs)
         st = st.copy(sumCents = st.sumCents + cents, n = st.n + 1L)
       else {
-        val vN = exactAvg4(st.sumCents, st.n)
+        val vN = exactAvg4Cents(st.sumCents, st.n)
         if (st.hasPrev) {
           // gap minutes between the previous observation and this one:
           // the batch ratio is integer SECONDS divided as doubles
@@ -468,7 +486,7 @@ object StreamingOps {
     val out = scala.collection.mutable.ListBuffer.empty[AsofRow]
     var st = state.getOption.orNull
     // (ts, click-before-error, event_id): the batch window's exact order
-    rows.toSeq.sortBy(e => (e.ts.getTime, if (e.event_type == "click") 0 else 1, e.event_id))
+    rows.toSeq.sortBy(e => (tsMicros(e.ts), if (e.event_type == "click") 0 else 1, e.event_id))
       .foreach { e =>
         e.event_type match {
           case "click" => st = AsofState(e.ts, e.value)
@@ -505,7 +523,7 @@ object StreamingOps {
   ): Iterator[Recovery] = {
     var st = state.getOption.getOrElse(RecoveryState(Map.empty, wasRecoverable = false))
     val out = scala.collection.mutable.ListBuffer.empty[Recovery]
-    rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+    rows.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id)).foreach { e =>
       val latest = st.latest.updated(e.metric, e.value)
       val recoverable =
         latest.getOrElse("error", 0.0) > 100.0 &&

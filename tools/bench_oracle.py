@@ -38,15 +38,16 @@ def main(sf_dir: str, out_dir: str, reps: int = 2) -> None:
     # first-pass outliers one extra rep to shed host-contention bursts, so
     # the oracle side of every pairing must apply the same one-sided
     # protocol or the paired ratio is biased in Spark's favor.
-    ordered = sorted(times.values())
-    median = ordered[len(ordered) // 2]
-    mad = sorted(abs(t - median) for t in ordered)[len(ordered) // 2]
-    cutoff = max(0.4, median + 6 * mad)
     retried = {}
-    for name in [n for n, t in times.items() if t > cutoff]:
-        t2 = run_once(oracle[name])
-        retried[name] = [round(times[name], 4), round(t2, 4)]
-        times[name] = min(times[name], t2)
+    ordered = sorted(times.values())
+    if ordered:  # same empty-suite guard as Bench.scala's okTimes.isEmpty
+        median = ordered[len(ordered) // 2]
+        mad = sorted(abs(t - median) for t in ordered)[len(ordered) // 2]
+        cutoff = max(0.4, median + 6 * mad)
+        for name in [n for n, t in times.items() if t > cutoff]:
+            t2 = run_once(oracle[name])
+            retried[name] = [round(times[name], 4), round(t2, 4)]
+            times[name] = min(times[name], t2)
 
     times = {k: round(v, 4) for k, v in times.items()}
     print(json.dumps({"total": round(sum(times.values()), 3),
