@@ -469,13 +469,53 @@ object RelationalOps {
     * the day-cardinality aggregate) broadcast back onto the stream.
     * Then the standard partial+final bucket aggregate.
     */
+  /** Gate between the single-phase (one per-metric window) and two-phase
+    * (composite (metric, day) window + boundary repair) forms of the
+    * counter/SPC family. The two-phase machinery exists for ONE reason:
+    * a per-metric window sorts each metric's entire history on a single
+    * task, a hard parallelism ceiling when one metric's history is huge.
+    * Below this planning-size bound that ceiling is provably irrelevant
+    * (the WHOLE corpus fits one comfortable sort task, let alone one
+    * metric's slice), and the two-phase form's extra branch + join +
+    * exchanges are pure per-stage scheduler floor — measured 2–6× of the
+    * query at dashboard scale. Same degrade-correctly family as
+    * `resultOrder`/`fanOut`/`broadcastIfSmall`/the percentile fusion:
+    * the gate keys on the data's size statistic, never on the caller.
+    */
+  val SinglePhaseMaxBytes: Long = 256L << 20
+
   def counterRate(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val cents = floor(col("value") * 100 + 0.5).cast("long")
     val rows = ev(s, dir).filter(col("value").isNotNull)
       .select(col("event_type").as("metric"), col("ts"), col("event_id"),
         cents.as("cents"))
-      .withColumn("day", date_trunc("day", col("ts")))
+    counterRateOn(rows,
+      twoPhase = Tables.planningSize(rows) > SinglePhaseMaxBytes)
+  }
+
+  /** [[counterRate]] over a prepared (metric, ts, event_id, cents) frame
+    * with the phase choice explicit — PlanSpec pins BOTH shapes.
+    */
+  private[graft] def counterRateOn(rows0: DataFrame, twoPhase: Boolean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    if (!twoPhase) {
+      // single-phase: one per-metric lag window; the hour aggregate and
+      // the lag share the single hash(metric) exchange (subset-key
+      // clustering), so the whole query is scan → 1 exchange → sort →
+      // window → agg (+ the tiny presentation sort)
+      val w = Window.partitionBy(col("metric")).orderBy(col("ts"), col("event_id"))
+      return rows0
+        .withColumn("prev", lag(col("cents"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .withColumn("inc",
+          when(col("cents") >= col("prev"), col("cents") - col("prev"))
+            .otherwise(col("cents")))
+        .groupBy(col("metric"), date_trunc("hour", col("ts")).as("bucket"))
+        .agg((sum(col("inc")).cast("double") / 100.0).as("increase"),
+          count(lit(1)).as("n_samples"))
+        .resultOrder(col("metric"), col("bucket"))
+    }
+    val rows = rows0.withColumn("day", date_trunc("day", col("ts")))
     // in-partition lag: composite (metric, day) key — bounded partitions
     val wDay = Window.partitionBy(col("metric"), col("day"))
       .orderBy(col("ts"), col("event_id"))
@@ -743,29 +783,60 @@ object RelationalOps {
     * fine-grained.
     */
   def spcRules(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val cents = floor(col("value") * 100 + 0.5).cast("long")
     val v = ev(s, dir).filter(col("value").isNotNull)
       .select(col("event_type").as("metric"), col("ts"), col("event_id"),
         col("value"), cents.as("c"))
-    // stats feeds BOTH the main stream and the offset count branch (each
-    // needs `above`, hence the mean); without materialization the whole
-    // stats subtree — a corpus scan + aggregate — is duplicated into each
-    // branch of the DAG. Eager localCheckpoint (the minhashPairsOn
-    // pattern: no CacheManager pin, blocks reclaimed when the result is
-    // dropped) computes the metric-cardinality table once; both joins
-    // then broadcast the materialized rows.
-    val stats = v.groupBy(col("metric"))
+    spcRulesOn(v, twoPhase = Tables.planningSize(v) > SinglePhaseMaxBytes)
+  }
+
+  /** [[spcRules]] over a prepared (metric, ts, event_id, value, c) frame
+    * with the phase choice explicit — PlanSpec pins BOTH shapes.
+    */
+  private[graft] def spcRulesOn(v: DataFrame, twoPhase: Boolean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // In the TWO-PHASE form stats feeds BOTH the main stream and the
+    // offset count branch (each needs `above`, hence the mean); without
+    // materialization the whole stats subtree — a corpus scan +
+    // aggregate — is duplicated into each branch of the DAG. Eager
+    // localCheckpoint (the minhashPairsOn pattern: no CacheManager pin,
+    // blocks reclaimed when the result is dropped) computes the
+    // metric-cardinality table once; both joins then broadcast the
+    // materialized rows. The single-phase form consumes stats exactly
+    // once, so the checkpoint job would be a pure extra stage there.
+    val statsBase = v.groupBy(col("metric"))
       .agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
         sum(col("c") * col("c")).as("q"))
       .select(col("metric"),
         (col("s").cast("double") / col("n").cast("double")).as("mean_c"),
         sqrt((col("n") * col("q") - col("s") * col("s")).cast("double") /
           (col("n") * (col("n") - 1)).cast("double")).as("sd_c"))
-      .localCheckpoint(eager = true)
-    val sided = v.join(Tables.broadcastIfSmall(stats), "metric")
+    val stats = if (twoPhase) statsBase.localCheckpoint(eager = true) else statsBase
+    val sided0 = v.join(Tables.broadcastIfSmall(stats), "metric")
       .withColumn("above", col("c").cast("double") > col("mean_c"))
-      .withColumn("day", date_trunc("day", col("ts")))
+    if (!twoPhase) {
+      // single-phase: the oracle's own gaps-and-islands shape — three
+      // windows, all satisfied by ONE hash(metric) exchange (above and
+      // grp only refine the subset-key clustering), each a re-sort in
+      // the same stage; no count branch, no offsets join
+      val wAll = Window.partitionBy(col("metric")).orderBy(col("ts"), col("event_id"))
+      val wSide = Window.partitionBy(col("metric"), col("above"))
+        .orderBy(col("ts"), col("event_id"))
+      val wrun1 = Window.partitionBy(col("metric"), col("above"), col("grp"))
+        .orderBy(col("ts"), col("event_id"))
+      return sided0
+        .withColumn("grp",
+          row_number().over(wAll) - row_number().over(wSide))
+        .withColumn("run_pos", row_number().over(wrun1))
+        .withColumn("rule1_3sigma",
+          abs(col("c").cast("double") - col("mean_c")) > lit(3.0) * col("sd_c"))
+        .withColumn("rule4_run", col("run_pos") >= SpcRunLen)
+        .filter(col("rule1_3sigma") || col("rule4_run"))
+        .select(col("event_id"), col("metric"), col("ts"), col("value"),
+          col("rule1_3sigma"), col("rule4_run"))
+        .resultOrder(col("event_id"))
+    }
+    val sided = sided0.withColumn("day", date_trunc("day", col("ts")))
     val wDay = Window.partitionBy(col("metric"), col("day"))
       .orderBy(col("ts"), col("event_id"))
     val wSideDay = Window.partitionBy(col("metric"), col("above"), col("day"))

@@ -260,10 +260,43 @@ class PlanSpec extends SparkSuite {
       s"q_percentiles grew extra shuffles:\n$p")
   }
 
-  test("q_counter_rate: two-phase (metric, day) lag with broadcast boundary carries") {
+  // prepared input frames for the counter/SPC family's explicit-phase
+  // forms (same projections the public operators build)
+  private def counterRows = {
+    import org.apache.spark.sql.functions._
+    graft.Tables.events(spark, SfDir).filter(col("value").isNotNull)
+      .select(col("event_type").as("metric"), col("ts"), col("event_id"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+  }
+  private def spcRows = {
+    import org.apache.spark.sql.functions._
+    graft.Tables.events(spark, SfDir).filter(col("value").isNotNull)
+      .select(col("event_type").as("metric"), col("ts"), col("event_id"),
+        col("value"), floor(col("value") * 100 + 0.5).cast("long").as("c"))
+  }
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.explainString(FormattedMode)
+
+  test("q_counter_rate: fixture scale takes the single-phase path — one window, no join") {
+    // below SinglePhaseMaxBytes the per-metric-sort ceiling is provably
+    // irrelevant, so the registered query must NOT pay the two-phase
+    // branch + carry join (pure scheduler floor at this scale)
     val p = plan("q_counter_rate")
+    assert("windowspecdefinition\\(metric#\\d+, ts#".r.findFirstIn(p).isDefined,
+      s"single-phase per-metric lag window missing:\n$p")
+    assert(!"windowspecdefinition\\(metric#\\d+, day#\\d+".r.findFirstIn(p).isDefined,
+      s"two-phase (metric, day) window below the gate:\n$p")
+    assert(!p.contains("Join"), s"carry join below the gate:\n$p")
+    // one corpus exchange (the window's; the hour agg rides it as a
+    // subset key) + the single-reducer presentation sort
+    assert("Arguments: hashpartitioning".r.findAllIn(p).size <= 1,
+      s"single-phase grew extra corpus shuffles:\n$p")
+  }
+
+  test("q_counter_rate two-phase form: (metric, day) lag with broadcast boundary carries") {
+    val p = planOf(graft.ops.RelationalOps.counterRateOn(counterRows, twoPhase = true))
     assert(!"windowspecdefinition\\(metric#\\d+, ts#".r.findFirstIn(p).isDefined,
-      s"per-metric corpus lag window crept back:\n$p")
+      s"per-metric corpus lag window in the two-phase form:\n$p")
     assert("windowspecdefinition\\(metric#\\d+, day#\\d+, ts#".r.findFirstIn(p).isDefined,
       s"(metric, day) in-bucket lag window missing:\n$p")
     assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
@@ -276,11 +309,29 @@ class PlanSpec extends SparkSuite {
       s"final aggregate regrew its corpus exchange:\n$p")
   }
 
-  test("q_spc_rules: two-phase gaps-and-islands ranks — no per-metric corpus window") {
+  test("q_spc_rules: fixture scale takes the single-phase path — oracle shape, one exchange") {
     val p = plan("q_spc_rules")
+    // the three rank windows all run off the one hash(metric) exchange
+    assert("windowspecdefinition\\(metric#\\d+, ts#".r.findFirstIn(p).isDefined &&
+      "windowspecdefinition\\(metric#\\d+, above#\\d+, ts#".r.findFirstIn(p).isDefined,
+      s"single-phase gaps-and-islands windows missing:\n$p")
+    assert(!"windowspecdefinition\\(metric#\\d+, day#\\d+".r.findFirstIn(p).isDefined,
+      s"two-phase day windows below the gate:\n$p")
+    // exactly the stats broadcast — no offsets join, no checkpoint scan
+    // (stats is consumed once; formatted explain prints nodes twice)
+    assert("BroadcastHashJoin".r.findAllIn(p).size / 2 == 1,
+      s"expected only the stats broadcast:\n$p")
+    assert(!p.contains("ExistingRDD"),
+      s"single-use stats grew a checkpoint stage:\n$p")
+    assert("Arguments: hashpartitioning".r.findAllIn(p).size <= 2,
+      s"single-phase grew extra corpus shuffles:\n$p")
+  }
+
+  test("q_spc_rules two-phase form: day-bucket ranks, one offset branch, checkpointed stats") {
+    val p = planOf(graft.ops.RelationalOps.spcRulesOn(spcRows, twoPhase = true))
     assert(!"windowspecdefinition\\(metric#\\d+, ts#".r.findFirstIn(p).isDefined &&
       !"windowspecdefinition\\(metric#\\d+, above#\\d+, ts#".r.findFirstIn(p).isDefined,
-      s"per-metric corpus rank window crept back:\n$p")
+      s"per-metric corpus rank window in the two-phase form:\n$p")
     assert("windowspecdefinition\\(metric#\\d+, day#\\d+, ts#".r.findFirstIn(p).isDefined &&
       "windowspecdefinition\\(metric#\\d+, above#\\d+, day#\\d+, ts#".r.findFirstIn(p).isDefined,
       s"(metric[, above], day) in-bucket rank windows missing:\n$p")
@@ -299,22 +350,29 @@ class PlanSpec extends SparkSuite {
       s"a third corpus scan branch appeared:\n$p")
   }
 
-  test("two-phase trio: offset branches are pruned count scans, never a corpus re-sort") {
-    // counterRate/spcRules/percentiles repair bucket boundaries with
-    // SEPARATE count/max_by aggregate branches (pruned scan, map-side
-    // combine, tiny exchange). A shared-exchange derivation of the
-    // offsets from the ranked stream was tried and reverted: it only
-    // deduplicates while the branch subtrees stay sameResult()-identical
-    // (per-branch column pruning and constraint propagation both break
-    // that), and a missed reuse re-exchanges AND re-sorts the corpus per
-    // branch. The guard here: exactly as many window sorts as the main
-    // stream needs — an offset branch that regrows a Window would add one.
-    Seq("q_counter_rate" -> 2, "q_spc_rules" -> 4, "q_percentiles" -> 2).foreach {
+  test("counter/SPC/percentile window ceilings hold in both phases") {
+    // A regrown offset branch or a lost exchange-sharing opportunity
+    // shows up as extra Window nodes sorting the corpus. Fixture scale
+    // (single-phase): counter 1 window, spc 3, percentiles 2. Forced
+    // two-phase forms: the round-7/8 ceilings (counter 2, spc 4 — the
+    // shared-exchange derivation was tried and REVERTED, see PERF.md:
+    // sameResult() reuse is conf-fragile and a miss re-sorts the corpus).
+    Seq("q_counter_rate" -> 1, "q_spc_rules" -> 3, "q_percentiles" -> 2).foreach {
       case (q, maxWindows) =>
         val p = plan(q)
         val n = "windowspecdefinition".r.findAllIn(p).size / 2 // plan prints each twice (tree + detail)
         assert(n <= maxWindows,
-          s"$q grew to $n window nodes (max $maxWindows) — an offset branch is sorting the corpus:\n$p")
+          s"$q grew to $n window nodes (max $maxWindows):\n$p")
+    }
+    Seq(
+      ("counter two-phase",
+        planOf(graft.ops.RelationalOps.counterRateOn(counterRows, twoPhase = true)), 2),
+      ("spc two-phase",
+        planOf(graft.ops.RelationalOps.spcRulesOn(spcRows, twoPhase = true)), 4)
+    ).foreach { case (name, p, maxWindows) =>
+      val n = "windowspecdefinition".r.findAllIn(p).size / 2
+      assert(n <= maxWindows,
+        s"$name grew to $n window nodes (max $maxWindows):\n$p")
     }
   }
 
