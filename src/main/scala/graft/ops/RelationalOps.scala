@@ -469,20 +469,37 @@ object RelationalOps {
     * the day-cardinality aggregate) broadcast back onto the stream.
     * Then the standard partial+final bucket aggregate.
     */
-  /** Gate between the single-phase (one per-metric window) and two-phase
+  /** Gates between the single-phase (per-metric window) and two-phase
     * (composite (metric, day) window + boundary repair) forms of the
     * counter/SPC family. The two-phase machinery exists for ONE reason:
     * a per-metric window sorts each metric's entire history on a single
     * task, a hard parallelism ceiling when one metric's history is huge.
-    * Below this planning-size bound that ceiling is provably irrelevant
-    * (the WHOLE corpus fits one comfortable sort task, let alone one
-    * metric's slice), and the two-phase form's extra branch + join +
-    * exchanges are pure per-stage scheduler floor — measured 2–6× of the
-    * query at dashboard scale. Same degrade-correctly family as
-    * `resultOrder`/`fanOut`/`broadcastIfSmall`/the percentile fusion:
-    * the gate keys on the data's size statistic, never on the caller.
+    * Below a planning-size bound that ceiling is irrelevant and the
+    * two-phase form's extra branch + join + exchanges are pure per-stage
+    * scheduler floor. Same degrade-correctly family as `resultOrder`/
+    * `fanOut`/`broadcastIfSmall`/the percentile fusion: the gate keys on
+    * the data's size statistic, never on the caller.
+    *
+    * The bounds are PER OPERATOR and empirical (same-window A/B, sf0.1 =
+    * 2 MB and sf1 = 20 MB planning size): counter's single-phase plan
+    * has ONE window sort, and it won both scales (0.33 vs 0.58 s at
+    * sf0.1; 0.90 vs 1.16 s at sf1) — its bound is generous, the sort
+    * ceiling is the only limit. SPC's single-phase plan re-sorts the
+    * corpus THREE times (grp ranks + run ranks), and the forms cross
+    * between the two fixtures (0.68 vs 0.66 s at sf0.1 — parity;
+    * 3.11 vs 1.28 s at sf1 — two-phase wins 2.4×), so its bound sits
+    * below sf1's size.
     */
-  val SinglePhaseMaxBytes: Long = 256L << 20
+  val CounterSinglePhaseMaxBytes: Long = 256L << 20
+  val SpcSinglePhaseMaxBytes: Long = 16L << 20
+
+  /** The effective gate bound — `spark.graft.singlePhaseMaxBytes`
+    * overrides both defaults (0 forces two-phase everywhere; used by the
+    * A/B probes that sized the defaults).
+    */
+  private def singlePhaseBound(s: SparkSession, default: Long): Long =
+    s.conf.getOption("spark.graft.singlePhaseMaxBytes")
+      .map(_.toLong).getOrElse(default)
 
   def counterRate(s: SparkSession, dir: String): DataFrame = {
     val cents = floor(col("value") * 100 + 0.5).cast("long")
@@ -490,7 +507,8 @@ object RelationalOps {
       .select(col("event_type").as("metric"), col("ts"), col("event_id"),
         cents.as("cents"))
     counterRateOn(rows,
-      twoPhase = Tables.planningSize(rows) > SinglePhaseMaxBytes)
+      twoPhase = Tables.planningSize(rows) >
+        singlePhaseBound(s, CounterSinglePhaseMaxBytes))
   }
 
   /** [[counterRate]] over a prepared (metric, ts, event_id, cents) frame
@@ -787,7 +805,8 @@ object RelationalOps {
     val v = ev(s, dir).filter(col("value").isNotNull)
       .select(col("event_type").as("metric"), col("ts"), col("event_id"),
         col("value"), cents.as("c"))
-    spcRulesOn(v, twoPhase = Tables.planningSize(v) > SinglePhaseMaxBytes)
+    spcRulesOn(v,
+      twoPhase = Tables.planningSize(v) > singlePhaseBound(s, SpcSinglePhaseMaxBytes))
   }
 
   /** [[spcRules]] over a prepared (metric, ts, event_id, value, c) frame
