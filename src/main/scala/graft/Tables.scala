@@ -39,6 +39,17 @@ object Tables {
   private val dfCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
+  /** The opt-in memoization in one place — fixture tables (load) and the
+    * materialized MV (MaterializedViews.minuteMvDf) share the flag, the
+    * (session, path) keying, and the leak reasoning above; two parallel
+    * caches drifted once already.
+    */
+  private[graft] def memoizedDf(spark: SparkSession, path: String)(
+      read: => DataFrame): DataFrame =
+    if (spark.conf.getOption("spark.graft.fixtureCache").contains("true"))
+      dfCache.getOrElseUpdate((spark, path), read)
+    else read
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     // The driver's fixtures carry TIMESTAMP(NANOS) columns, which Spark 4
     // rejects outright; read them as long nanos and convert below. Set once
@@ -46,13 +57,10 @@ object Tables {
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     if (!spark.conf.getOption(key).contains("true")) spark.conf.set(key, "true")
     val path = s"$dir/$name.parquet"
-    def read() = {
+    memoizedDf(spark, path) {
       val schema = schemaCache.getOrElseUpdate(path, spark.read.parquet(path).schema)
       spark.read.schema(schema).parquet(path)
     }
-    if (spark.conf.getOption("spark.graft.fixtureCache").contains("true"))
-      dfCache.getOrElseUpdate((spark, path), read())
-    else read()
   }
 
   /** The time-series fact table. Stand-in for the reference's `opcua_data`

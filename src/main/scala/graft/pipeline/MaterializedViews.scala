@@ -51,26 +51,15 @@ object MaterializedViews {
     })
   }
 
-  // keyed on the session OBJECT, not identityHashCode (hash collision
-  // between a stopped and a live session could serve a dead-session plan);
-  // see Tables.dfCache for the leak analysis
-  private val dfCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), org.apache.spark.sql.DataFrame]
-
   /** The MV as a DataFrame. A partitioned-parquet read pays partition
     * discovery + schema inference on every `spark.read.parquet` call —
-    * pure per-read floor once the MV exists. Under the same opt-in
-    * `spark.graft.fixtureCache` flag Tables.load uses (single-session
-    * mains only — a DataFrame pins its session), the analyzed relation
-    * (with its file index) is built once per (session, dir); a
-    * dashboard deployment gets the same effect from a registered table
-    * in the catalog.
+    * pure per-read floor once the MV exists. Memoized through
+    * Tables.memoizedDf (the one opt-in cache: same flag, keying, and
+    * session-pinning leak reasoning); a dashboard deployment gets the
+    * same effect from a registered table in the catalog.
     */
   def minuteMvDf(spark: SparkSession, sfDir: String): org.apache.spark.sql.DataFrame = {
     val out = minuteMvDir(spark, sfDir)
-    def read() = spark.read.parquet(out)
-    if (spark.conf.getOption("spark.graft.fixtureCache").contains("true"))
-      dfCache.getOrElseUpdate((spark, out), read())
-    else read()
+    graft.Tables.memoizedDf(spark, out)(spark.read.parquet(out))
   }
 }

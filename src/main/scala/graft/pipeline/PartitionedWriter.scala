@@ -35,7 +35,12 @@ object PartitionedWriter {
       .mode("overwrite")
       .partitionBy("day")
       .parquet(outDir)
-    spark.read.parquet(outDir).select("day").distinct().count()
+    // partition count from the directory listing — the at-rest layout's
+    // one definition (dayPartitionDirs); a read+distinct+count here paid
+    // a full partition discovery and a shuffle for the same answer
+    val root = new org.apache.hadoop.fs.Path(outDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    dayPartitionDirs(fs, root).map(_.getName).distinct.size.toLong
   }
 
   /** Read back with a day predicate — the partition-pruned scan path. */

@@ -77,79 +77,33 @@ private final class MqttTable(props: util.Map[String, String])
     }
 }
 
-private final case class MqttOffset(n: Long) extends Offset {
-  override def json(): String = n.toString
-}
-
-/** Driver-side subscription buffer with prefix eviction on commit and a
-  * hard cap: past `maxBuffered` pending rows the newest message is DROPPED
-  * (counted and logged once per overflow episode) — QoS-0 is at-most-once,
-  * so shedding under backpressure is the protocol's own contract, and an
-  * unbounded buffer would instead OOM the driver under a flood.
+/** Live MQTT subscription over [[PushBufferMicroBatchStream]] (which owns
+  * the cap/shed/rebase/eviction machinery and its invariants — see its
+  * scaladoc; QoS-0 at-most-once is the transport contract being honored).
   */
 private final class MqttMicroBatchStream(
     host: String, port: Int, topic: String, clientId: String, maxBuffered: Long)
-    extends MicroBatchStream {
-
-  // (topic, payload, arrivalMicros) indexed by absolute message offset
-  private val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
-  private var base = 0L // absolute offset of buf(0)
-  private var dropped = 0L
-  private val lock = new Object
+    extends PushBufferMicroBatchStream[(String, String, Long)]("mqtt-sub", maxBuffered) {
 
   private val client = new MqttClient(host, port, clientId)
-  client.subscribe(topic) { (t, payload) =>
-    val row = (t, new String(payload, java.nio.charset.StandardCharsets.UTF_8),
-      System.currentTimeMillis() * 1000L)
-    lock.synchronized {
-      if (buf.length < maxBuffered) {
-        if (dropped > 0) {
-          System.err.println(s"[mqtt-sub] resumed after dropping $dropped messages at cap $maxBuffered")
-          dropped = 0
-        }
-        buf += row
-      } else {
-        if (dropped == 0)
-          System.err.println(s"[mqtt-sub] buffer cap $maxBuffered reached — shedding (QoS-0 at-most-once)")
-        dropped += 1
-      }
+  // a failed SUBSCRIBE (broker dies between CONNACK and SUBACK) must not
+  // orphan the connected client's socket + reader thread for the JVM's
+  // life — same guard as the OPC-UA twin
+  try {
+    client.subscribe(topic) { (t, payload) =>
+      admit((t, new String(payload, java.nio.charset.StandardCharsets.UTF_8),
+        System.currentTimeMillis() * 1000L))
     }
+  } catch {
+    case e: Throwable =>
+      try client.close() catch { case _: Throwable => () }
+      throw e
   }
 
-  override def initialOffset(): Offset = MqttOffset(0L)
-  override def latestOffset(): Offset =
-    lock.synchronized(MqttOffset(base + buf.length))
-  override def deserializeOffset(json: String): Offset = {
-    val o = json.toLong
-    // Restart rebase: a fresh source instance starts counting at 0, but
-    // the checkpoint may be at offset N from the previous run. Offsets
-    // must never go backwards, so adopt the checkpointed position as the
-    // new base. The buffer is KEPT, not cleared: everything in it arrived
-    // after this instance's subscribe(), i.e. post-restart — those rows
-    // are renumbered to start at N and flow out in the next planned
-    // batch. Only the pre-crash window is lost (a batch planned before
-    // the crash but never committed replays EMPTY): QoS-0 at-most-once,
-    // the documented loss mode, never a duplicate and never a drop of
-    // post-restart arrivals. The guard makes this parse-side mutation
-    // safe outside recovery too: offsets this instance itself produced
-    // satisfy o <= base + buf.length, so steady-state round-trips of the
-    // offset log are pure parses and the rebase fires only when the
-    // checkpoint is genuinely ahead of this instance's numbering.
-    lock.synchronized { if (o > base + buf.length) base = o }
-    MqttOffset(o)
-  }
-
-  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[MqttOffset].n
-    val e = end.asInstanceOf[MqttOffset].n
-    val rows = lock.synchronized {
-      buf.slice((s - base).toInt.max(0), (e - base).toInt.max(0))
-        .zipWithIndex
-        .map { case ((t, p, us), i) => (s + i, t, p, us) }
-        .toArray
-    }
-    Array(MqttBatchPartition(rows))
-  }
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    Array(MqttBatchPartition(slice(start, end).map {
+      case (off, (t, p, us)) => (off, t, p, us)
+    }))
 
   override def createReaderFactory(): PartitionReaderFactory =
     (partition: InputPartition) => {
@@ -165,13 +119,6 @@ private final class MqttMicroBatchStream(
         override def close(): Unit = ()
       }
     }
-
-  override def commit(end: Offset): Unit = lock.synchronized {
-    // drop the committed prefix — the broker will never redeliver QoS-0
-    val e = end.asInstanceOf[MqttOffset].n
-    val drop = (e - base).toInt
-    if (drop > 0) { buf.remove(0, drop.min(buf.length)); base = e }
-  }
 
   override def stop(): Unit = client.close()
 }

@@ -68,7 +68,11 @@ object OpcuaLiveSource {
 
 private final class OpcuaLiveTable(props: util.Map[String, String])
     extends Table with SupportsRead {
-  override def name(): String = s"opcua-sub(${props.get("endpointurl")})"
+  // the raw properties map is case-SENSITIVE and the documented option
+  // key is camel-case "endpointUrl" — a bare get("endpointurl") rendered
+  // every plan/UI name as "opcua-sub(null)"
+  override def name(): String =
+    s"opcua-sub(${new CaseInsensitiveStringMap(props).get("endpointurl")})"
   override def schema(): StructType = OpcuaLiveSource.Schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
@@ -86,25 +90,17 @@ private final class OpcuaLiveTable(props: util.Map[String, String])
     }
 }
 
-private final case class OpcuaOffset(n: Long) extends Offset {
-  override def json(): String = n.toString
-}
-
-/** Driver-side subscription buffer — [[MqttSource]]'s admission/rebase
-  * machinery over the opc.tcp client: browse the model root, monitor
-  * every Variable, buffer (node, value, sourceTs) per notification.
+/** Live opc.tcp subscription over [[PushBufferMicroBatchStream]] (which
+  * owns the cap/shed/rebase/eviction machinery and its invariants — see
+  * its scaladoc): browse the model root, monitor every Variable, buffer
+  * (node, value, sourceTs) per notification. sourceTs is None when the
+  * notification carried no source timestamp; the column emits null, not
+  * 1970-01-01.
   */
 private final class OpcuaMicroBatchStream(
     host: String, port: Int, endpointUrl: String, nsUri: String,
     rootName: String, maxBuffered: Long)
-    extends MicroBatchStream {
-
-  // (node, value, sourceTsMicros) — ts None when the notification carried
-  // no source timestamp; the column emits null, not 1970-01-01
-  private val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String, Option[Long])]
-  private var base = 0L
-  private var dropped = 0L
-  private val lock = new Object
+    extends PushBufferMicroBatchStream[(String, String, Option[Long])]("opcua-sub", maxBuffered) {
 
   private val client = new OpcuaClient(host, port, endpointUrl)
   // init failure (unknown namespace/root, browse fault) must close the
@@ -122,19 +118,7 @@ private final class OpcuaMicroBatchStream(
     }
     val sub = client.createSubscription(500.0)
     client.subscribeDataChange(sub, idx, vars) { (name, v, tsMicros) =>
-      lock.synchronized {
-        if (buf.length < maxBuffered) {
-          if (dropped > 0) {
-            System.err.println(s"[opcua-sub] resumed after dropping $dropped notifications at cap $maxBuffered")
-            dropped = 0
-          }
-          buf += ((name, OpcuaLiveSource.valueString(v), tsMicros))
-        } else {
-          if (dropped == 0)
-            System.err.println(s"[opcua-sub] buffer cap $maxBuffered reached — shedding")
-          dropped += 1
-        }
-      }
+      admit((name, OpcuaLiveSource.valueString(v), tsMicros))
     }
   } catch {
     case e: Throwable =>
@@ -142,29 +126,10 @@ private final class OpcuaMicroBatchStream(
       throw e
   }
 
-  override def initialOffset(): Offset = OpcuaOffset(0L)
-  override def latestOffset(): Offset =
-    lock.synchronized(OpcuaOffset(base + buf.length))
-  override def deserializeOffset(json: String): Offset = {
-    val o = json.toLong
-    // restart rebase, buffer KEPT — see MqttSource.deserializeOffset for
-    // the full argument (post-restart arrivals renumber from the
-    // checkpoint; only the pre-crash window replays empty)
-    lock.synchronized { if (o > base + buf.length) base = o }
-    OpcuaOffset(o)
-  }
-
-  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[OpcuaOffset].n
-    val e = end.asInstanceOf[OpcuaOffset].n
-    val rows = lock.synchronized {
-      buf.slice((s - base).toInt.max(0), (e - base).toInt.max(0))
-        .zipWithIndex
-        .map { case ((n, v, us), i) => (s + i, n, v, us.map(Long.box).orNull) }
-        .toArray
-    }
-    Array(OpcuaBatchPartition(rows))
-  }
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    Array(OpcuaBatchPartition(slice(start, end).map {
+      case (off, (n, v, us)) => (off, n, v, us.map(Long.box).orNull)
+    }))
 
   override def createReaderFactory(): PartitionReaderFactory =
     (partition: InputPartition) => {
@@ -182,12 +147,6 @@ private final class OpcuaMicroBatchStream(
         override def close(): Unit = ()
       }
     }
-
-  override def commit(end: Offset): Unit = lock.synchronized {
-    val e = end.asInstanceOf[OpcuaOffset].n
-    val drop = (e - base).toInt
-    if (drop > 0) { buf.remove(0, drop.min(buf.length)); base = e }
-  }
 
   override def stop(): Unit = client.close()
 }

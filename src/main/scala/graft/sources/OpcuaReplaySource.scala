@@ -87,7 +87,11 @@ object OpcuaReplaySource {
       spark: SparkSession,
       path: String,
       scratchDir: String): (String, Long) = {
-    val dir = new java.io.File(path).getParent
+    // Hadoop Path, not java.io.File: getParent on a File mangles URI
+    // schemes ("s3a://bucket/x" -> "s3a:/bucket"), defeating the
+    // serialized-Hadoop-conf machinery below that exists precisely so
+    // executors can read non-local filesystems
+    val dir = new org.apache.hadoop.fs.Path(path).getParent.toString
     val scratch = new org.apache.hadoop.fs.Path(scratchDir)
     val fs = scratch.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(new org.apache.hadoop.fs.Path(scratch, "_SUCCESS"))) {
