@@ -57,7 +57,13 @@ case class CosineSimilarity(left: Expression, right: Expression)
       ny += yv * yv
       i += 1
     }
-    if (nx == 0.0 || ny == 0.0) null
+    // NaN/Infinity elements (a standard upstream-encoder failure mode)
+    // make the norms NaN/Inf and would leak NaN through the division —
+    // and a NaN silently fails every downstream >= threshold filter.
+    // The documented contract is an explicit null instead.
+    if (nx == 0.0 || ny == 0.0 ||
+        java.lang.Double.isNaN(nx) || java.lang.Double.isNaN(ny) ||
+        java.lang.Double.isInfinite(nx) || java.lang.Double.isInfinite(ny)) null
     else dot / (math.sqrt(nx) * math.sqrt(ny))
   }
 
@@ -83,7 +89,9 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |    $dot += $xv * $yv; $nx += $xv * $xv; $ny += $yv * $yv;
          |  }
          |  if (!${ev.isNull}) {
-         |    if ($nx == 0.0 || $ny == 0.0) { ${ev.isNull} = true; }
+         |    if ($nx == 0.0 || $ny == 0.0 ||
+         |        Double.isNaN($nx) || Double.isNaN($ny) ||
+         |        Double.isInfinite($nx) || Double.isInfinite($ny)) { ${ev.isNull} = true; }
          |    else { ${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny)); }
          |  }
          |}

@@ -34,7 +34,11 @@ case class MinHashSig(child: Expression, numHashes: Int, prime: Long)
     extends UnaryExpression {
 
   require(numHashes > 0, s"minhash_sig k must be positive, got $numHashes")
-  require(prime > 1, s"minhash_sig prime must be > 1, got $prime")
+  // the no-overflow argument (a_i, x mod p < p; product < p^2 <= 2^62)
+  // needs p < 2^31 — a larger prime would wrap a_i * x in silence and
+  // produce deterministic-garbage signatures
+  require(prime > 1 && prime <= 0x7FFFFFFFL,
+    s"minhash_sig prime must be in (1, 2^31-1], got $prime")
 
   override def checkInputDataTypes(): TypeCheckResult =
     child.dataType match {
@@ -117,9 +121,14 @@ object MinHashSig {
           s"minhash_sig $what must be an integer, got $other")
       }
     }
+    val k = constLong(children(1), "k")
+    // reject instead of truncating: k = 2^32+64 silently becoming 64
+    // would compute a wrong-but-plausible signature with no error
+    require(k >= 1 && k <= Int.MaxValue,
+      s"minhash_sig k must be in [1, ${Int.MaxValue}], got $k")
     MinHashSig(
       children.head,
-      constLong(children(1), "k").toInt,
+      k.toInt,
       constLong(children(2), "prime"))
   }
 

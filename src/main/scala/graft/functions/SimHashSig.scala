@@ -53,7 +53,11 @@ case class SimHashSig(child: Expression, bits: Int)
 
 object SimHashSig {
 
-  private val WhitespaceRegex = UTF8String.fromString("\\s+")
+  // precompiled: UTF8String.split with a multi-char regex delegates to
+  // String#split, which recompiles the Pattern per call — per ROW here
+  // (same fix TermFreqStats already carries); Pattern.split(str, -1) is
+  // byte-identical output, so the stated bit parity holds
+  private val Whitespace = java.util.regex.Pattern.compile("\\s+")
 
   private val md5 = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
@@ -62,15 +66,15 @@ object SimHashSig {
 
   /** Static entry point shared by interpreted eval and generated code. */
   def compute(s: UTF8String, bits: Int): Long = {
-    val toks = s.trim().split(WhitespaceRegex, -1)
-    val seen = new java.util.HashSet[UTF8String]()
+    val toks = Whitespace.split(s.trim().toString, -1)
+    val seen = new java.util.HashSet[String]()
     val counts = new Array[Int](bits)
     val digest = md5.get()
     var i = 0
     while (i < toks.length) {
       if (seen.add(toks(i))) {
         digest.reset()
-        val d = digest.digest(toks(i).getBytes)
+        val d = digest.digest(toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
         // first 15 hex chars of the digest == top 60 bits: the big-endian
         // long of bytes 0..7, shifted right 4 — what the SQL pipeline's
         // CAST(conv(substring(md5(tok), 1, 15), 16, 10) AS BIGINT) yields
@@ -109,11 +113,13 @@ object SimHashSig {
     val bitsExpr = children(1)
     require(bitsExpr.foldable, s"simhash_sig bits must be a constant, got ${bitsExpr.sql}")
     val bits = bitsExpr.eval() match {
-      case v: java.lang.Number => v.intValue()
+      case v: java.lang.Number => v.longValue()
       case other => throw new IllegalArgumentException(
         s"simhash_sig bits must be an integer, got $other")
     }
-    SimHashSig(children.head, bits)
+    // reject instead of truncating (2^32+16 must not silently become 16)
+    require(bits >= 1 && bits <= 60, s"simhash_sig bits must be in [1, 60], got $bits")
+    SimHashSig(children.head, bits.toInt)
   }
 
   def register(registry: FunctionRegistry): Unit =

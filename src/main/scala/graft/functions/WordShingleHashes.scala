@@ -62,14 +62,20 @@ case class WordShingleHashes(child: Expression, n: Int)
 
 object WordShingleHashes {
 
-  private val WhitespaceRegex = UTF8String.fromString("\\s+")
+  // precompiled: UTF8String.split with a multi-char regex delegates to
+  // String#split, which recompiles the Pattern per call — per ROW here.
+  // Pattern.split(str, -1) is byte-identical output (String#split itself
+  // delegates to Pattern.compile(regex).split), so bit parity with the
+  // SQL pipeline's split(trim(text), "\s+") is preserved.
+  private val Whitespace = java.util.regex.Pattern.compile("\\s+")
   private val Space = UTF8String.fromString(" ")
 
   /** Static entry point shared by interpreted eval and generated code. */
   def compute(s: UTF8String, n: Int): ArrayData = {
-    // the exact primitives of split(trim(text), "\s+") with Spark's
-    // default limit -1
-    val toks = s.trim().split(WhitespaceRegex, -1)
+    val stoks = Whitespace.split(s.trim().toString, -1)
+    val toks = new Array[UTF8String](stoks.length)
+    var t = 0
+    while (t < stoks.length) { toks(t) = UTF8String.fromString(stoks(t)); t += 1 }
     if (toks.length < n) UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
     else {
       val set = new java.util.LinkedHashSet[java.lang.Long]()
@@ -109,7 +115,11 @@ object WordShingleHashes {
           s"word_shingle_hashes $what must be an integer, got $other")
       }
     }
-    WordShingleHashes(children.head, constLong(children(1), "n").toInt)
+    val n = constLong(children(1), "n")
+    // reject instead of truncating (2^32+3 must not silently become 3)
+    require(n >= 1 && n <= Int.MaxValue,
+      s"word_shingle_hashes n must be in [1, ${Int.MaxValue}], got $n")
+    WordShingleHashes(children.head, n.toInt)
   }
 
   def register(registry: FunctionRegistry): Unit =

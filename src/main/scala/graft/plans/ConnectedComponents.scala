@@ -127,10 +127,19 @@ object ConnectedComponents {
   }
 
   private def componentsLoop(edges: DataFrame): DataFrame = {
+    // Checkpointed (lazily — the loop's first fingerprint action
+    // materializes it): BOTH derivations below consume this plan, and
+    // `allNodes` is consumed again at RESULT time (withSingletons), after
+    // the loop. An unmaterialized lineage would re-execute the caller's
+    // entire upstream edge-generation query (the expensive band join) a
+    // second time there — and under a non-deterministic upstream could
+    // even disagree with the node set the loop contracted, dropping nodes
+    // or mislabeling them as singletons.
     val raw = edges.toDF("a", "b")
       .select(
         least(col("a"), col("b")).as("u"),
         greatest(col("a"), col("b")).as("v"))
+      .localCheckpoint(eager = false)
     // every distinct node in the INPUT — captured before self-loops are
     // dropped, so a node appearing only as (x, x) still gets its
     // singleton (x, x) row in the output, as the contract promises
@@ -166,8 +175,11 @@ object ConnectedComponents {
     val spark = edges.sparkSession
     val confKey = "spark.sql.shuffle.partitions"
     val configured = spark.conf.get(confKey).toInt
+    // min in LONG before the one narrowing: (edgeCount/100000).toInt wraps
+    // negative above ~2.1e14 edges, and max(1, min(configured, negative))
+    // would funnel exactly the hugest graphs through ONE shuffle partition
     def partitionsFor(edgeCount: Long): Int =
-      math.max(1, math.min(configured, (edgeCount / 100000L).toInt + 1))
+      math.max(1L, math.min(configured.toLong, edgeCount / 100000L + 1L)).toInt
 
     val dt = in.schema("u").dataType
     val integral = dt == org.apache.spark.sql.types.LongType ||
