@@ -26,19 +26,33 @@ object Model {
 
   /** Per-metric setpoint ("TargetX" vs "ActualX" in the reference,
     * /root/reference/opcua_server/main.py:167-182). 'error' deliberately has
-    * target 0 to exercise the divide-by-zero guard at :28-29.
+    * target 0 to exercise the divide-by-zero guard at :28-29. This Seq is
+    * the single source: the batch Column, the oracle SQL, and the streaming
+    * twins' per-key lookup are all derived from it, so a threshold change
+    * cannot split the batch ops from their streaming twins.
     */
+  val MetricTargets: Seq[(String, Double)] = Seq(
+    "click" -> 250.0, "view" -> 170.0, "purchase" -> 185.0, "signup" -> 175.0)
+
+  private val metricTargetMap = MetricTargets.toMap
+
+  /** Setpoint for one metric; 0.0 (the guard value) when unknown. */
+  def targetFor(metric: String): Double = metricTargetMap.getOrElse(metric, 0.0)
+
   def targetCol: Column =
-    when(col("event_type") === "click", 250.0)
-      .when(col("event_type") === "view", 170.0)
-      .when(col("event_type") === "purchase", 185.0)
-      .when(col("event_type") === "signup", 175.0)
-      .otherwise(0.0)
+    MetricTargets.foldLeft(null: Column) { case (acc, (m, t)) =>
+      if (acc == null) when(col("event_type") === m, t)
+      else acc.when(col("event_type") === m, t)
+    }.otherwise(0.0)
 
   /** Same expression in DuckDB SQL for the oracles. */
   val targetSql: String =
-    "CAST(CASE event_type WHEN 'click' THEN 250 WHEN 'view' THEN 170 " +
-      "WHEN 'purchase' THEN 185 WHEN 'signup' THEN 175 ELSE 0 END AS DOUBLE)"
+    "CAST(CASE event_type " +
+      MetricTargets.map { case (m, t) =>
+        val lit = if (t == t.toLong.toDouble) t.toLong.toString else t.toString
+        s"WHEN '$m' THEN $lit"
+      }.mkString(" ") +
+      " ELSE 0 END AS DOUBLE)"
 
   val valueStrSql: String = "CASE WHEN event_type = 'error' THEN props END"
 

@@ -47,7 +47,7 @@ final class MqttBroker(port0: Int = 0) extends AutoCloseable {
       val in = new DataInputStream(socket.getInputStream)
       try {
         while (!closed) MqttWire.decode(in) match {
-          case MqttWire.Connect(_) => conn.send(MqttWire.Connack)
+          case MqttWire.Connect(_) => conn.send(MqttWire.Connack(0))
           case MqttWire.Subscribe(pid, fs) =>
             conn.filters ++= fs
             conn.send(MqttWire.Suback(pid, fs.map(_ => 0)))

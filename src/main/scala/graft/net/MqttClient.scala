@@ -27,14 +27,27 @@ final class MqttClient(host: String, port: Int, clientId: String) extends AutoCl
   private val subacked = new java.util.concurrent.ConcurrentHashMap[Integer, CountDownLatch]()
   private val pids = new java.util.concurrent.atomic.AtomicInteger(1)
 
+  @volatile private var connackRc = -1
+
   private val reader = new Thread(() => {
     try while (true) MqttWire.decode(in) match {
-      case MqttWire.Connack => connacked.countDown()
+      case MqttWire.Connack(rc) =>
+        connackRc = rc
+        connacked.countDown()
       case MqttWire.Suback(pid, _) =>
         Option(subacked.remove(Integer.valueOf(pid))).foreach(_.countDown())
       case MqttWire.Publish(topic, payload) =>
         callbacks.forEach { (filter, f) =>
-          if (MqttWire.topicMatches(filter, topic)) f(topic, payload)
+          // a throwing user callback must not kill the reader thread —
+          // that would silently stop ALL future deliveries while the
+          // client still looks alive (publish() keeps succeeding)
+          if (MqttWire.topicMatches(filter, topic))
+            try f(topic, payload)
+            catch {
+              case e: Throwable =>
+                System.err.println(
+                  s"[mqtt-client-$clientId] subscription callback for '$filter' threw: $e")
+            }
         }
       case _ => ()
     } catch { case _: Throwable => () }
@@ -44,6 +57,10 @@ final class MqttClient(host: String, port: Int, clientId: String) extends AutoCl
 
   send(MqttWire.Connect(clientId))
   require(connacked.await(10, TimeUnit.SECONDS), "CONNACK timeout")
+  if (connackRc != 0) {
+    close()
+    throw new java.io.IOException(s"CONNECT refused: return code $connackRc")
+  }
 
   private def send(p: MqttWire.Packet): Unit =
     out.synchronized { MqttWire.write(out, p) }
@@ -60,7 +77,9 @@ final class MqttClient(host: String, port: Int, clientId: String) extends AutoCl
     */
   def subscribe(filter: String)(f: (String, Array[Byte]) => Unit): Unit = {
     callbacks.put(filter, f)
-    val pid = pids.getAndIncrement() & 0xffff
+    // packet id 0 is forbidden (MQTT-2.3.1-1): skip it on 16-bit wraparound
+    var pid = pids.getAndIncrement() & 0xffff
+    while (pid == 0) pid = pids.getAndIncrement() & 0xffff
     val latch = new CountDownLatch(1)
     subacked.put(pid, latch)
     send(MqttWire.Subscribe(pid, Seq(filter)))

@@ -16,7 +16,10 @@ object MqttWire {
 
   sealed trait Packet
   final case class Connect(clientId: String) extends Packet
-  case object Connack extends Packet
+  /** rc 0 = accepted; nonzero = the spec's refusal codes (3.2.2.3) — the
+    * client must surface a refusal instead of proceeding half-connected.
+    */
+  final case class Connack(returnCode: Int) extends Packet
   final case class Publish(topic: String, payload: Array[Byte]) extends Packet
   final case class Subscribe(packetId: Int, filters: Seq[String]) extends Packet
   final case class Suback(packetId: Int, granted: Seq[Int]) extends Packet
@@ -61,7 +64,7 @@ object MqttWire {
       case Connect(id) =>
         // protocol name "MQTT", level 4, clean-session flag, keepalive 0
         frame(0x10, utf("MQTT") ++ Array[Byte](4, 0x02, 0, 0) ++ utf(id))
-      case Connack => frame(0x20, Array[Byte](0, 0))
+      case Connack(rc) => frame(0x20, Array[Byte](0, rc.toByte))
       case Publish(topic, payload) => frame(0x30, utf(topic) ++ payload)
       case Subscribe(pid, filters) =>
         frame(0x82, Array[Byte]((pid >> 8).toByte, (pid & 0xff).toByte) ++
@@ -100,7 +103,7 @@ object MqttWire {
         // level byte, flags byte, 2 keepalive bytes precede the client id
         val (cid, _) = str(afterProto + 4)
         Connect(cid)
-      case 2 => Connack
+      case 2 => Connack(body(1) & 0xff)
       case 3 =>
         require((first & 0x06) == 0, "only QoS 0 PUBLISH is supported")
         val (topic, off) = str(0)

@@ -17,9 +17,16 @@ import java.util.concurrent.atomic.AtomicLong
   * PublishRequest outstanding and dispatches notifications to the
   * registered callback (the paho-style handler the reference wraps in
   * `SubscriptionHandler.datachange_notification`).
+  *
+  * `publishTimeoutMs` is how long the publish loop waits on its
+  * outstanding PublishRequest before abandoning it and re-arming (the
+  * quiet-interval path). It must stay LONGER than the server's stale
+  * flush threshold ([[OpcuaServer]]'s `stalePublishMs`) so an abandoned
+  * request is already flushed (keep-alive) before the server could spend
+  * a data batch on it.
   */
 final class OpcuaClient(host: String, port: Int,
-    endpointUrl: String) extends AutoCloseable {
+    endpointUrl: String, publishTimeoutMs: Long = 15000L) extends AutoCloseable {
 
   private val socket = new Socket(InetAddress.getByName(host), port)
   socket.setTcpNoDelay(true)
@@ -142,7 +149,8 @@ final class OpcuaClient(host: String, port: Int,
       throw e
   }
 
-  private def await(reqId: Long, send: () => Unit): R = {
+  private def await(reqId: Long, send: () => Unit,
+      timeoutMs: Long = 15000L): R = {
     // fail fast on a known-dead transport: a fresh request would otherwise
     // block the full timeout (the reader only counts down entries present
     // when it died), and a half-closed socket can still accept the write
@@ -154,7 +162,7 @@ final class OpcuaClient(host: String, port: Int,
     // cannot leak it into the map for the life of the client
     try {
       send()
-      if (!p.latch.await(15, TimeUnit.SECONDS))
+      if (!p.latch.await(timeoutMs, TimeUnit.MILLISECONDS))
         throw new java.util.concurrent.TimeoutException(
           s"opc.tcp response timeout (reqId $reqId)")
       if (p.body == null) {
@@ -170,7 +178,7 @@ final class OpcuaClient(host: String, port: Int,
   /** Send one service request in a MSG frame; returns the body reader
     * positioned AFTER the response header (status checked, fault thrown).
     */
-  private def service(typeId: Int)(fill: W => Unit): R = {
+  private def service(typeId: Int, timeoutMs: Long = 15000L)(fill: W => Unit): R = {
     val reqId = reqIds.getAndIncrement()
     val w = new W()
     w.u32(channelId).u32(tokenId)
@@ -178,12 +186,13 @@ final class OpcuaClient(host: String, port: Int,
     w.nodeId(NumericId(0, typeId))
     w.requestHeader(authToken, handles.getAndIncrement())
     fill(w)
-    await(reqId, () => writeFrame(out, "MSG", w.result))
+    await(reqId, () => writeFrame(out, "MSG", w.result), timeoutMs)
   }
 
   /** The response's service NodeId + header, validated. */
-  private def serviceChecked(typeId: Int, expectResponse: Int)(fill: W => Unit): R = {
-    val r = service(typeId)(fill)
+  private def serviceChecked(typeId: Int, expectResponse: Int,
+      timeoutMs: Long = 15000L)(fill: W => Unit): R = {
+    val r = service(typeId, timeoutMs)(fill)
     val tid = r.nodeId() match {
       case NumericId(0, id) => id
       case other => throw new IllegalStateException(s"service response $other")
@@ -320,7 +329,8 @@ final class OpcuaClient(host: String, port: Int,
   private def publishLoop(): Unit = {
     val t = new Thread(() => {
       while (!closed && !deadFlag) try {
-        val r = serviceChecked(IdPublishRequest, IdPublishResponse) { w =>
+        val r = serviceChecked(IdPublishRequest, IdPublishResponse,
+          publishTimeoutMs) { w =>
           w.i32(0) // no acknowledgements (subset: server never retransmits)
         }
         r.u32() // subscription id

@@ -21,14 +21,28 @@ import java.util.concurrent.atomic.AtomicLong
   * an auth boundary), Browse (forward references of Objects and the
   * model root), Read (NamespaceArray, BrowseName, NodeClass, Value),
   * CreateSubscription, CreateMonitoredItems (Value attribute),
-  * Publish (queued notifications, keep-alive on empty),
+  * Publish (held until a notification is queued; a queued PublishRequest
+  * older than `stalePublishMs` is answered with an EMPTY keep-alive
+  * response the next time the publish queue is touched — see below),
   * CloseSession / CloseSecureChannel. Everything else answers
   * ServiceFault Bad_ServiceUnsupported.
+  *
+  * Why stale requests must be flushed: [[OpcuaClient]]'s publish loop
+  * abandons its outstanding PublishRequest after a 15 s quiet interval
+  * and re-arms with a fresh one. If the server kept the abandoned request
+  * queued forever, the NEXT data batch would be spent answering that
+  * dead request id — the client drops the frame (nothing awaits it) and
+  * the entire notification batch is silently lost, one batch per
+  * accumulated stale request. Flushing anything older than
+  * `stalePublishMs` (< the client's 15 s) guarantees a data response only
+  * ever goes to a request the client is still awaiting; the keep-alives
+  * sent to abandoned ids are dropped harmlessly.
   */
 final class OpcuaServer(
     namespaceUri: String = "urn:example:pick-and-place",
     rootName: String = "PickAndPlace",
-    port0: Int = 0) extends AutoCloseable {
+    port0: Int = 0,
+    stalePublishMs: Long = 10000L) extends AutoCloseable {
 
   private val server = new ServerSocket(port0, 16, InetAddress.getLoopbackAddress)
   def port: Int = server.getLocalPort
@@ -106,8 +120,9 @@ final class OpcuaServer(
     private val channelId = 1L
     private val tokenId = 1L
     private val sessionToken = NumericId(1, 424242L)
-    // publish backlog: requests we owe responses to (handle, seqHdr reqId)
-    private val pendingPublishes = new java.util.ArrayDeque[(Long, Long)]()
+    // publish backlog: requests we owe responses to
+    // (handle, seqHdr reqId, enqueued-at millis — for the stale flush)
+    private val pendingPublishes = new java.util.ArrayDeque[(Long, Long, Long)]()
     // secure-channel sequence counter. Guarded by writeLock: replies are
     // written from two thread families (the connection's handler thread
     // and writer threads via put() → onWrite → pumpPublish), and the spec
@@ -237,7 +252,9 @@ final class OpcuaServer(
         case IdCreateMonitoredItemsRequest => handleCreateItems(reqId, r)
         case IdPublishRequest =>
           val (_, handle) = r.requestHeader()
-          pendingPublishes.synchronized { pendingPublishes.add((handle, reqId)) }
+          pendingPublishes.synchronized {
+            pendingPublishes.add((handle, reqId, System.currentTimeMillis()))
+          }
           pumpPublish()
         case other =>
           val (_, handle) = r.requestHeader()
@@ -380,11 +397,47 @@ final class OpcuaServer(
       pumpPublish()
     }
 
+    /** Answer abandoned PublishRequests (older than `stalePublishMs`) with
+      * empty keep-alive responses — the class doc explains why data must
+      * never be spent on them.
+      */
+    private def flushStalePublishes(): Unit = {
+      val cutoff = System.currentTimeMillis() - stalePublishMs
+      var stale = List.empty[(Long, Long)]
+      pendingPublishes.synchronized {
+        while (!pendingPublishes.isEmpty && pendingPublishes.peek()._3 < cutoff) {
+          val (h, rid, _) = pendingPublishes.poll()
+          stale = (h, rid) :: stale
+        }
+      }
+      stale.reverse.foreach { case (h, rid) => replyKeepAlive(h, rid) }
+    }
+
+    /** Empty PublishResponse: zero notifications, current sequence number
+      * un-advanced — the subset's keep-alive shape ([[OpcuaClient]]'s
+      * publish loop parses it as a no-op and re-arms).
+      */
+    private def replyKeepAlive(handle: Long, reqId: Long): Unit = {
+      var sub: Sub = null
+      subs.forEach((_, s) => if (sub == null && (s.conn eq this)) sub = s)
+      val (sid, seqNo) = if (sub == null) (0L, 1L) else (sub.id, sub.nextSeq)
+      reply(reqId, IdPublishResponse) { w =>
+        w.responseHeader(handle, StatusGood)
+        w.u32(sid)
+        w.i32(0)       // availableSequenceNumbers: empty
+        w.bool(false)  // moreNotifications
+        w.u32(seqNo).i64(nowTicks())
+        w.i32(0)       // zero notifications — keep-alive
+        w.i32(0); w.i32(0) // results, diagnostics
+      }
+    }
+
     /** Answer one pending PublishRequest if any subscription of this
       * connection has queued notifications.
       */
     def pumpPublish(): Unit = this.synchronized {
-      val (handle, reqId) = pendingPublishes.synchronized {
+      flushStalePublishes()
+      val (handle, reqId, _) = pendingPublishes.synchronized {
         if (pendingPublishes.isEmpty) return
         pendingPublishes.peek()
       }

@@ -23,16 +23,14 @@ object DataflowOps {
 
   private def ev(s: SparkSession, dir: String): DataFrame = Tables.events(s, dir)
 
-  /** Envelope schema of the MQTT/Kafka JSON payload (§1.2). Timestamp is
-    * carried as epoch micros (lossless round-trip; ISO strings would truncate
-    * sub-millisecond precision under Spark's default JSON timestamp format).
+  /** Envelope schema of the MQTT/Kafka JSON payload (§1.2) — the shared
+    * contract ([[graft.model.Envelope]]) with `value` as DOUBLE: these
+    * surrogates round-trip the all-numeric events fixture, so the type
+    * channel is statically known. Timestamp is carried as epoch micros
+    * (lossless round-trip; ISO strings would truncate sub-millisecond
+    * precision under Spark's default JSON timestamp format).
     */
-  private val envelopeSchema = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("node_id", StringType),
-    StructField("value", DoubleType),
-    StructField("ts_us", LongType)
-  ))
+  private val envelopeSchema = graft.model.Envelope.schema(DoubleType)
 
   private def payloadJson(df: DataFrame): DataFrame =
     df.withColumn(

@@ -50,41 +50,40 @@ object KafkaBridge {
       .option("maxOffsetsPerTrigger", maxOffsetsPerTrigger.toString)
       .load())
 
-  /** Kafka wire rows → the decoded envelope (SURVEY §1.2): the same
-    * from_json schema the batch surrogate verifies, plus the consumer
+  /** Kafka wire rows → the decoded envelope (SURVEY §1.2): the shared
+    * [[graft.model.Envelope]] contract (value parsed as VARIANT so the
+    * payload's number-vs-string type survives — the DB agent dispatches on
+    * exactly that, kafka_db_agent/main.py:86-89), plus the consumer
     * metadata columns the DB agent logs (kafka_db_agent/main.py:58-63).
+    * Malformed payloads are dropped, mirroring the reference consumer's
+    * swallowed `json.loads` failure (see [[graft.model.Envelope.wellFormed]]).
     */
-  def decode(raw: DataFrame): DataFrame = {
-    val envelope = StructType(Seq(
-      StructField("event_id", LongType),
-      StructField("node_id", StringType),
-      StructField("value", StringType),
-      StructField("ts_us", LongType),
-      StructField("user_id", LongType)
-    ))
+  def decode(raw: DataFrame): DataFrame =
     raw
       .select(
         col("topic"), col("partition"), col("offset").as("msg_offset"),
         col("key").cast("string").as("key"),
-        from_json(col("value").cast("string"), envelope).as("m"))
-      .select(
-        col("topic"), col("partition"), col("msg_offset"), col("key"),
-        col("m.event_id").as("event_id"),
-        timestamp_micros(col("m.ts_us")).as("ts"),
-        col("m.node_id").as("metric"),
-        col("m.value").as("value"),
-        col("m.user_id").as("user_id"))
-  }
+        from_json(col("value").cast("string"), graft.model.Envelope.variantSchema).as("m"))
+      .where(graft.model.Envelope.wellFormed)
+      .select(Seq(col("topic"), col("partition"), col("msg_offset"), col("key")) ++
+        graft.model.Envelope.decodedColumns: _*)
 
   /** Envelope rows → Kafka wire frame (key = metric for per-node ordering,
-    * value = the JSON envelope — hydration_agent/main.py:77-86).
+    * value = the JSON envelope — hydration_agent/main.py:77-86). When the
+    * input carries the decoded `value_v` variant (decode output), the
+    * ORIGINAL JSON type goes back on the wire — encode(decode(bytes))
+    * keeps a number a number; a plain string `value` column (the
+    * all-string wire IngestJob documents) serializes quoted.
     */
-  def encode(events: DataFrame): DataFrame =
+  def encode(events: DataFrame): DataFrame = {
+    val valueCol =
+      if (events.columns.contains("value_v")) col("value_v") else col("value")
     events.select(
       col("metric").cast("string").cast("binary").as("key"),
       to_json(struct(
-        col("event_id"), col("metric").as("node_id"), col("value"),
+        col("event_id"), col("metric").as("node_id"), valueCol.as("value"),
         unix_micros(col("ts")).as("ts_us"), col("user_id"))).cast("binary").as("value"))
+  }
 
   /** Streaming write to the reference topic; checkpointed, at-least-once
     * (Kafka's producer contract — exactly-once needs the idempotent sink

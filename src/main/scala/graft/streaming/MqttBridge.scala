@@ -34,29 +34,22 @@ object MqttBridge {
       .option("topic", topic)
       .load()
 
-  /** Raw MQTT rows → decoded envelope — the same from_json schema the
-    * batch surrogate (DataflowOps.srcMqtt) hash-verifies against the
-    * oracle, applied to live-transport payloads.
+  /** Raw MQTT rows → decoded envelope — the shared [[graft.model.Envelope]]
+    * contract (value parsed as VARIANT so the payload's number-vs-string
+    * type survives for the downstream dispatch), applied to live-transport
+    * payloads. `machine/data` is an OPEN topic: any client can publish
+    * garbage to it, so malformed payloads are dropped here (the reference
+    * consumer nets out the same — a `json.loads` failure in paho's
+    * `on_message` is swallowed and the message lost) instead of poisoning
+    * every downstream stateful twin with an all-null row.
     */
-  def decode(raw: DataFrame): DataFrame = {
-    val envelope = StructType(Seq(
-      StructField("event_id", LongType),
-      StructField("node_id", StringType),
-      StructField("value", StringType),
-      StructField("ts_us", LongType),
-      StructField("user_id", LongType)
-    ))
+  def decode(raw: DataFrame): DataFrame =
     raw
       .select(col("msg_offset"), col("topic"),
-        from_json(col("payload"), envelope).as("m"))
-      .select(
-        col("msg_offset"), col("topic"),
-        col("m.event_id").as("event_id"),
-        timestamp_micros(col("m.ts_us")).as("ts"),
-        col("m.node_id").as("metric"),
-        col("m.value").as("value"),
-        col("m.user_id").as("user_id"))
-  }
+        from_json(col("payload"), graft.model.Envelope.variantSchema).as("m"))
+      .where(graft.model.Envelope.wellFormed)
+      .select(Seq(col("msg_offset"), col("topic")) ++
+        graft.model.Envelope.decodedColumns: _*)
 
   /** foreachBatch publisher — the engine-side twin of the reference's
     * publish loop (opcua_mqtt_agent/main.py:54-59): each batch row's

@@ -34,31 +34,43 @@ object OpcuaMqttAgent {
       opcHost: String, opcPort: Int, endpointUrl: String, namespaceUri: String,
       mqttHost: String, mqttPort: Int, topic: String = MqttBridge.Topic,
       rootName: String = "PickAndPlace"): Handle = {
+    // a failure after either client connects must not leak its socket and
+    // threads: a supervisor retrying run() in a loop would otherwise
+    // accumulate live connections until fd exhaustion (MqttSource applies
+    // the same guard to its client construction)
     val opc = new OpcuaClient(opcHost, opcPort, endpointUrl)
-    val idx = opc.namespaceIndex(namespaceUri)
-    require(idx >= 0, s"namespace $namespaceUri not registered")
-    // browse Objects for the root object in the model namespace
-    // (main.py:99-110: match browse name + namespace index)
-    val root = opc.browse(NumericId(0, NodeObjectsFolder)).collectFirst {
-      case (name, id @ StringId(ns, _), cls)
-        if name == rootName && ns == idx && cls == NodeClassObject => id
-    }.getOrElse(throw new IllegalStateException(s"'$rootName' not in namespace $idx"))
-    // its Variable children (main.py:113-121)
-    val vars = opc.browse(root).collect {
-      case (name, _, cls) if cls == NodeClassVariable => name
+    try {
+      val idx = opc.namespaceIndex(namespaceUri)
+      require(idx >= 0, s"namespace $namespaceUri not registered")
+      // browse Objects for the root object in the model namespace
+      // (main.py:99-110: match browse name + namespace index)
+      val root = opc.browse(NumericId(0, NodeObjectsFolder)).collectFirst {
+        case (name, id @ StringId(ns, _), cls)
+          if name == rootName && ns == idx && cls == NodeClassObject => id
+      }.getOrElse(throw new IllegalStateException(s"'$rootName' not in namespace $idx"))
+      // its Variable children (main.py:113-121)
+      val vars = opc.browse(root).collect {
+        case (name, _, cls) if cls == NodeClassVariable => name
+      }
+      val mqtt = new MqttClient(mqttHost, mqttPort, "graft-opcua-agent")
+      try {
+        val counter = new java.util.concurrent.atomic.AtomicLong(1)
+        val sub = opc.createSubscription(500.0)
+        opc.subscribeDataChange(sub, idx, vars) { (name, v, tsMicros) =>
+          // absent source timestamp renders as JSON null (from_json then
+          // yields a null ts column) — not a fabricated 1970 epoch
+          val payload =
+            s"""{"event_id":${counter.getAndIncrement()},"node_id":${jsonStr(name)},""" +
+              s""""value":${jsonScalar(v)},"ts_us":${tsMicros.map(_.toString).getOrElse("null")},"user_id":null}"""
+          mqtt.publish(topic, payload.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+        new Handle(opc, mqtt, vars)
+      } catch { case t: Throwable => mqtt.close(); throw t }
+    } catch { case t: Throwable =>
+      // close opc only on failure (the inner close cannot double-close it:
+      // a successful Handle return throws nothing)
+      opc.close(); throw t
     }
-    val mqtt = new MqttClient(mqttHost, mqttPort, "graft-opcua-agent")
-    val counter = new java.util.concurrent.atomic.AtomicLong(1)
-    val sub = opc.createSubscription(500.0)
-    opc.subscribeDataChange(sub, idx, vars) { (name, v, tsMicros) =>
-      // absent source timestamp renders as JSON null (from_json then
-      // yields a null ts column) — not a fabricated 1970 epoch
-      val payload =
-        s"""{"event_id":${counter.getAndIncrement()},"node_id":${jsonStr(name)},""" +
-          s""""value":${jsonScalar(v)},"ts_us":${tsMicros.map(_.toString).getOrElse("null")},"user_id":null}"""
-      mqtt.publish(topic, payload.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    }
-    new Handle(opc, mqtt, vars)
   }
 
   private def jsonStr(s: String): String =

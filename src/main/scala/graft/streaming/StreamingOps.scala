@@ -118,13 +118,9 @@ object StreamingOps {
       )
 
   private def pctOf(metric: String, value: Double): Option[Double] = {
-    val target = metric match {
-      case "click" => 250.0
-      case "view" => 170.0
-      case "purchase" => 185.0
-      case "signup" => 175.0
-      case _ => 0.0
-    }
+    // same per-metric setpoints as the batch twin (Model.targetCol) — one
+    // source of truth, so a threshold change cannot split the twins
+    val target = graft.model.Model.targetFor(metric)
     if (target == 0.0) None // guard: opcua_server/main.py:28-29
     else Some((value - target) / target * 100.0)
   }
@@ -143,11 +139,13 @@ object StreamingOps {
     // micro-batch rows are not ordered: sort by (ts, event_id) within batch
     rows.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id)).foreach { e =>
       pctOf(metric, e.value).foreach { pct =>
-        recent = (recent :+ math.abs(pct)).takeRight(3)
+        recent = (recent :+ math.abs(pct)).takeRight(graft.model.Model.TrendWindow)
         // immediate precedence (opcua_server/main.py:35-36): record()
         // returns on the >10% check before the trend rule, so this cycle
         // feeds the buffer but cannot emit a trend alarm itself
-        if (recent.size == 3 && recent.forall(_ > 2.0) && math.abs(pct) <= 10.0)
+        if (recent.size == graft.model.Model.TrendWindow &&
+          recent.forall(_ > graft.model.Model.TrendDeviationPct) &&
+          math.abs(pct) <= graft.model.Model.ImmediateDeviationPct)
           // round like the batch twin (round(min_abs_pct, 4)) so the two
           // output contracts agree digit-for-digit
           out += TrendAlarm(userId, metric, e.event_id,
@@ -362,6 +360,24 @@ object StreamingOps {
     * the batch operator's integer half-up formula (Model.exactAvg4Sql)
     * re-expressed on longs, so closed rows match digit-for-digit.
     */
+  /** Upper bound on synthetic rows per gap in the streaming gap-fill
+    * twins (30 days of minutes). The batch operators are spine-bounded —
+    * the generate cannot outrun the data's own time range — but a stream
+    * has no spine: ONE corrupt far-future timestamp (e.g. nanoseconds
+    * where micros belong, a 1000× forward jump) would otherwise expand
+    * into millions of in-memory rows inside one flatMapGroupsWithState
+    * call AND burn the poisoned bucket into the state store, so recovery
+    * replays the explosion. A wider gap fills its first 30 days and warns
+    * (task log); real observations are never dropped.
+    */
+  val MaxGapFillMinutes: Long = 60L * 24L * 30L
+
+  private def warnGapTruncated(metric: String, fromUs: Long, toUs: Long): Unit =
+    System.err.println(
+      s"[graft] gap-fill truncated at $MaxGapFillMinutes minutes for metric " +
+        s"'$metric': gap ${fromUs}us -> ${toUs}us exceeds the bound " +
+        "(corrupt timestamp?)")
+
   def gapfillLocfFlatMap(
       metric: String,
       rows: Iterator[MetricEvent],
@@ -381,10 +397,13 @@ object StreamingOps {
         out += LocfRow(metric, new Timestamp(st.bucketUs / 1000L),
           Some(avg), avg, is_gap = false, st.n)
         var g = st.bucketUs + MinUs
-        while (g < bucket) {
+        var filled = 0L
+        while (g < bucket && filled < MaxGapFillMinutes) {
           out += LocfRow(metric, new Timestamp(g / 1000L), None, avg, is_gap = true, 0L)
           g += MinUs
+          filled += 1L
         }
+        if (g < bucket) warnGapTruncated(metric, st.bucketUs, bucket)
         st = LocfState(bucket, cents, 1L)
       }
     }
@@ -439,12 +458,15 @@ object StreamingOps {
           // the batch ratio is integer SECONDS divided as doubles
           val spanS = ((st.bucketUs - st.prevBucketUs) / 1000000L).toDouble
           var g = st.prevBucketUs + MinUs
-          while (g < st.bucketUs) {
+          var filled = 0L
+          while (g < st.bucketUs && filled < MaxGapFillMinutes) {
             val ratio = ((g - st.prevBucketUs) / 1000000L).toDouble / spanS
             out += InterpRow(metric, new Timestamp(g / 1000L), None,
               round4(st.prevAvg + (vN - st.prevAvg) * ratio), is_gap = true)
             g += MinUs
+            filled += 1L
           }
+          if (g < st.bucketUs) warnGapTruncated(metric, st.prevBucketUs, st.bucketUs)
         }
         out += InterpRow(metric, new Timestamp(st.bucketUs / 1000L),
           Some(vN), round4(vN), is_gap = false)
@@ -687,21 +709,13 @@ object StreamingOps {
     */
   def ingest(payloads: DataFrame, contextDf: DataFrame): DataFrame = {
     // `value` parses as VARIANT — the one schema type that PRESERVES the
-    // JSON type of the payload. The reference dispatches on exactly that
-    // type (isinstance(val, (int, float)) and not bool), so the string
-    // channel must survive parsing: a StringType field would coerce
-    // numbers, bools and strings to indistinguishable text, and a regex
-    // over the raw payload is a second parser that can disagree with the
+    // JSON type of the payload (see graft.model.Envelope). The reference
+    // dispatches on exactly that type (isinstance(val, (int, float)) and
+    // not bool), so the string channel must survive parsing; a regex over
+    // the raw payload would be a second parser that can disagree with the
     // first (whitespace forms, escaped quotes in other fields).
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("node_id", org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.VariantType),
-      org.apache.spark.sql.types.StructField("ts_us", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType)
-    ))
     payloads
-      .select(from_json(col("payload"), schema).as("m"))
+      .select(from_json(col("payload"), graft.model.Envelope.variantSchema).as("m"))
       .withColumn("raw", expr("try_variant_get(m.value, '$', 'string')"))
       .withColumn("value_is_str", expr("schema_of_variant(m.value)") === lit("STRING"))
       .select(

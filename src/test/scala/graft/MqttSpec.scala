@@ -19,7 +19,7 @@ class MqttSpec extends AnyFunSuite {
 
   test("wire codec roundtrips every packet type") {
     assert(roundtrip(MqttWire.Connect("abc")) == MqttWire.Connect("abc"))
-    assert(roundtrip(MqttWire.Connack) == MqttWire.Connack)
+    assert(roundtrip(MqttWire.Connack(0)) == MqttWire.Connack(0))
     val pub = roundtrip(MqttWire.Publish("machine/data", "payload-µ".getBytes("UTF-8")))
       .asInstanceOf[MqttWire.Publish]
     assert(pub.topic == "machine/data")
@@ -263,6 +263,93 @@ class MqttSpec extends AnyFunSuite {
         assert(got.asScala.toSeq.sorted ==
           (0 until total).map(i => s"""{"event_id":$i}""").sorted)
       } finally sub.close()
+    } finally broker.close()
+  }
+
+  test("a refused CONNECT surfaces as an error, not a half-connected client") {
+    // minimal refusing broker: read the CONNECT, answer CONNACK rc=5
+    // (not authorized), as a spec-compliant broker may (MQTT 3.2.2.3)
+    val server = new java.net.ServerSocket(0, 1,
+      java.net.InetAddress.getLoopbackAddress)
+    val refuser = new Thread(() => {
+      try {
+        val s = server.accept()
+        val in = new DataInputStream(s.getInputStream)
+        MqttWire.decode(in) // the CONNECT
+        s.getOutputStream.write(MqttWire.encode(MqttWire.Connack(5)))
+        s.getOutputStream.flush()
+      } catch { case _: Throwable => () }
+    })
+    refuser.setDaemon(true); refuser.start()
+    try {
+      val e = intercept[java.io.IOException](
+        new MqttClient("127.0.0.1", server.getLocalPort, "refused"))
+      assert(e.getMessage.contains("return code 5"))
+    } finally server.close()
+  }
+
+  test("a throwing subscription callback does not kill the reader: later messages still deliver") {
+    val broker = new MqttBroker()
+    try {
+      val delivered = new ConcurrentLinkedQueue[String]()
+      val latch = new CountDownLatch(1)
+      val sub = new MqttClient("127.0.0.1", broker.port, "throwing-sub")
+      try {
+        sub.subscribe("t/poison") { (_, p) =>
+          val m = new String(p, "UTF-8")
+          if (m == "boom") throw new IllegalStateException("user callback fault")
+          delivered.add(m); latch.countDown()
+        }
+        val pub = new MqttClient("127.0.0.1", broker.port, "throwing-pub")
+        try {
+          pub.publish("t/poison", "boom".getBytes("UTF-8"))
+          pub.publish("t/poison", "after".getBytes("UTF-8"))
+        } finally pub.close()
+        assert(latch.await(10, TimeUnit.SECONDS),
+          "message after a throwing callback was never delivered — reader died")
+        assert(delivered.asScala.toSeq == Seq("after"))
+      } finally sub.close()
+    } finally broker.close()
+  }
+
+  test("malformed payloads are dropped at decode; the stream survives them") {
+    val spark = SparkSuite.session
+    import spark.implicits._
+    val broker = new MqttBroker()
+    try {
+      val q = graft.streaming.MqttBridge
+        .decode(graft.streaming.MqttBridge.source(spark, "127.0.0.1", broker.port))
+        .writeStream.format("memory").queryName("mqtt_malformed")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("mqtt-mal-ck").toString)
+        .start()
+      try {
+        q.processAllAvailable()
+        val pub = new MqttClient("127.0.0.1", broker.port, "mal-pub")
+        try {
+          // the topic is open: garbage, valid JSON missing node_id, and a
+          // real envelope all arrive; only the envelope may survive decode
+          pub.publish(graft.streaming.MqttBridge.Topic, "not json at all {{".getBytes("UTF-8"))
+          pub.publish(graft.streaming.MqttBridge.Topic, """{"unrelated":true}""".getBytes("UTF-8"))
+          pub.publish(graft.streaming.MqttBridge.Topic,
+            """{"event_id":9,"node_id":"Status","value":"ok","ts_us":1700000000000000,"user_id":1}"""
+              .getBytes("UTF-8"))
+        } finally pub.close()
+        val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+        var n = 0L
+        while (n < 1 && System.nanoTime() < deadline) {
+          q.processAllAvailable()
+          n = spark.table("mqtt_malformed").count()
+          if (n < 1) Thread.sleep(50)
+        }
+        // one more pass so the garbled rows (same micro-batch or earlier)
+        // have definitely been through the decode filter
+        q.processAllAvailable()
+        assert(q.isActive, "a garbled publish killed the streaming query")
+        val rows = spark.table("mqtt_malformed")
+          .select("event_id", "metric", "value").as[(Long, String, String)].collect().toSeq
+        assert(rows == Seq((9L, "Status", "ok")), rows.toString)
+      } finally q.stop()
     } finally broker.close()
   }
 }

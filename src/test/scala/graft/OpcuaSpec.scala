@@ -163,6 +163,44 @@ class OpcuaSpec extends AnyFunSuite {
     } finally server.close()
   }
 
+  test("quiet interval then data: no notification batch is lost to abandoned publish requests") {
+    // the client abandons its outstanding PublishRequest after
+    // publishTimeoutMs and re-arms; the server must flush the abandoned
+    // ones (stale > stalePublishMs) with keep-alives, or the first data
+    // batch after a quiet interval is spent answering a request id nobody
+    // awaits — silently dropping every sample in it. Short timeouts make
+    // several abandon/re-arm cycles happen in under a second.
+    val server = new OpcuaServer(stalePublishMs = 150L)
+    try {
+      server.put("Counter", 0L)
+      val client = new OpcuaClient("127.0.0.1", server.port, server.endpointUrl,
+        publishTimeoutMs = 300L)
+      try {
+        val got = new ConcurrentLinkedQueue[Any]()
+        val initial = new CountDownLatch(1)
+        val subId = client.createSubscription(500.0)
+        client.subscribeDataChange(subId, 1, Seq("Counter")) { (_, v, _) =>
+          got.add(v.v); initial.countDown()
+        }
+        assert(initial.await(10, TimeUnit.SECONDS), "initial value not delivered")
+        // quiet: at least 3 abandon/re-arm cycles accumulate server-side
+        Thread.sleep(1100)
+        server.put("Counter", 1L)
+        val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
+        while (!got.asScala.toSeq.contains(1L) && System.nanoTime() < deadline)
+          Thread.sleep(20)
+        assert(got.asScala.toSeq.contains(1L),
+          s"post-quiet notification lost to a stale publish request: ${got.asScala.toSeq}")
+        // and a second write still flows (the queue was not poisoned)
+        server.put("Counter", 2L)
+        val deadline2 = System.nanoTime() + 5L * 1000 * 1000 * 1000
+        while (!got.asScala.toSeq.contains(2L) && System.nanoTime() < deadline2)
+          Thread.sleep(20)
+        assert(got.asScala.toSeq.contains(2L), s"follow-up lost: ${got.asScala.toSeq}")
+      } finally client.close()
+    } finally server.close()
+  }
+
   test("server death marks the client dead and terminates the publish loop") {
     val server = new OpcuaServer()
     val client =

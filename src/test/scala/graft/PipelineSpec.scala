@@ -270,6 +270,41 @@ class PipelineSpec extends SparkSuite {
         lit(0).as("timestampType"))).isStreaming)
   }
 
+  test("kafka bridge: the JSON type channel survives decode→encode (number stays a number)") {
+    import spark.implicits._
+    // typed wire, as OpcuaMqttAgent produces it: value is a JSON NUMBER
+    // in one envelope and a JSON STRING in the other — exactly what the
+    // reference's consumer dispatches on (kafka_db_agent/main.py:86-89)
+    val payloads = Seq(
+      """{"event_id":1,"node_id":"Rate","value":-78.5,"ts_us":1704067200000000,"user_id":7}""",
+      """{"event_id":2,"node_id":"Status","value":"paused","ts_us":1704067201000000,"user_id":7}""")
+    val wire = payloads.map(p =>
+      ("k".getBytes, p.getBytes, "machine_events", 0, 0L,
+        new java.sql.Timestamp(0L), 0))
+      .toDF("key", "value", "topic", "partition", "offset", "timestamp", "timestampType")
+    val decoded = KafkaBridge.decode(wire)
+    // the string view is usable either way...
+    val vals = decoded.select("event_id", "value").as[(Long, String)].collect().toMap
+    assert(vals(1L) == "-78.5" && vals(2L) == "paused")
+    // ...and the re-encoded wire keeps the ORIGINAL JSON types: the
+    // number is NOT re-quoted into a string (which would make the
+    // variant dispatch classify every reading as a string metric)
+    val back = KafkaBridge.encode(decoded).collect()
+      .map(r => new String(r.getAs[Array[Byte]]("value"))).sorted
+    assert(back.exists(_.contains("\"value\":-78.5")), back.mkString("; "))
+    assert(back.exists(_.contains("\"value\":\"paused\"")), back.mkString("; "))
+    // and a second decode of the re-encoded wire dispatches identically
+    val again = KafkaBridge.decode(
+      KafkaBridge.encode(decoded).select(
+        col("key"), col("value"), lit("machine_events").as("topic"),
+        lit(0).as("partition"), lit(0L).as("offset"),
+        lit(new java.sql.Timestamp(0L)).as("timestamp"), lit(0).as("timestampType")))
+      .select(col("event_id"), expr("schema_of_variant(value_v)").as("t"))
+      .as[(Long, String)].collect().toMap
+    assert(again(1L).startsWith("DECIMAL") || again(1L) == "DOUBLE", again.toString)
+    assert(again(2L) == "STRING", again.toString)
+  }
+
   test("partitioned writer: day layout written, day predicate prunes partitions") {
     val out = tmp("events_by_day")
     val nDays = PartitionedWriter.writeEvents(spark, SfDir, out)

@@ -435,6 +435,41 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("locf gap-fill stream: a corrupt far-future timestamp cannot explode the fill (bounded per gap)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // one wild jump: 90 days forward (e.g. a nanoseconds-for-micros
+    // timestamp) — unbounded fill would materialize ~129k rows per such
+    // event and burn the poisoned bucket into the state store
+    val base = Timestamp.valueOf("2024-01-01 00:00:10")
+    val wild = new Timestamp(base.getTime + 90L * 24 * 3600 * 1000)
+    val after = new Timestamp(wild.getTime + 2L * 60 * 1000)
+    val mem = MemoryStream[MetricEvent]
+    val q = StreamingOps.gapfillLocfStream(mem.toDS())
+      .writeStream.format("memory").queryName("locf_capped")
+      .outputMode("append").start()
+    try {
+      mem.addData(MetricEvent(1L, base, 1L, "m", 10.00))
+      q.processAllAvailable()
+      mem.addData(MetricEvent(2L, wild, 1L, "m", 20.00))
+      q.processAllAvailable()
+      mem.addData(MetricEvent(3L, after, 1L, "m", 30.00))
+      q.processAllAvailable()
+      assert(q.isActive)
+      val got = spark.table("locf_capped").as[StreamingOps.LocfRow].collect()
+      // the wild gap fills exactly the bound, not the full 129,600 minutes
+      val wildGaps = got.count(r => r.is_gap && r.bucket.before(wild))
+      assert(wildGaps == StreamingOps.MaxGapFillMinutes.toInt,
+        s"expected capped fill, got $wildGaps gap rows")
+      // real observations are never dropped: both closed minutes emitted
+      assert(got.exists(r => !r.is_gap && r.avg_value.contains(10.0)))
+      assert(got.exists(r => !r.is_gap && r.avg_value.contains(20.0)))
+      // the small trailing gap still fills normally (1 minute between
+      // the wild bucket and the closing observation)
+      assert(got.count(r => r.is_gap && !r.bucket.before(wild)) == 1)
+    } finally q.stop()
+  }
+
   test("interp gap-fill stream: segments emit when the right endpoint closes, equal batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -141,9 +141,21 @@ class TopologySpec extends AnyFunSuite {
             .select("metric", "value").as[(String, String)].collect().toSeq
           assert(rows.count(_ == ("Status", "Running")) == 1, rows.toString)
           assert(rows.count(_ == ("Status", "Error")) == 1)
-          assert(rows.count(_ == ("ActualPlacementRateCPH", "41847.0")) == 1)
+          // the agent publishes 41847.0 as a JSON NUMBER; the variant
+          // parse stores it as an exact decimal, so the string view is
+          // the normalized "41847" (value-preserving, not text-preserving)
+          assert(rows.count(_ == ("ActualPlacementRateCPH", "41847")) == 1)
           assert(rows.count(_ == ("VacuumPressureKPa", "-78.5")) == 1)
           assert(rows.count(_ == ("VacuumPressureKPa", "-60.25")) == 1)
+          // the JSON type channel survived both wires: numbers are
+          // numeric variants, Status is a string variant (the downstream
+          // dispatch rule reads exactly this — kafka_db_agent:86-89)
+          val types = spark.table("live_head")
+            .select($"metric", expr("schema_of_variant(value_v)").as("t"))
+            .as[(String, String)].collect().toSeq
+          assert(types.filter(_._1 == "Status").forall(_._2 == "STRING"), types.toString)
+          assert(types.filter(_._1 == "VacuumPressureKPa").forall(t =>
+            t._2.startsWith("DECIMAL") || t._2 == "DOUBLE" || t._2 == "BIGINT"), types.toString)
           // source timestamps crossed both wires into the ts column
           assert(spark.table("live_head").filter($"ts".isNotNull).count() == n)
         } finally agent.close()
