@@ -202,21 +202,12 @@ object Bench {
           case other => other
         }
       }
-    // full JSON string escape (backslash, quote, ALL control chars) — an
-    // exception message with a tab or CR must not break the driver's parse
-    def jstr(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
     val ok = corrected.collect { case (k, v, None) => k -> v }
     val failed = corrected.collect { case (k, _, Some(e)) => k -> e }
     val qs = ok.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val errs = failed.map { case (k, e) => s"\"" + k + "\":" + jstr(e) }.mkString("{", ",", "}")
+    // an exception message with a tab or CR must not break the driver's
+    // parse — Jsons.quote escapes all control chars
+    val errs = failed.map { case (k, e) => s"\"" + k + "\":" + Jsons.quote(e) }.mkString("{", ",", "}")
     val total = if (ok.nonEmpty) ok.map(_._2).sum else 0.0
     val retr = retried.map { case (k, (a, b)) => "\"" + k + "\":[" + a + "," + b + "]" }
       .mkString("{", ",", "}")

@@ -41,8 +41,10 @@ object Verify {
       val target = java.nio.file.Paths.get(s"$outDir/$name")
       if (java.nio.file.Files.exists(target)) {
         import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(target).sorted(java.util.Comparator.reverseOrder())
+        val walk = java.nio.file.Files.walk(target)
+        try walk.sorted(java.util.Comparator.reverseOrder())
           .iterator().asScala.foreach(java.nio.file.Files.delete)
+        finally walk.close()
       }
       try {
         val out = fn(spark, sfDir)
@@ -66,21 +68,10 @@ object Verify {
     if (failures.nonEmpty)
       System.err.println(
         s"[verify] ${failures.size} queries failed (missing dumps): ${failures.reverse.mkString(", ")}")
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
     val json = SparkEntry.oracleSql
       .filter { case (k, _) => selected.contains(k) }
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${Jsons.quote(k)}: ${Jsons.quote(v)}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

@@ -23,6 +23,15 @@ object MaterializedViews {
 
   private val prepared = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  // per-JVM directory token: the output lives in the SHARED java.io.tmpdir,
+  // and the write-once guard below is per-JVM, so two JVMs benching the
+  // same fixture concurrently (Bench + Verify, or two probes) would race
+  // overwrite-vs-read on one directory — one could scan a half-written MV.
+  // A per-JVM suffix removes the shared mutable path entirely; each JVM
+  // still writes once (the per-READ refresh cost this object exists to
+  // avoid), and the shutdown hook reclaims the scratch dir.
+  private val jvmToken = java.util.UUID.randomUUID().toString.take(8)
+
   /** Day-partitioned minute-grain MV for `sfDir`; returns its directory.
     *
     * `computeIfAbsent` (not check-then-act): a concurrent caller BLOCKS
@@ -33,8 +42,17 @@ object MaterializedViews {
   def minuteMvDir(spark: SparkSession, sfDir: String): String = {
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    val out = s"${sys.props("java.io.tmpdir")}/graft-mv-minute-$key"
+    val out = s"${sys.props("java.io.tmpdir")}/graft-mv-minute-$key-$jvmToken"
     prepared.computeIfAbsent(out, _ => {
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        try {
+          import scala.jdk.CollectionConverters._
+          val root = java.nio.file.Paths.get(out)
+          if (java.nio.file.Files.exists(root))
+            java.nio.file.Files.walk(root)
+              .sorted(java.util.Comparator.reverseOrder())
+              .iterator().asScala.foreach(java.nio.file.Files.delete)
+        } catch { case _: Throwable => () }))
       graft.ops.RelationalOps.minuteMv(spark, sfDir)
         // day partitioning at rest = the hypertable chunk layout
         // (init.sql:11): a bucket-range dashboard predicate prunes whole

@@ -59,6 +59,9 @@ object PartitionedWriter {
     val path = new org.apache.hadoop.fs.Path(outDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     dayPartitionDirs(fs, path)
+      // valid-date partitions only: the dateless partition (null ts →
+      // day=__HIVE_DEFAULT_PARTITION__) is never time-droppable
+      .filter(p => DayName.matches(p.getName.stripPrefix("day=")))
       .filter(_.getName.stripPrefix("day=") < cutoff)
       .map { p => fs.delete(p, true); p.getName.stripPrefix("day=") }
       .distinct.sorted
@@ -95,11 +98,22 @@ object PartitionedWriter {
     require(nDays >= 1, s"retention must keep at least one day, got $nDays")
     val path = new org.apache.hadoop.fs.Path(outDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // only real yyyy-MM-dd partitions participate in the cutoff: a null
+    // timestamp (the envelope allows "ts_us":null) lands in
+    // day=__HIVE_DEFAULT_PARTITION__, and '_' sorts above every digit, so
+    // an unfiltered max would feed LocalDate.parse that token — throwing
+    // inside foreachBatch and permanently crash-looping the ingest job on
+    // restart replay. Dateless rows are outside time-based retention by
+    // definition: they are kept (dropDaysBefore's string compare never
+    // matches them below any cutoff).
     val days = dayPartitionDirs(fs, path).map(_.getName.stripPrefix("day="))
+      .filter(DayName.matches)
     if (days.isEmpty) Seq.empty
     else {
       val cutoff = java.time.LocalDate.parse(days.max).minusDays(nDays - 1L).toString
       dropDaysBefore(spark, outDir, cutoff)
     }
   }
+
+  private val DayName = "\\d{4}-\\d{2}-\\d{2}".r
 }

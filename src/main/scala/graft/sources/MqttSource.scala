@@ -70,7 +70,8 @@ private final class MqttTable(props: util.Map[String, String])
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
         new MqttMicroBatchStream(
           Option(options.get("host")).getOrElse("127.0.0.1"),
-          options.get("port").toInt,
+          Option(options.get("port")).getOrElse(throw new IllegalArgumentException(
+            "mqtt-sub requires option 'port'")).toInt,
           Option(options.get("topic")).getOrElse("#"),
           Option(options.get("clientId")).getOrElse("graft-sub"),
           Option(options.get("maxBufferedRows")).map(_.toLong).getOrElse(1L << 20))

@@ -82,7 +82,8 @@ private final class OpcuaLiveTable(props: util.Map[String, String])
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
         new OpcuaMicroBatchStream(
           Option(options.get("host")).getOrElse("127.0.0.1"),
-          options.get("port").toInt,
+          Option(options.get("port")).getOrElse(throw new IllegalArgumentException(
+            "opcua-sub requires option 'port'")).toInt,
           Option(options.get("endpointUrl")).getOrElse(""),
           Option(options.get("namespaceUri")).getOrElse("urn:example:pick-and-place"),
           Option(options.get("rootName")).getOrElse("PickAndPlace"),

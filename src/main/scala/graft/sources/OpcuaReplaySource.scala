@@ -91,7 +91,15 @@ object OpcuaReplaySource {
     // schemes ("s3a://bucket/x" -> "s3a:/bucket"), defeating the
     // serialized-Hadoop-conf machinery below that exists precisely so
     // executors can read non-local filesystems
-    val dir = new org.apache.hadoop.fs.Path(path).getParent.toString
+    val p = new org.apache.hadoop.fs.Path(path)
+    // the replay log is derived from the fixture DIRECTORY via
+    // Tables.events (which reads <dir>/events.parquet and owns the ts
+    // normalization); a path naming any other file would be silently
+    // ignored in favor of its sibling events.parquet — refuse it loudly
+    require(p.getName == "events.parquet",
+      s"opcua-replay option 'path' must point at an events.parquet fixture " +
+        s"(got '$path'): the replay log reads <parent>/events.parquet")
+    val dir = p.getParent.toString
     val scratch = new org.apache.hadoop.fs.Path(scratchDir)
     val fs = scratch.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(new org.apache.hadoop.fs.Path(scratch, "_SUCCESS"))) {

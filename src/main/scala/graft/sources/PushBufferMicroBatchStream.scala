@@ -31,11 +31,19 @@ private[sources] final case class PushOffset(n: Long) extends Offset {
   * planned batch. Only the pre-crash window is lost (a batch planned
   * before the crash but never committed replays EMPTY): at-most-once,
   * the documented loss mode, never a duplicate and never a drop of
-  * post-restart arrivals. The guard makes the parse-side mutation safe
-  * outside recovery too: offsets this instance itself produced satisfy
-  * o <= base + buf.length, so steady-state round-trips of the offset log
-  * are pure parses and the rebase fires only when the checkpoint is
-  * genuinely ahead of this instance's numbering.
+  * post-restart arrivals.
+  *
+  * The rebase guard is `o > maxIssued` — the high-water mark of offsets
+  * THIS instance has handed to Spark via latestOffset — not a comparison
+  * against the buffer length: admission starts at construction
+  * (subscribe) but the offset log is parsed later, so a hot topic can
+  * buffer more rows than the checkpointed offset before recovery reads
+  * the log. A buffer-length guard would then skip the rebase, mislabel
+  * post-restart rows with pre-crash offsets, and commit() would evict
+  * rows that were never planned into any batch. Offsets this instance
+  * itself produced always satisfy o <= maxIssued, so steady-state
+  * round-trips of the offset log are pure parses and the rebase fires
+  * exactly when the checkpoint is ahead of this instance's numbering.
   */
 private[sources] abstract class PushBufferMicroBatchStream[R](
     sourceName: String, maxBuffered0: Long) extends MicroBatchStream {
@@ -47,6 +55,7 @@ private[sources] abstract class PushBufferMicroBatchStream[R](
 
   private val buf = scala.collection.mutable.ArrayBuffer.empty[R]
   private var base = 0L // absolute offset of buf(0)
+  private var maxIssued = 0L // highest offset returned from latestOffset
   private var dropped = 0L
   private val lock = new Object
 
@@ -72,11 +81,17 @@ private[sources] abstract class PushBufferMicroBatchStream[R](
 
   override final def initialOffset(): Offset = PushOffset(0L)
   override final def latestOffset(): Offset =
-    lock.synchronized(PushOffset(base + buf.length))
+    lock.synchronized {
+      val o = base + buf.length
+      if (o > maxIssued) maxIssued = o
+      PushOffset(o)
+    }
 
   override final def deserializeOffset(json: String): Offset = {
     val o = json.toLong
-    lock.synchronized { if (o > base + buf.length) base = o }
+    lock.synchronized {
+      if (o > maxIssued) { base = o; maxIssued = o }
+    }
     PushOffset(o)
   }
 

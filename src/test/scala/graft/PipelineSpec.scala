@@ -305,6 +305,26 @@ class PipelineSpec extends SparkSuite {
     assert(again(2L) == "STRING", again.toString)
   }
 
+  test("retention survives a dateless partition: a null timestamp cannot crash-loop the ingest job") {
+    import spark.implicits._
+    val out = tmp("retain_nullday")
+    // a null ts (the envelope allows "ts_us":null) lands in
+    // day=__HIVE_DEFAULT_PARTITION__; retention must neither crash on it
+    // (it sorts above every real date) nor time-drop it
+    val sink = IdempotentSink.parquetAppendByDay(out, "ts", Some(1))
+    val batch = Seq(
+      (1L, Option(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")), 1.0),
+      (2L, Option(java.sql.Timestamp.valueOf("2024-01-03 00:00:00")), 2.0),
+      (3L, Option.empty[java.sql.Timestamp], 3.0)
+    ).toDF("event_id", "ts", "value")
+    sink(batch, 0L) // retention runs inside foreachBatch: must not throw
+    val left = spark.read.parquet(out).select("event_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    // newest day kept, the day older than the 1-day window dropped, the
+    // dateless row kept (outside time-based retention by definition)
+    assert(left == Seq(2L, 3L), left.toString)
+  }
+
   test("partitioned writer: day layout written, day predicate prunes partitions") {
     val out = tmp("events_by_day")
     val nDays = PartitionedWriter.writeEvents(spark, SfDir, out)
