@@ -3,7 +3,6 @@ package graft
 import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.execution.debug._
 
 /** Physical-plan audit: dumps `explain(formatted)` for the headline queries
   * plus the properties each plan must keep at scale. Regenerate PLANS.md

@@ -4,16 +4,23 @@ import org.apache.spark.sql.SparkSession
 
 /** Local diagnostic: split a query's wall-clock into DataFrame
   * construction (analysis), physical planning (optimize + strategy +
-  * codegen source), and execution (noop write). Not part of the driver
-  * contract; used to aim floor work at the dominant phase.
+  * codegen source), and execution (consuming the SAME executedPlan's
+  * toRdd — a noop write here would build a fresh QueryExecution over the
+  * write command and re-pay the whole planning phase inside the "exec"
+  * number, aiming floor work at the wrong phase). Not part of the driver
+  * contract.
   */
 object ProbePlanning {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val names = args.toSeq
+    val unknown = names.filterNot(SparkEntry.queries.keySet)
+    require(unknown.isEmpty,
+      s"unknown quer${if (unknown.size == 1) "y" else "ies"}: ${unknown.mkString(", ")}")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir", "/dev/shm/graft-spark")
       .config("spark.sql.adaptive.enabled", "false")
@@ -22,10 +29,13 @@ object ProbePlanning {
       .config("spark.sql.optimizer.dynamicPartitionPruning.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warm: codegen + readers
+    // warm: codegen + readers (a failure here will recur in the timed
+    // loop; surface it instead of hiding the first signal)
     names.foreach { n =>
       try SparkEntry.queries(n)(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[probe] warmup $n failed: $e")
+      }
     }
     println(f"${"query"}%-24s build   plan    exec")
     names.foreach { n =>
@@ -33,9 +43,9 @@ object ProbePlanning {
         val t0 = System.nanoTime()
         val df = SparkEntry.queries(n)(spark, sfDir)
         val t1 = System.nanoTime()
-        df.queryExecution.executedPlan // force optimize + physical planning
+        val rdd = df.queryExecution.toRdd // force optimize + physical planning
         val t2 = System.nanoTime()
-        df.write.format("noop").mode("overwrite").save()
+        rdd.foreachPartition(it => while (it.hasNext) it.next())
         val t3 = System.nanoTime()
         ((t1 - t0) / 1e9, (t2 - t1) / 1e9, (t3 - t2) / 1e9)
       }

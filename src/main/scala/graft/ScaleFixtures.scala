@@ -14,8 +14,9 @@ import org.apache.spark.sql.functions._
   *    ~46 names (opcua_server/main.py:152-203) — the exact shape the
   *    two-phase (metric, day) windows were built for: 10× the days, the
   *    same per-(metric, day) density.
-  *  - `documents`: copy k>0 prefixes every whitespace token with `q<k>`
-  *    and doc_id moves to a disjoint range. Within a copy the near-dup
+  *  - `documents`: copy k>0 prefixes every whitespace token with the
+  *    fixed-width marker `q<kkk>` (prefix-free across copies by
+  *    construction) and doc_id moves to a disjoint range. Within a copy the near-dup
   *    structure is IDENTICAL to the original (shingle sets are the
   *    original's, renamed); across copies no shingle collides, so
   *    MinHash/SimHash/ngram pair counts scale ×N, never ×N² — copies that
@@ -34,32 +35,60 @@ object ScaleFixtures {
     val src = args(0)
     val out = args(1)
     val n = if (args.length > 2) args(2).toInt else 10
-    val spark = SparkSession.builder()
-      .master(s"local[${math.min(Runtime.getRuntime.availableProcessors, 32)}]")
-      .config("spark.sql.shuffle.partitions", "32")
+    require(n >= 1 && n <= 999,
+      s"factor must be in [1, 999] (got $n): the copy marker is 3 digits wide")
+    // GraftSession.builder pins spark.sql.session.timeZone=UTC — the
+    // NTZ->timestamp cast in Tables.events and the day arithmetic below
+    // are session-timezone dependent, so a bare builder here would
+    // persist host-timezone-shifted instants (and DST-skewed day
+    // boundaries) into the scaled fixture
+    val spark = GraftSession.builder(
+        s"local[${math.min(Runtime.getRuntime.availableProcessors, 32)}]", 32)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     val ev = Tables.events(spark, src)
-    val span = ev.agg(
-      (datediff(max(col("ts")), min(col("ts"))) + 1).as("d")).head().getInt(0)
+    val spanRow = ev.agg(
+      (datediff(max(col("ts")), min(col("ts"))) + 1).as("d"),
+      min(col("event_id")), max(col("event_id"))).head()
+    require(!spanRow.isNullAt(0),
+      s"events fixture at $src is empty — nothing to scale")
+    val span = spanRow.getInt(0)
+    // same silent-collision reasoning as the label stride below: if the
+    // driver ever regenerates fixtures with ids outside the stride (e.g.
+    // hashed 64-bit ids), copies would overlap and dedup/join pair counts
+    // go superlinear with no error — fail loudly instead
+    checkStride("event_id", spanRow.getLong(1), spanRow.getLong(2), EventIdStride, n)
     val events = copies(n) { k =>
       ev.select(
-        (col("event_id") + k * 1000000000000L).as("event_id"),
+        (col("event_id") + k * EventIdStride).as("event_id"),
         expr(s"timestampadd(DAY, ${k.toLong * span}, ts)").as("ts"),
         col("user_id"), col("event_type"), col("value"), col("props"))
     }
     write(events, s"$out/events.parquet")
 
     val docs = Tables.documents(spark, src)
+    val docIds = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
+    require(!docIds.isNullAt(0), s"documents fixture at $src is empty — nothing to scale")
+    checkStride("doc_id", docIds.getLong(0), docIds.getLong(1), DocIdStride, n)
+    // the copy marker must be PREFIX-FREE against both other markers and
+    // corpus tokens, or "no shingle collides across copies" fails: a
+    // variable-width q<k> made copy 1's "2x"->"q12x" equal copy 12's
+    // "x"->"q12x". Fixed-width q<kkk> kills cross-copy collisions by
+    // construction; the guard below rejects the (pathological) corpus
+    // that already contains marker-shaped tokens colliding with renames.
+    val clashing = docs.filter(
+      exists(split(col("text"), " "), t => t.rlike("^q[0-9]{3}"))).limit(1).count()
+    require(clashing == 0,
+      "source corpus contains tokens matching the copy-marker pattern q<digit><digit><digit> — renamed copies could collide with the original text")
     val documents = copies(n) { k =>
       val text =
         if (k == 0) col("text")
         else array_join(transform(split(col("text"), " "),
-          t => concat(lit(s"q$k"), t)), " ")
+          t => concat(lit(f"q$k%03d"), t)), " ")
       docs.select(
-        (col("doc_id") + k * 1000000000L).as("doc_id"),
+        (col("doc_id") + k * DocIdStride).as("doc_id"),
         text.as("text"), col("lang"), col("source"))
         .withColumn("n_chars", length(col("text")).cast("long"))
     }
@@ -87,6 +116,20 @@ object ScaleFixtures {
 
     println(s"""{"out":"$out","factor":$n,"events":${spark.read.parquet(s"$out/events.parquet").count()},"documents":${spark.read.parquet(s"$out/documents.parquet").count()},"embeddings":${spark.read.parquet(s"$out/embeddings.parquet").count()}}""")
     spark.stop()
+  }
+
+  private val EventIdStride = 1000000000000L
+  private val DocIdStride = 1000000000L
+
+  /** Copies stay disjoint iff the id domain fits inside one stride and the
+    * last copy's offset does not overflow Long.
+    */
+  private def checkStride(name: String, minV: Long, maxV: Long,
+      stride: Long, n: Int): Unit = {
+    require(maxV - minV < stride,
+      s"$name domain [$minV, $maxV] exceeds the copy stride $stride — copies would collide")
+    require(maxV <= Long.MaxValue - (n - 1).toLong * stride,
+      s"$name offsets overflow Long at factor $n")
   }
 
   private def copies(n: Int)(mk: Int => DataFrame): DataFrame =

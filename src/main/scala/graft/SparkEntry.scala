@@ -17,7 +17,7 @@ object SparkEntry {
     RelationalOps.bucketAgg(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2A dataflow
     "src_opcua" -> (DataflowOps.srcOpcua _),
     "src_schema_discovery" -> (DataflowOps.srcSchemaDiscovery _),
@@ -104,7 +104,7 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] =
+  val oracleSql: Map[String, String] =
     DataflowOps.oracles ++ RelationalOps.oracles ++ AlarmOps.oracles ++
       TextOps.oracles ++ DedupOps.oracles ++ SimilarityOps.oracles ++
       SessionOps.oracles ++ MultimodalOps.oracles ++ CurationOps.oracles ++
