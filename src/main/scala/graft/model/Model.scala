@@ -128,4 +128,10 @@ object Model {
   val TrendWindow = 3              // opcua_server/main.py:23
   val FeederLowThreshold = 200.0   // opcua_server/main.py:322
   val FeederEmptyThreshold = 1.0   // scaled stand-in for count<=0 at :389
+  // stateless threshold-alarm rules (opcua_server/main.py:381-386),
+  // re-scaled to the events value domain; the accuracy band is centered
+  // on the purchase setpoint (MetricTargets)
+  val AccuracyBand = 120.0
+  val VisionMinRate = 5.0
+  val VacuumMaxKpa = 330.0
 }

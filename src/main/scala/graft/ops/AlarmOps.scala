@@ -123,9 +123,15 @@ object AlarmOps {
     ev(s, dir)
       .withColumn(
         "alarm_type",
-        when(col("event_type") === "purchase" && abs(col("value") - 185) > 120, "ACCURACY")
-          .when(col("event_type") === "view" && col("value") < 5, "VISION")
-          .when(col("event_type") === "signup" && col("value") > 330, "VACUUM")
+        // thresholds from Model (shared with the oracle SQL below), the
+        // accuracy band centered on the purchase setpoint — same
+        // single-source rule as every other alarm threshold in this file
+        when(col("event_type") === "purchase" &&
+          abs(col("value") - Model.targetFor("purchase")) > Model.AccuracyBand, "ACCURACY")
+          .when(col("event_type") === "view" &&
+            col("value") < Model.VisionMinRate, "VISION")
+          .when(col("event_type") === "signup" &&
+            col("value") > Model.VacuumMaxKpa, "VACUUM")
       )
       .filter(col("alarm_type").isNotNull)
       .select(col("event_id"), col("alarm_type"), col("event_type").as("metric"), col("value"))
@@ -230,14 +236,14 @@ object AlarmOps {
           |WHERE value < 1 AND (prev IS NULL OR prev >= 1)
           |ORDER BY event_id""".stripMargin,
       "q_threshold_alarms" ->
-        """WITH t AS (
-          |  SELECT event_id, event_type, value,
-          |    CASE WHEN event_type = 'purchase' AND abs(value - 185) > 120 THEN 'ACCURACY'
-          |         WHEN event_type = 'view' AND value < 5 THEN 'VISION'
-          |         WHEN event_type = 'signup' AND value > 330 THEN 'VACUUM' END AS alarm_type
-          |  FROM events)
-          |SELECT event_id, alarm_type, event_type AS metric, value FROM t
-          |WHERE alarm_type IS NOT NULL ORDER BY event_id""".stripMargin,
+        s"""WITH t AS (
+           |  SELECT event_id, event_type, value,
+           |    CASE WHEN event_type = 'purchase' AND abs(value - ${Model.targetFor("purchase")}) > ${Model.AccuracyBand} THEN 'ACCURACY'
+           |         WHEN event_type = 'view' AND value < ${Model.VisionMinRate} THEN 'VISION'
+           |         WHEN event_type = 'signup' AND value > ${Model.VacuumMaxKpa} THEN 'VACUUM' END AS alarm_type
+           |  FROM events)
+           |SELECT event_id, alarm_type, event_type AS metric, value FROM t
+           |WHERE alarm_type IS NOT NULL ORDER BY event_id""".stripMargin,
       "q_auto_recovery" ->
         """WITH latest AS (
           |  SELECT user_id, event_type, value AS last_value FROM events

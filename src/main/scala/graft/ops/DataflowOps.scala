@@ -215,16 +215,22 @@ object DataflowOps {
 
   /** Raw dynamic value per event, pre-dispatch — numbers arrive as decimal
     * strings, 'error' rows as JSON text, 'signup' rows as booleans
-    * (mirrors the OPC-UA variant union, §1.3).
+    * (mirrors the OPC-UA variant union, §1.3). The boolean rule is
+    * "above the signup setpoint" — the cutoff comes from
+    * Model.MetricTargets (the declared single source), not a literal, so
+    * a setpoint change cannot desynchronize the variant channel.
     */
+  private val signupCutoff: Double = graft.model.Model.targetFor("signup")
+
   private def rawValue = when(col("event_type") === "error", col("props"))
-    .when(col("event_type") === "signup", when(col("value") > 175, "true").otherwise("false"))
+    .when(col("event_type") === "signup",
+      when(col("value") > signupCutoff, "true").otherwise("false"))
     .otherwise(col("value").cast("string"))
 
   private val rawValueSql: String =
-    """CASE WHEN event_type = 'error' THEN props
-      |     WHEN event_type = 'signup' THEN (CASE WHEN value > 175 THEN 'true' ELSE 'false' END)
-      |     ELSE CAST(value AS VARCHAR) END""".stripMargin
+    s"""CASE WHEN event_type = 'error' THEN props
+       |     WHEN event_type = 'signup' THEN (CASE WHEN value > $signupCutoff THEN 'true' ELSE 'false' END)
+       |     ELSE CAST(value AS VARCHAR) END""".stripMargin
 
   /** Type dispatch / value normalization (kafka_db_agent/main.py:83-89):
     * numeric-non-bool → value_num (widened to double), everything else →

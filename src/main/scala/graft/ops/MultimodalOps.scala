@@ -45,8 +45,10 @@ object MultimodalOps {
         // null text ingests as EMPTY media (0 bytes, empty payload): the
         // typed MediaRow has a primitive n_bytes, so a null here would
         // fault in the encoder before any decode-side guard could run;
-        // the oracles apply the same coalesce
-        length(coalesce(col("text"), lit(""))).cast("long").as("n_bytes"),
+        // the oracles apply the same coalesce. octet_length, not length:
+        // n_bytes documents the PAYLOAD's size, and code-point count
+        // undercounts any non-ASCII text's UTF-8 bytes
+        octet_length(coalesce(col("text"), lit(""))).cast("long").as("n_bytes"),
         encode(coalesce(col("text"), lit("")), "UTF-8").as("payload")
       )
 

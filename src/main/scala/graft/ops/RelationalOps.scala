@@ -303,30 +303,35 @@ object RelationalOps {
     // highest-event_id click among equal-ts ties wins, deterministically.
     // (DuckDB's ASOF JOIN leaves the same tie unspecified; the fixtures
     // are tie-free, so the oracle still matches.)
+    // the matched click travels as ONE struct through ONE ignoreNulls
+    // window: two independent windows over (r_ts, r_value) would stitch
+    // the pair from two DIFFERENT click rows whenever a click's value is
+    // null (ts from the latest click, value from the latest NON-NULL-
+    // valued click) and drop errors whose true match has a null value —
+    // ASOF semantics return the matched row's value, null included. The
+    // struct is non-null for every click row, so ignoreNulls skips
+    // exactly the error rows.
     val errors = e.filter(col("event_type") === "error")
       .select(col("event_id"), col("user_id"), col("ts"), col("value"),
         lit(1).as("side"),
-        lit(null).cast("timestamp").as("r_ts"),
-        lit(null).cast("double").as("r_value"),
+        lit(null).cast("struct<ts:timestamp,value:double>").as("r_click"),
         col("event_id").as("tie"))
     val clicks = e.filter(col("event_type") === "click")
       .select(lit(null).cast("long").as("event_id"), col("user_id"), col("ts"),
         lit(null).cast("double").as("value"),
         lit(0).as("side"),
-        col("ts").as("r_ts"),
-        col("value").as("r_value"),
+        struct(col("ts").as("ts"), col("value").as("value")).as("r_click"),
         col("event_id").as("tie"))
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("side"), col("tie"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     clicks.unionByName(errors)
-      .withColumn("click_ts", last(col("r_ts"), ignoreNulls = true).over(w))
-      .withColumn("click_value", last(col("r_value"), ignoreNulls = true).over(w))
+      .withColumn("click", last(col("r_click"), ignoreNulls = true).over(w))
       // inner as-of semantics: errors with no prior click drop, matching
       // the oracle's (inner) ASOF JOIN
-      .filter(col("side") === 1 && col("click_value").isNotNull)
+      .filter(col("side") === 1 && col("click").isNotNull)
       .select(col("event_id"), col("user_id"), col("ts"), col("value"),
-        col("click_ts"), col("click_value"))
+        col("click.ts").as("click_ts"), col("click.value").as("click_value"))
       .resultOrder(col("event_id"))
   }
 

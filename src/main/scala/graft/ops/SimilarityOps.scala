@@ -20,6 +20,26 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityOps {
 
+  /** The similarity surface's input contract: vectors carrying a NaN
+    * element (the standard upstream-encoder failure mode) are EXCLUDED up
+    * front, on both engines. Without the shared filter the two engines
+    * silently disagree the moment a NaN appears: the native
+    * CosineSimilarity returns NULL (row drops / ranks last) while DuckDB
+    * propagates NaN, which compares >= any threshold as TRUE and sorts
+    * FIRST under ORDER BY DESC — a NaN vector would top the oracle's
+    * top-k and be absent from the engine's. Filtering the vectors (not
+    * the similarity output) also keeps NaN out of the IVF centroid sums,
+    * where ANSI decimal casts would otherwise fault.
+    */
+  private[ops] def nanFreeEmbeddings(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .filter(!exists(col("embedding"), x => isnan(x)))
+
+  /** DuckDB twin of the NaN-vector exclusion, spliced into every oracle. */
+  private val EmbNanFreeSql =
+    "len(list_filter(embedding, x -> isnan(CAST(x AS DOUBLE)))) = 0"
+  private val EmbSql = s"(SELECT * FROM embeddings WHERE $EmbNanFreeSql)"
+
   /** Fused single-pass cosine similarity — a native codegen'd Catalyst
     * expression (graft.functions.CosineSimilarity): dot product and both
     * norms accumulate in one primitive loop, left-to-right in double,
@@ -34,7 +54,7 @@ object SimilarityOps {
 
   /** Exact top-10 cosine neighbors of vec_id 0. */
   def simTopK(s: SparkSession, dir: String): DataFrame =
-    simTopKOn(Tables.embeddings(s, dir), 10)
+    simTopKOn(nanFreeEmbeddings(s, dir), 10)
 
   def simTopKOn(emb: DataFrame, k: Int): DataFrame = {
     val query = emb.filter(col("vec_id") === 0).select(col("embedding").as("q"))
@@ -75,7 +95,7 @@ object SimilarityOps {
     * full scan — candidate volume scales as N × probes / 2^planes.
     */
   def simTopKLsh(s: SparkSession, dir: String, k: Int = 10): DataFrame =
-    simTopKLshOn(Tables.embeddings(s, dir), k)
+    simTopKLshOn(nanFreeEmbeddings(s, dir), k)
 
   def simTopKLshOn(emb: DataFrame, k: Int): DataFrame = {
     val bucketed = emb.withColumn("bucket", signBucket(col("embedding")))
@@ -112,7 +132,7 @@ object SimilarityOps {
     * in both engines (same pattern as Model.exactSum).
     */
   def simTopKIvf(s: SparkSession, dir: String, k: Int = 10, nProbe: Int = 2): DataFrame = {
-    val emb = Tables.embeddings(s, dir)
+    val emb = nanFreeEmbeddings(s, dir)
     val centroids = emb
       .select(col("label"), posexplode(col("embedding")).as(Seq("d", "x")))
       .groupBy(col("label"), col("d"))
@@ -194,11 +214,11 @@ object SimilarityOps {
     import s.implicits._
     val thr = EmbedCosineThreshold
     val bits = {
-      val st = Tables.embeddings(s, dir)
+      val st = nanFreeEmbeddings(s, dir)
         .agg(count(lit(1)), count_distinct(col("label"))).head()
       subBucketBits(st.getLong(0), st.getLong(1))
     }
-    Tables.embeddings(s, dir)
+    nanFreeEmbeddings(s, dir)
       .select(col("label"), col("vec_id"), col("embedding"))
       .as[(Int, Long, Array[Float])]
       .groupByKey { case (label, _, e) =>
@@ -256,7 +276,7 @@ object SimilarityOps {
     "q_sim_topk_lsh" ->
       s"""WITH b AS (
          |  SELECT vec_id, label, embedding, $signBucketSql AS bucket
-         |  FROM embeddings),
+         |  FROM $EmbSql),
          |q AS (SELECT bucket AS qb, CAST(embedding AS DOUBLE[]) AS qe FROM b WHERE vec_id = 0),
          |probes AS (
          |  SELECT xor(q.qb, m.m) AS probe, q.qe
@@ -275,29 +295,29 @@ object SimilarityOps {
          |  FROM (
          |    SELECT ((count(*) + count(DISTINCT label) - 1) // count(DISTINCT label)
          |            + ${TargetBlockRows - 1}) // $TargetBlockRows AS m
-         |    FROM embeddings)),
+         |    FROM $EmbSql)),
          |n AS (
          |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
          |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm,
          |         coalesce(list_sum(list_transform(range(1, p.k + 1),
          |           i -> CASE WHEN embedding[i] >= 0 THEN power(2.0, i - 1) ELSE 0.0 END)), 0.0) AS bucket
-         |  FROM embeddings, p)
+         |  FROM $EmbSql, p)
          |SELECT a.vec_id AS i, b.vec_id AS j, a.label AS label,
          |       floor(list_dot_product(a.v, b.v) / (a.nrm * b.nrm) * 10000.0 + 0.5) / 10000.0 AS cos_sim
          |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id AND a.bucket = b.bucket
          |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= $EmbedCosineThreshold
          |ORDER BY i, j""".stripMargin,
     "q_sim_topk_ivf" ->
-      """WITH xv AS (
+      s"""WITH xv AS (
         |  SELECT label, generate_subscripts(embedding, 1) AS d, unnest(embedding) AS x
-        |  FROM embeddings),
+        |  FROM $EmbSql),
         |cd AS (
         |  SELECT label, d,
         |         CAST(CAST(sum(CAST(x AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS FLOAT) AS c
         |  FROM xv GROUP BY label, d),
         |cent AS (
         |  SELECT label, list(CAST(c AS DOUBLE) ORDER BY d) AS centroid FROM cd GROUP BY label),
-        |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+        |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM $EmbSql WHERE vec_id = 0),
         |probe AS (
         |  SELECT label FROM cent, q
         |  ORDER BY list_dot_product(centroid, qe) /
@@ -308,18 +328,18 @@ object SimilarityOps {
         |       floor(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qe)
         |         / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
         |            * sqrt(list_dot_product(q.qe, q.qe))) * 10000.0 + 0.5) / 10000.0 AS cos_sim
-        |FROM embeddings e JOIN probe USING (label), q
+        |FROM $EmbSql e JOIN probe USING (label), q
         |WHERE e.vec_id <> 0
         |ORDER BY cos_sim DESC, e.vec_id
         |LIMIT 10""".stripMargin,
     "q_sim_topk" ->
-      """WITH q AS (
-        |  SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0)
+      s"""WITH q AS (
+        |  SELECT CAST(embedding AS DOUBLE[]) AS qe FROM $EmbSql WHERE vec_id = 0)
         |SELECT vec_id, label,
         |  floor(list_dot_product(CAST(embedding AS DOUBLE[]), qe)
         |    / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
         |       * sqrt(list_dot_product(qe, qe))) * 10000.0 + 0.5) / 10000.0 AS cos_sim
-        |FROM embeddings, q WHERE vec_id <> 0
+        |FROM $EmbSql, q WHERE vec_id <> 0
         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
   )
 }

@@ -86,6 +86,32 @@ class RelationalOpsSpec extends SparkSuite {
     assert(got.nonEmpty)
   }
 
+  test("q_asof_join: a null-valued click is still the match (ASOF returns its value, null included)") {
+    import spark.implicits._
+    // the fixture is null-free so the oracle cannot catch this: the pair
+    // must come from ONE click row — carrying ts and value through two
+    // independent ignoreNulls windows would stitch (latest click's ts,
+    // latest NON-NULL click's value) and drop errors whose only prior
+    // click has a null value
+    val e = Seq(
+      (1L, 10L, "2024-01-01 00:00:00", Option(5.0), "click"),
+      (2L, 10L, "2024-01-01 00:01:00", Option.empty[Double], "click"),
+      (3L, 10L, "2024-01-01 00:02:00", Option(7.0), "error"),
+      (4L, 20L, "2024-01-01 00:00:30", Option.empty[Double], "click"),
+      (5L, 20L, "2024-01-01 00:01:30", Option(9.0), "error")
+    ).toDF("event_id", "user_id", "ts_s", "value", "event_type")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    val got = RelationalOps.asofJoinOn(e)
+      .select("event_id", "click_ts", "click_value")
+      .as[(Long, java.sql.Timestamp, Option[Double])].collect().sortBy(_._1)
+    assert(got.length == 2, got.mkString("; "))
+    // error 3's match is click 2 (the latest), whose value is null —
+    // NOT click 1's 5.0
+    assert(got(0) == ((3L, java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), None)))
+    // user 20's only prior click is null-valued: the error is KEPT
+    assert(got(1) == ((5L, java.sql.Timestamp.valueOf("2024-01-01 00:00:30"), None)))
+  }
+
   test("q_gapfill_locf: dense spine, carried values match an independent replay") {
     val rows = RelationalOps.gapfillLocf(spark, SfDir).collect()
     val byMetric = rows.groupBy(_.getString(0))
