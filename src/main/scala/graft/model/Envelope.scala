@@ -35,25 +35,39 @@ object Envelope {
     StructField("user_id", LongType)
   ))
 
-  /** The transports' parse schema: `value` as VARIANT (type-preserving). */
+  /** The transports' parse schema: `value` as VARIANT (type-preserving).
+    *
+    * Why decode parses the payload TWICE (variant + string): Spark's
+    * VARIANT reader (verified against 4.1.2) decodes non-ASCII string
+    * content inside a variant to per-byte U+FFFD replacement chars —
+    * raw UTF-8 and \\uXXXX-escaped input alike; plain string fields are
+    * unaffected. So the variant channel is authoritative only for the
+    * JSON TYPE (and for numeric/boolean content, which is ASCII by
+    * construction), while string CONTENT must come from a parallel
+    * StringType parse. [[decodedColumns]] wires exactly that split.
+    */
   val variantSchema: StructType = schema(VariantType)
 
-  /** Envelope struct column `m` → the decoded consumer columns shared by
-    * KafkaBridge.decode and MqttBridge.decode. `value` is the string view;
-    * `value_v` keeps the variant so an encode can put the ORIGINAL JSON
-    * type back on the wire and a consumer can dispatch on it
-    * (schema_of_variant). Note the variant parse normalizes numeric TEXT:
-    * `41847.0` on the wire stores as an exact decimal and renders back as
-    * `41847` — value-preserving (the reference's consumer reads it with
-    * `float(val)`), but not byte-preserving for numbers carrying trailing
-    * fractional zeros. `ts` may be null: a producer with no source
-    * timestamp sends `"ts_us":null` rather than a fabricated epoch.
+  /** The content-side parse twin: every field as its natural type, value
+    * as STRING (lossless for any content, typeless).
+    */
+  val stringSchema: StructType = schema(StringType)
+
+  /** Envelope struct columns `m` (variant parse) + `ms` (string parse) →
+    * the decoded consumer columns shared by KafkaBridge.decode and
+    * MqttBridge.decode. `value` is the lossless string view (from the
+    * string parse — the variant's string channel mangles non-ASCII, see
+    * [[variantSchema]]); `value_v` keeps the variant so a consumer can
+    * dispatch on the ORIGINAL JSON type (schema_of_variant) and an encode
+    * can put it back on the wire. `ts` may be null: a producer with no
+    * source timestamp sends `"ts_us":null` rather than a fabricated
+    * epoch.
     */
   def decodedColumns: Seq[Column] = Seq(
     col("m.event_id").as("event_id"),
     timestamp_micros(col("m.ts_us")).as("ts"),
     col("m.node_id").as("metric"),
-    col("m.value").cast("string").as("value"),
+    col("ms.value").as("value"),
     col("m.value").as("value_v"),
     col("m.user_id").as("user_id")
   )

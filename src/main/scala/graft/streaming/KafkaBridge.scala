@@ -63,7 +63,10 @@ object KafkaBridge {
       .select(
         col("topic"), col("partition"), col("offset").as("msg_offset"),
         col("key").cast("string").as("key"),
-        from_json(col("value").cast("string"), graft.model.Envelope.variantSchema).as("m"))
+        // dual parse — type channel from the variant, string content from
+        // the string parse (see Envelope.variantSchema for why)
+        from_json(col("value").cast("string"), graft.model.Envelope.variantSchema).as("m"),
+        from_json(col("value").cast("string"), graft.model.Envelope.stringSchema).as("ms"))
       .where(graft.model.Envelope.wellFormed)
       .select(Seq(col("topic"), col("partition"), col("msg_offset"), col("key")) ++
         graft.model.Envelope.decodedColumns: _*)
@@ -72,17 +75,25 @@ object KafkaBridge {
     * value = the JSON envelope — hydration_agent/main.py:77-86). When the
     * input carries the decoded `value_v` variant (decode output), the
     * ORIGINAL JSON type goes back on the wire — encode(decode(bytes))
-    * keeps a number a number; a plain string `value` column (the
-    * all-string wire IngestJob documents) serializes quoted.
+    * keeps a number a number. String-typed values serialize from the
+    * lossless `value` string view (the variant's string content mangles
+    * non-ASCII — Envelope.variantSchema); numbers/booleans/null from the
+    * variant (ASCII by construction). A plain string `value` column with
+    * no variant sibling (the all-string wire IngestJob documents)
+    * serializes quoted.
     */
   def encode(events: DataFrame): DataFrame = {
-    val valueCol =
-      if (events.columns.contains("value_v")) col("value_v") else col("value")
+    def env(valueCol: org.apache.spark.sql.Column) = to_json(struct(
+      col("event_id"), col("metric").as("node_id"), valueCol.as("value"),
+      unix_micros(col("ts")).as("ts_us"), col("user_id")))
+    val payload =
+      if (events.columns.contains("value_v"))
+        when(expr("schema_of_variant(value_v)") === lit("STRING"), env(col("value")))
+          .otherwise(env(col("value_v")))
+      else env(col("value"))
     events.select(
       col("metric").cast("string").cast("binary").as("key"),
-      to_json(struct(
-        col("event_id"), col("metric").as("node_id"), valueCol.as("value"),
-        unix_micros(col("ts")).as("ts_us"), col("user_id"))).cast("binary").as("value"))
+      payload.cast("binary").as("value"))
   }
 
   /** Streaming write to the reference topic; checkpointed, at-least-once

@@ -46,7 +46,10 @@ object MqttBridge {
   def decode(raw: DataFrame): DataFrame =
     raw
       .select(col("msg_offset"), col("topic"),
-        from_json(col("payload"), graft.model.Envelope.variantSchema).as("m"))
+        // dual parse — type channel from the variant, string content from
+        // the string parse (see Envelope.variantSchema for why)
+        from_json(col("payload"), graft.model.Envelope.variantSchema).as("m"),
+        from_json(col("payload"), graft.model.Envelope.stringSchema).as("ms"))
       .where(graft.model.Envelope.wellFormed)
       .select(Seq(col("msg_offset"), col("topic")) ++
         graft.model.Envelope.decodedColumns: _*)

@@ -73,18 +73,27 @@ object OpcuaMqttAgent {
     }
   }
 
-  private def jsonStr(s: String): String =
+  /** ensure_ascii escaping, exactly like the reference's `json.dumps`
+    * default (opcua_mqtt_agent/main.py:54): every char outside printable
+    * ASCII renders as \\uXXXX (astral chars as their surrogate pair).
+    * This is not just fidelity — Spark's VARIANT JSON parser decodes raw
+    * non-ASCII bytes inside a variant-typed field to U+FFFD mojibake
+    * (verified against 4.1.2; plain string fields are fine), so an
+    * ASCII-only wire is what keeps the type-preserving `value` channel
+    * lossless for any content.
+    */
+  private[graft] def jsonStr(s: String): String =
     "\"" + s.flatMap {
       case '"' => "\\\""
       case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c if c < ' ' || c > '~' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
 
   /** Variant → JSON scalar. MqttBridge.decode reads `value` as string;
     * from_json coerces scalars, so numbers stay lossless text.
     */
-  private def jsonScalar(v: Variant): String = v.v match {
+  private[graft] def jsonScalar(v: Variant): String = v.v match {
     case null => "null"
     case s: String => jsonStr(s)
     case b: Boolean => b.toString

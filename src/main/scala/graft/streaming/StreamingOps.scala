@@ -711,12 +711,14 @@ object StreamingOps {
     // `value` parses as VARIANT — the one schema type that PRESERVES the
     // JSON type of the payload (see graft.model.Envelope). The reference
     // dispatches on exactly that type (isinstance(val, (int, float)) and
-    // not bool), so the string channel must survive parsing; a regex over
-    // the raw payload would be a second parser that can disagree with the
-    // first (whitespace forms, escaped quotes in other fields).
+    // not bool). The string CONTENT comes from the parallel string parse:
+    // the variant's own string channel mangles non-ASCII (see
+    // Envelope.variantSchema), and both parses are the same Jackson
+    // grammar, so they cannot disagree on structure.
     payloads
-      .select(from_json(col("payload"), graft.model.Envelope.variantSchema).as("m"))
-      .withColumn("raw", expr("try_variant_get(m.value, '$', 'string')"))
+      .select(from_json(col("payload"), graft.model.Envelope.variantSchema).as("m"),
+        from_json(col("payload"), graft.model.Envelope.stringSchema).as("ms"))
+      .withColumn("raw", col("ms.value"))
       .withColumn("value_is_str", expr("schema_of_variant(m.value)") === lit("STRING"))
       .select(
         col("m.event_id").as("event_id"),

@@ -371,4 +371,81 @@ class PropertySpec extends SparkSuite {
         s"$m p$pm: value $v occupies ranks [$rankLo, $rankHi] of $n, target $target")
     }
   }
+
+  test("agent JSON escaping: every adversarial payload parses back exactly through the shared envelope schema") {
+    // the OPC-UA→MQTT agent hand-assembles its wire JSON (jsonStr /
+    // jsonScalar); this property drives the writer with quotes,
+    // backslashes, control chars, multi-byte and astral code points, and
+    // every scalar type, then parses through graft.model.Envelope — the
+    // exact consumer path — asserting string identity and type-channel
+    // preservation. A single escaping slip here is silent data loss on
+    // the live topology.
+    import graft.net.OpcuaWire.Variant
+    import graft.streaming.OpcuaMqttAgent
+    val rnd = new scala.util.Random(4242)
+    def randString(): String = {
+      val n = rnd.nextInt(24)
+      val sb = new StringBuilder
+      (0 until n).foreach { _ =>
+        rnd.nextInt(6) match {
+          case 0 => sb += '"'
+          case 1 => sb += '\\'
+          case 2 => sb += rnd.nextInt(0x20).toChar // raw control char
+          case 3 => sb += ('a' + rnd.nextInt(26)).toChar
+          case 4 => sb ++= "é€µ"
+          case 5 => sb ++= new String(Character.toChars(0x1F600 + rnd.nextInt(16)))
+        }
+      }
+      sb.toString
+    }
+    val cases: Seq[(Long, String, Any)] = (1 to 300).map { i =>
+      val v: Any = rnd.nextInt(4) match {
+        case 0 => rnd.nextDouble() * math.pow(10, rnd.nextInt(12) - 6)
+        case 1 => rnd.nextLong()
+        case 2 => rnd.nextBoolean()
+        case 3 => randString()
+      }
+      (i.toLong, randString() + "n", v) // node_id non-empty (wellFormed)
+    }
+    val payloads = cases.map { case (id, name, v) =>
+      s"""{"event_id":$id,"node_id":${OpcuaMqttAgent.jsonStr(name)},""" +
+        s""""value":${OpcuaMqttAgent.jsonScalar(Variant.of(v))},"ts_us":$id,"user_id":null}"""
+    }
+    import spark.implicits._
+    val parsed = spark.createDataset(payloads).toDF("payload")
+      // the decode contract's dual parse: string content from ms, the
+      // type channel (and ASCII-safe numeric/boolean content) from m
+      .select(from_json(col("payload"), graft.model.Envelope.variantSchema).as("m"),
+        from_json(col("payload"), graft.model.Envelope.stringSchema).as("ms"))
+      .where(graft.model.Envelope.wellFormed)
+      .select(
+        col("m.event_id").as("id"),
+        col("m.node_id").as("name"),
+        col("ms.value").as("vs"),
+        expr("try_variant_get(m.value, '$', 'double')").as("vd"),
+        expr("try_variant_get(m.value, '$', 'bigint')").as("vl"),
+        expr("try_variant_get(m.value, '$', 'boolean')").as("vb"),
+        expr("schema_of_variant(m.value)").as("vt"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(parsed.size == cases.length, "a payload failed to parse — escaping bug")
+    cases.foreach { case (id, name, v) =>
+      val r = parsed(id)
+      assert(r.getString(1) == name, s"node_id mangled for case $id: ${r.getString(1)}")
+      v match {
+        case s: String =>
+          assert(r.getString(6) == "STRING" && r.getString(2) == s,
+            s"string value mangled for case $id")
+        case d: Double =>
+          assert(r.getString(6) != "STRING" && !r.isNullAt(3) &&
+            r.getDouble(3) == d, s"double value mangled for case $id: $v vs ${r.get(3)}")
+        case l: Long =>
+          assert(r.getString(6) != "STRING" && !r.isNullAt(4) &&
+            r.getLong(4) == l, s"long value mangled for case $id")
+        case b: Boolean =>
+          assert(r.getString(6) == "BOOLEAN" && r.getBoolean(5) == b,
+            s"boolean value mangled for case $id")
+        case other => fail(s"unexpected case type $other")
+      }
+    }
+  }
 }

@@ -141,10 +141,9 @@ class TopologySpec extends AnyFunSuite {
             .select("metric", "value").as[(String, String)].collect().toSeq
           assert(rows.count(_ == ("Status", "Running")) == 1, rows.toString)
           assert(rows.count(_ == ("Status", "Error")) == 1)
-          // the agent publishes 41847.0 as a JSON NUMBER; the variant
-          // parse stores it as an exact decimal, so the string view is
-          // the normalized "41847" (value-preserving, not text-preserving)
-          assert(rows.count(_ == ("ActualPlacementRateCPH", "41847")) == 1)
+          // the string view comes from the string-schema parse, so the
+          // number's raw wire text survives exactly
+          assert(rows.count(_ == ("ActualPlacementRateCPH", "41847.0")) == 1)
           assert(rows.count(_ == ("VacuumPressureKPa", "-78.5")) == 1)
           assert(rows.count(_ == ("VacuumPressureKPa", "-60.25")) == 1)
           // the JSON type channel survived both wires: numbers are
