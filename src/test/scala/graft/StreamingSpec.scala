@@ -470,6 +470,37 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("interp gap-fill stream: a corrupt far-future timestamp cannot explode the fill (bounded per gap)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // same bound as the locf twin — the interp segment needs BOTH
+    // endpoints, so the wild segment emits when its right endpoint
+    // closes; the fill inside it must still cap
+    val base = Timestamp.valueOf("2024-01-01 00:00:10")
+    val wild = new Timestamp(base.getTime + 90L * 24 * 3600 * 1000)
+    val after = new Timestamp(wild.getTime + 2L * 60 * 1000)
+    val mem = MemoryStream[MetricEvent]
+    val q = StreamingOps.gapfillInterpStream(mem.toDS())
+      .writeStream.format("memory").queryName("interp_capped")
+      .outputMode("append").start()
+    try {
+      mem.addData(MetricEvent(1L, base, 1L, "m", 10.00))
+      q.processAllAvailable()
+      mem.addData(MetricEvent(2L, wild, 1L, "m", 20.00))
+      q.processAllAvailable()
+      mem.addData(MetricEvent(3L, after, 1L, "m", 30.00))
+      q.processAllAvailable()
+      assert(q.isActive)
+      val got = spark.table("interp_capped").as[StreamingOps.InterpRow].collect()
+      val wildGaps = got.count(r => r.is_gap && r.bucket.before(wild))
+      assert(wildGaps == StreamingOps.MaxGapFillMinutes.toInt,
+        s"expected capped fill, got $wildGaps gap rows")
+      // both observed endpoints emitted exactly
+      assert(got.exists(r => !r.is_gap && r.avg_value.contains(10.0)))
+      assert(got.exists(r => !r.is_gap && r.avg_value.contains(20.0)))
+    } finally q.stop()
+  }
+
   test("interp gap-fill stream: segments emit when the right endpoint closes, equal batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
