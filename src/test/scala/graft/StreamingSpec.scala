@@ -280,7 +280,11 @@ class StreamingSpec extends SparkSuite {
         """{"event_id":1,"node_id":"click","value":6.55,"ts_us":1704067200000000,"user_id":7}""",
         """{"event_id":2,"node_id":"status","value":true,"ts_us":1704067201000000,"user_id":7}""",
         """{"event_id":3,"node_id":"status","value":"Running","ts_us":1704067202000000,"user_id":7}""",
-        """{"event_id":4,"node_id":"status","value":"123","ts_us":1704067203000000,"user_id":7}"""
+        """{"event_id":4,"node_id":"status","value":"123","ts_us":1704067203000000,"user_id":7}""",
+        // non-ASCII string payload (raw UTF-8 on the wire): must survive
+        // the dual-parse dispatch exactly — the variant-only path mangled
+        // this to U+FFFD mojibake
+        """{"event_id":5,"node_id":"status","value":"Störung µ-Förderer","ts_us":1704067204000000,"user_id":7}"""
       )
       q.processAllAvailable()
       val rows = spark.table("ingest_out")
@@ -292,7 +296,8 @@ class StreamingSpec extends SparkSuite {
         (3L, None, Some("Running"), "John Doe"),
         // a JSON STRING that merely looks numeric stays value_str — the
         // reference dispatches on isinstance, not parseability
-        (4L, None, Some("123"), "John Doe")
+        (4L, None, Some("123"), "John Doe"),
+        (5L, None, Some("Störung µ-Förderer"), "John Doe")
       ))
     } finally q.stop()
   }
