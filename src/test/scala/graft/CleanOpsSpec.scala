@@ -73,8 +73,15 @@ class CleanOpsSpec extends SparkSuite {
         r4(1.0 - counts.size.toDouble / toks.length))
       assert(r.getAs[Double]("top_word_frac") ==
         r4(counts.max.toDouble / toks.length))
-      assert(r.getAs[Double]("top_bigram_frac") ==
-        r4(bCounts.max.toDouble / bigrams.length))
+      // a regenerated fixture may contain sub-2-token docs (the operator
+      // supports them: n_bigrams=0 edge test below); report that case
+      // instead of crashing on empty.max
+      if (bigrams.nonEmpty)
+        assert(r.getAs[Double]("top_bigram_frac") ==
+          r4(bCounts.max.toDouble / bigrams.length))
+      else
+        assert(r.getAs[Double]("top_bigram_frac") == 0.0,
+          s"doc ${r.getAs[Long]("doc_id")}: no bigrams but nonzero top_bigram_frac")
     }
   }
 

@@ -10,7 +10,9 @@ import org.apache.spark.sql.functions._
   */
 class ConnectedComponentsSpec extends SparkSuite {
 
-  private def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+  // nodes are exactly the edge endpoints (no isolated-node domain): the
+  // ground truth contains a row per endpoint, same as the operator's input
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
     val parent = scala.collection.mutable.Map[Long, Long]()
     def find(x: Long): Long = {
       val p = parent.getOrElse(x, x)
@@ -27,7 +29,7 @@ class ConnectedComponentsSpec extends SparkSuite {
 
   private def check(edges: Seq[(Long, Long)]): Unit = {
     import spark.implicits._
-    val want = unionFind(0, edges)
+    val want = unionFind(edges)
     // threshold 0 forces the distributed star-contraction rounds; the
     // default takes the driver union-find at test sizes — both must agree
     // with the ground truth
@@ -44,7 +46,7 @@ class ConnectedComponentsSpec extends SparkSuite {
   test("mid-loop local finish: rounds shrink the edge set below the budget") {
     import spark.implicits._
     val edges = (1L to 200L).sliding(2).map(s => (s.head, s.last)).toSeq
-    val want = unionFind(0, edges)
+    val want = unionFind(edges)
     spark.conf.set("graft.cc.localFinishEdges", "100") // 199 initial edges: rounds first
     try {
       val got = ConnectedComponents.components(edges.toDF("a", "b"))

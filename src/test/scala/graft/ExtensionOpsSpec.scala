@@ -29,7 +29,8 @@ class ExtensionOpsSpec extends SparkSuite {
     // idempotence: dedup over the deduped corpus keeps every row
     val docs = Tables.documents(spark, SfDir)
       .join(once.select("doc_id"), "doc_id")
-    import graft.ops.DedupOps // reuse nothing — run the op again on survivors
+    // independent duplicate-count over the survivor corpus: zero groups
+    // with >1 row means a second dedup pass would be the identity
     val twice = docs
       .groupBy(TextOps.normText(col("text")).as("k"))
       .agg(count(lit(1)).as("c"))

@@ -222,7 +222,10 @@ class OpcuaSpec extends AnyFunSuite {
       assert(client.isDead, "client did not notice the dead transport")
       def publishThreads = Thread.getAllStackTraces.keySet.asScala
         .filter(t => t.getName == "opcua-client-publish" && t.isAlive)
-      while (publishThreads.nonEmpty && System.nanoTime() < deadline) Thread.sleep(20)
+      // fresh deadline: the isDead wait above may have consumed most of
+      // its own, leaving this loop no budget to watch the thread unwind
+      val deadline2 = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (publishThreads.nonEmpty && System.nanoTime() < deadline2) Thread.sleep(20)
       assert(publishThreads.isEmpty, "publish loop still running against a dead socket")
     } finally client.close()
   }

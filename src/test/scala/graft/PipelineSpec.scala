@@ -34,7 +34,7 @@ class PipelineSpec extends SparkSuite {
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "q did not drain within 120 s")
     val got = spark.read.parquet(out)
     assert(got.count() == total, "every fixture row replayed exactly once")
     assert(got.select("event_id").distinct().count() == total)
@@ -54,12 +54,12 @@ class PipelineSpec extends SparkSuite {
       val q1 = MvRefreshJob.start(spark, MvRefreshJob.Config(
         eventsPath, out, ckpt, trigger = Trigger.AvailableNow(),
         rowsPerBatch = 2000, maxRows = Some(total / 2)))
-      q1.awaitTermination(120000)
+      assert(q1.awaitTermination(120000), "q1 did not drain within 120 s")
       // phase 2: restart the same query from the checkpoint, full stream
       val q2 = MvRefreshJob.start(spark, MvRefreshJob.Config(
         eventsPath, out, ckpt, trigger = Trigger.AvailableNow(),
         rowsPerBatch = 2000, maxRows = None))
-      q2.awaitTermination(120000)
+      assert(q2.awaitTermination(120000), "q2 did not drain within 120 s")
 
       val got = spark.read.parquet(out)
         .select("bucket", "metric", "avg_value", "min_value", "max_value", "sample_count")
@@ -100,10 +100,10 @@ class PipelineSpec extends SparkSuite {
       val q1 = MvRefreshJob.start(spark, MvRefreshJob.Config.hourly(
         eventsPath, out, ckpt, trigger = Trigger.AvailableNow(),
         rowsPerBatch = 2000, maxRows = Some(total / 2)))
-      q1.awaitTermination(120000)
+      assert(q1.awaitTermination(120000), "q1 did not drain within 120 s")
       val q2 = MvRefreshJob.start(spark, MvRefreshJob.Config.hourly(
         eventsPath, out, ckpt, trigger = Trigger.AvailableNow(), rowsPerBatch = 2000))
-      q2.awaitTermination(120000)
+      assert(q2.awaitTermination(120000), "q2 did not drain within 120 s")
 
       val got = spark.read.parquet(out)
         .select("bucket", "metric", "avg_value", "min_value", "max_value", "sample_count")
@@ -138,7 +138,7 @@ class PipelineSpec extends SparkSuite {
     val q = IngestJob.start(spark, IngestJob.Config(
       eventsPath, SfDir, out, ckpt, trigger = Trigger.AvailableNow(),
       rowsPerBatch = 4000, retentionDays = Some(retain)))
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "q did not drain within 120 s")
 
     val allDays = Tables.events(spark, SfDir)
       .select(date_format(col("ts"), "yyyy-MM-dd").as("day"))
@@ -170,16 +170,16 @@ class PipelineSpec extends SparkSuite {
     val outA = tmp("alarm_a"); val ckptA = tmp("alarm_ckpt_a")
     val qa = AlarmJob.start(spark, AlarmJob.Config(
       eventsPath, outA, ckptA, trigger = Trigger.AvailableNow(), rowsPerBatch = 1500))
-    qa.awaitTermination(120000)
+    assert(qa.awaitTermination(120000), "qa did not drain within 120 s")
     // crashed-and-resumed run: same stream, killed halfway, restarted
     val outB = tmp("alarm_b"); val ckptB = tmp("alarm_ckpt_b")
     val q1 = AlarmJob.start(spark, AlarmJob.Config(
       eventsPath, outB, ckptB, trigger = Trigger.AvailableNow(), rowsPerBatch = 1500,
       maxRows = Some(total / 2)))
-    q1.awaitTermination(120000)
+    assert(q1.awaitTermination(120000), "q1 did not drain within 120 s")
     val q2 = AlarmJob.start(spark, AlarmJob.Config(
       eventsPath, outB, ckptB, trigger = Trigger.AvailableNow(), rowsPerBatch = 1500))
-    q2.awaitTermination(120000)
+    assert(q2.awaitTermination(120000), "q2 did not drain within 120 s")
 
     val a = spark.read.parquet(outA).select("user_id", "metric", "event_id")
     val b = spark.read.parquet(outB).select("user_id", "metric", "event_id")
@@ -193,7 +193,7 @@ class PipelineSpec extends SparkSuite {
     val out = tmp("ingest_out"); val ckpt = tmp("ingest_ckpt")
     val q = IngestJob.start(spark, IngestJob.Config(
       eventsPath, SfDir, out, ckpt, trigger = Trigger.AvailableNow(), rowsPerBatch = 4000))
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "q did not drain within 120 s")
     val cols = Seq("event_id", "ts", "metric", "value_num", "user_id", "operator", "segment")
     val got = spark.read.parquet(out).select(cols.map(col): _*)
     val context = Tables.customer(spark, SfDir)

@@ -29,8 +29,11 @@ class PlanSpec extends SparkSuite {
     val p = plan("q_latest_per_group")
     // max_by with a string payload is not hash-buffer-compatible, so Spark
     // plans SortAggregate — the load-bearing property is partial (map-side)
-    // aggregation: two aggregate stages around the group-key exchange
-    assert("(Sort|Hash)Aggregate".r.findAllIn(p).size >= 2, p)
+    // aggregation: two aggregate stages around the group-key exchange.
+    // The formatted plan prints each node twice (tree + detail), so two
+    // STAGES = four matches; a bare >= 2 would pass with a single
+    // complete-mode aggregate and silently stop enforcing the property
+    assert("(Sort|Hash)Aggregate".r.findAllIn(p).size / 2 >= 2, p)
     assert(!p.contains("Window"), "window-function ranking instead of max_by:\n" + p)
   }
 

@@ -291,7 +291,10 @@ class RelationalOpsSpec extends SparkSuite {
           if (after.isEmpty) {
             assert(r.isNullAt(3), s"$m trailing gap interpolated at $i")
           } else {
-            val lo = obsIdx.filter(_ < i).last
+            val before = obsIdx.filter(_ < i)
+            assert(before.nonEmpty,
+              s"$m: gap row at index $i precedes the first observation — spine must start observed")
+            val lo = before.last
             val hi = after.get
             val (pv, nv) = (sorted(lo).getDouble(2), sorted(hi).getDouble(2))
             val want = pv + (nv - pv) * ((i - lo).toDouble / (hi - lo).toDouble)

@@ -42,6 +42,10 @@ class RespSpec extends AnyFunSuite {
         })
       }
       threads.foreach(_.start()); threads.foreach(_.join(30000))
+      // an expired join leaves the thread running: that is a hang, not a
+      // pass — without this check a wedged client would fall through with
+      // errs empty and keep mutating state under later tests
+      assert(threads.forall(!_.isAlive), "a client thread hung past the join timeout")
       assert(errs.isEmpty, s"concurrent client failures: ${errs.peek()}")
       // every key visible afterwards through a fresh connection
       val check = new RespClient("127.0.0.1", server.port)

@@ -40,10 +40,14 @@ class StreamingSpec extends SparkSuite {
       val rows = spark.table("mv_out")
         .select("bucket", "avg_value", "sample_count").collect()
         .map(r => (r.getTimestamp(0).toString, r.getDouble(1), r.getLong(2))).toSet
-      // minute 0: avg(10,20)=15 with the late 1000.0 dropped; minute 1 closed too
-      assert(rows.contains(("2024-01-01 00:00:00.0", 15.0, 2L)))
-      assert(rows.contains(("2024-01-01 00:01:00.0", 30.0, 1L)))
-      assert(rows.contains(("2024-01-01 00:10:00.0", 99.0, 1L)))
+      // minute 0: avg(10,20)=15 with the late 1000.0 dropped; minute 1
+      // closed too. SET EQUALITY, not contains: a watermark regression
+      // that let the late row re-emit minute 0 would add a fourth row
+      // that contains-only checks would never see
+      assert(rows == Set(
+        ("2024-01-01 00:00:00.0", 15.0, 2L),
+        ("2024-01-01 00:01:00.0", 30.0, 1L),
+        ("2024-01-01 00:10:00.0", 99.0, 1L)), rows.toString)
     } finally q.stop()
   }
 

@@ -70,7 +70,11 @@ class TopologySpec extends AnyFunSuite {
         var n = 0L
         while (n < 120 && System.nanoTime() < deadline) {
           q.processAllAvailable()
-          n = spark.read.parquet(outDir).count()
+          // guard the read: before the sink's first batch commits the
+          // directory is empty and the parquet read throws (same guard
+          // as MqttSpec's landed())
+          n = try spark.read.parquet(outDir).count()
+          catch { case _: Throwable => 0L }
           if (n < 120) Thread.sleep(50)
         }
       } finally q.stop()
