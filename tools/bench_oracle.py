@@ -19,9 +19,14 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def main(sf_dir: str, out_dir: str, reps: int = 2) -> None:
+    import os
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # driver fixtures are single files; Spark-written scale fixtures
+        # (ScaleFixtures output) are directories of part files
+        p = f"{sf_dir}/{t}.parquet"
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 
     def run_once(sql: str) -> float:
