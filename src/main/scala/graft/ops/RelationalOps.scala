@@ -485,18 +485,23 @@ object RelationalOps {
     * `fanOut`/`broadcastIfSmall`/the percentile fusion: the gate keys on
     * the data's size statistic, never on the caller.
     *
-    * The bounds are PER OPERATOR and empirical (same-window A/B, sf0.1 =
-    * 2 MB and sf1 = 20 MB planning size): counter's single-phase plan
-    * has ONE window sort, and it won both scales (0.33 vs 0.58 s at
-    * sf0.1; 0.90 vs 1.16 s at sf1) — its bound is generous, the sort
-    * ceiling is the only limit. SPC's single-phase plan re-sorts the
-    * corpus THREE times (grp ranks + run ranks), and the forms cross
+    * The bounds are PER OPERATOR and empirical (same-window A/B): counter's
+    * single-phase plan has ONE window sort, and it won both scales (0.33
+    * vs 0.58 s at sf0.1; 0.90 vs 1.16 s at sf1) — its bound is generous,
+    * the sort ceiling is the only limit. SPC's single-phase plan re-sorts
+    * the corpus THREE times (grp ranks + run ranks), and the forms cross
     * between the two fixtures (0.68 vs 0.66 s at sf0.1 — parity;
     * 3.11 vs 1.28 s at sf1 — two-phase wins 2.4×), so its bound sits
-    * below sf1's size.
+    * BETWEEN the two fixtures' gate inputs. Those inputs are the PRUNED
+    * projection estimate Tables.planningSize actually sees — measured
+    * sf0.1 ≈ 1.1 MB, sf1 ≈ 11 MB (the raw file sizes, 2/20 MB, are what
+    * an earlier bound was mistakenly sized against: 16 MB sat ABOVE
+    * sf1's 11 MB estimate, silently selecting the 2.4×-slower
+    * single-phase form at exactly the scale two-phase was built for —
+    * caught by an isolated sf1 re-measure, 3.45 s vs the A/B's 1.28 s).
     */
   val CounterSinglePhaseMaxBytes: Long = 256L << 20
-  val SpcSinglePhaseMaxBytes: Long = 16L << 20
+  val SpcSinglePhaseMaxBytes: Long = 4L << 20
 
   /** The effective gate bound — `spark.graft.singlePhaseMaxBytes`
     * overrides both defaults (0 forces two-phase everywhere; used by the
