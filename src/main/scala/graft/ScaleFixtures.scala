@@ -78,10 +78,14 @@ object ScaleFixtures {
     // "x"->"q12x". Fixed-width q<kkk> kills cross-copy collisions by
     // construction; the guard below rejects the (pathological) corpus
     // that already contains marker-shaped tokens colliding with renames.
-    val clashing = docs.filter(
-      exists(split(col("text"), " "), t => t.rlike("^q[0-9]{3}"))).limit(1).count()
-    require(clashing == 0,
-      "source corpus contains tokens matching the copy-marker pattern q<digit><digit><digit> — renamed copies could collide with the original text")
+    // only relevant when renamed copies exist: at n=1 the output is the
+    // identity copy and a marker-shaped token cannot collide with anything
+    if (n > 1) {
+      val clashing = docs.filter(
+        exists(split(col("text"), " "), t => t.rlike("^q[0-9]{3}"))).limit(1).count()
+      require(clashing == 0,
+        "source corpus contains tokens matching the copy-marker pattern q<digit><digit><digit> — renamed copies could collide with the original text")
+    }
     val documents = copies(n) { k =>
       val text =
         if (k == 0) col("text")
@@ -100,15 +104,20 @@ object ScaleFixtures {
     // fixture's label domain ever grew past it, making label-blocked
     // dedup pair counts superlinear — the exact opposite of the
     // linear-scaling property this generator exists to guarantee
-    val maxLabelRow = emb.agg(max(col("label"))).head()
-    require(!maxLabelRow.isNullAt(0),
+    val embStats = emb.agg(max(col("label")),
+      min(col("vec_id")), max(col("vec_id"))).head()
+    require(!embStats.isNullAt(0),
       s"embeddings fixture at $src is empty — nothing to scale")
-    val labelStride = maxLabelRow.getInt(0).toLong + 1L
+    val labelStride = embStats.getInt(0).toLong + 1L
     require(labelStride * n < Int.MaxValue,
       s"label stride $labelStride x $n copies overflows the int label domain")
+    // vec_id gets the same loud-failure guard as event_id/doc_id — a
+    // hashed-id fixture would otherwise collide copies silently (extra
+    // rows matching the vec_id==0 query anchor included)
+    checkStride("vec_id", embStats.getLong(1), embStats.getLong(2), VecIdStride, n)
     val embeddings = copies(n) { k =>
       emb.select(
-        (col("vec_id") + k * 1000000000L).as("vec_id"),
+        (col("vec_id") + k * VecIdStride).as("vec_id"),
         col("embedding"),
         (col("label") + lit(k * labelStride)).cast("int").as("label"))
     }
@@ -120,6 +129,7 @@ object ScaleFixtures {
 
   private val EventIdStride = 1000000000000L
   private val DocIdStride = 1000000000L
+  private val VecIdStride = 1000000000L
 
   /** Copies stay disjoint iff the id domain fits inside one stride and the
     * last copy's offset does not overflow Long.

@@ -26,7 +26,9 @@ import java.util.concurrent.atomic.AtomicLong
   * a data batch on it.
   */
 final class OpcuaClient(host: String, port: Int,
-    endpointUrl: String, publishTimeoutMs: Long = 15000L) extends AutoCloseable {
+    endpointUrl: String,
+    publishTimeoutMs: Long = OpcuaClient.DefaultPublishTimeoutMs)
+  extends AutoCloseable {
 
   private val socket = new Socket(InetAddress.getByName(host), port)
   socket.setTcpNoDelay(true)
@@ -393,4 +395,16 @@ final class OpcuaClient(host: String, port: Int,
     } catch { case _: Throwable => () }
     try socket.close() catch { case _: Throwable => () }
   }
+}
+
+object OpcuaClient {
+  /** Default publish-loop abandon timeout. The load-bearing contract —
+    * enforced by OpcuaSpec against [[OpcuaServer.DefaultStalePublishMs]] —
+    * is that this stays LONGER than the paired server's stale flush
+    * threshold: the server must have flushed an abandoned PublishRequest
+    * (keep-alive) before it could ever spend a data batch on it. A client
+    * configured with a shorter timeout than its server's threshold
+    * reintroduces silent notification loss after quiet intervals.
+    */
+  val DefaultPublishTimeoutMs: Long = 15000L
 }

@@ -42,7 +42,7 @@ final class OpcuaServer(
     namespaceUri: String = "urn:example:pick-and-place",
     rootName: String = "PickAndPlace",
     port0: Int = 0,
-    stalePublishMs: Long = 10000L) extends AutoCloseable {
+    stalePublishMs: Long = OpcuaServer.DefaultStalePublishMs) extends AutoCloseable {
 
   private val server = new ServerSocket(port0, 16, InetAddress.getLoopbackAddress)
   def port: Int = server.getLocalPort
@@ -474,4 +474,14 @@ final class OpcuaServer(
       }
     }
   }
+}
+
+object OpcuaServer {
+  /** Default age past which a queued PublishRequest is flushed with a
+    * keep-alive. Must stay SHORTER than the paired client's publish
+    * timeout ([[OpcuaClient.DefaultPublishTimeoutMs]]) — OpcuaSpec pins
+    * the relationship; see the class doc for why violating it loses
+    * notification batches after quiet intervals.
+    */
+  val DefaultStalePublishMs: Long = 10000L
 }

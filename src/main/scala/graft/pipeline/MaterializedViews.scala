@@ -44,6 +44,10 @@ object MaterializedViews {
       .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString
     val out = s"${sys.props("java.io.tmpdir")}/graft-mv-minute-$key-$jvmToken"
     prepared.computeIfAbsent(out, _ => {
+      // reclaim siblings leaked by UNCLEAN exits (SIGKILL/OOM skip the
+      // shutdown hook): a stale sibling is this key's dir from another
+      // token, old enough that a LIVE concurrent JVM cannot own it
+      sweepStaleSiblings(key, out)
       Runtime.getRuntime.addShutdownHook(new Thread(() =>
         try {
           import scala.jdk.CollectionConverters._
@@ -68,6 +72,29 @@ object MaterializedViews {
       out
     })
   }
+
+  /** Delete graft-mv-minute-<key>-* siblings whose last modification is
+    * older than a day: dead JVMs' scratch (their shutdown hook never ran).
+    * The age bound is what keeps this safe against a CONCURRENT live JVM
+    * — its directory is necessarily fresh.
+    */
+  private def sweepStaleSiblings(key: String, keep: String): Unit =
+    try {
+      val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+      val cutoff = System.currentTimeMillis() - 24L * 3600 * 1000
+      val prefix = s"graft-mv-minute-$key-"
+      Option(tmp.listFiles()).getOrElse(Array.empty).foreach { f =>
+        if (f.isDirectory && f.getName.startsWith(prefix) &&
+          f.getAbsolutePath != keep && f.lastModified() < cutoff) {
+          import scala.jdk.CollectionConverters._
+          val walk = java.nio.file.Files.walk(f.toPath)
+          try walk.sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.foreach(p =>
+              try java.nio.file.Files.delete(p) catch { case _: Throwable => () })
+          finally walk.close()
+        }
+      }
+    } catch { case _: Throwable => () } // best-effort housekeeping
 
   /** The MV as a DataFrame. A partitioned-parquet read pays partition
     * discovery + schema inference on every `spark.read.parquet` call —

@@ -83,9 +83,15 @@ object KafkaBridge {
     * serializes quoted.
     */
   def encode(events: DataFrame): DataFrame = {
+    // ignoreNullFields=false: the envelope contract REQUIRES explicit
+    // null keys ("ts_us":null for a reading with no source timestamp —
+    // Envelope's documented producer behavior); the generator default
+    // would silently omit the key and a reference-style consumer
+    // indexing msg["ts_us"] would KeyError-drop the row
     def env(valueCol: org.apache.spark.sql.Column) = to_json(struct(
       col("event_id"), col("metric").as("node_id"), valueCol.as("value"),
-      unix_micros(col("ts")).as("ts_us"), col("user_id")))
+      unix_micros(col("ts")).as("ts_us"), col("user_id")),
+      java.util.Map.of("ignoreNullFields", "false"))
     val payload =
       if (events.columns.contains("value_v"))
         when(expr("schema_of_variant(value_v)") === lit("STRING"), env(col("value")))

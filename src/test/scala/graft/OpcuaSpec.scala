@@ -163,6 +163,16 @@ class OpcuaSpec extends AnyFunSuite {
     } finally server.close()
   }
 
+  test("default timeouts keep the no-loss contract: client abandon > server stale flush") {
+    // the quiet-interval no-loss property below holds only while the
+    // client's publish timeout exceeds the server's stale threshold —
+    // pin the DEFAULTS so a drift in either constant fails here instead
+    // of silently reintroducing post-quiet batch loss
+    assert(graft.net.OpcuaClient.DefaultPublishTimeoutMs >
+      graft.net.OpcuaServer.DefaultStalePublishMs,
+      "client publish timeout must exceed the server's stale-publish flush threshold")
+  }
+
   test("quiet interval then data: no notification batch is lost to abandoned publish requests") {
     // the client abandons its outstanding PublishRequest after
     // publishTimeoutMs and re-arms; the server must flush the abandoned
