@@ -346,6 +346,70 @@ object StreamingOps {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(timeWeightFlatMap)
   }
 
+  case class PctState(bucketUs: Long, counts: Map[Long, Long])
+  case class PctRow(metric: String, bucket: Timestamp, p_permille: Int,
+      p_value: Double, n_samples: Long)
+
+  /** Streaming twin of the discrete-percentile family
+    * (RelationalOps.percentiles) at the continuous-aggregate grain: per
+    * metric, the open HOUR accumulates a value→count map; when the first
+    * sample of a later hour arrives, the closed hour emits one row per
+    * target in [[graft.ops.RelationalOps.PercentilesPerMille]], selecting
+    * the value whose ascending rank interval covers
+    * `max(1, ceil(p·n/1000))` — the batch operator's exact integer rank
+    * arithmetic on the same integer-cents domain, so the returned value
+    * is an actual sample, never an interpolation.
+    *
+    * State per metric is O(distinct values in the open hour), the same
+    * bound that makes the batch value-counting plan scale (the
+    * reference's 2-decimal bounded sensor domains keep it in the
+    * thousands regardless of rate); an unbounded continuous domain wants
+    * the constant-memory sketch (percentilesApprox) instead. Same
+    * closed-bucket convention and in-order arrival assumption as
+    * [[timeWeightFlatMap]].
+    */
+  def percentilesFlatMap(
+      metric: String,
+      rows: Iterator[MetricEvent],
+      state: GroupState[PctState]
+  ): Iterator[PctRow] = {
+    val HourUs = 3600L * 1000000L
+    val out = scala.collection.mutable.ListBuffer.empty[PctRow]
+    var st = state.getOption.orNull
+    def emit(s: PctState): Unit = {
+      val n = s.counts.valuesIterator.sum
+      val sorted = s.counts.toSeq.sortBy(_._1)
+      graft.ops.RelationalOps.PercentilesPerMille.foreach { pm =>
+        val target = math.max(1L, (n * pm + 999L) / 1000L)
+        var cum = 0L
+        val hit = sorted.find { case (_, c) => cum += c; cum >= target }.get._1
+        out += PctRow(metric, new Timestamp(s.bucketUs / 1000L), pm,
+          hit.toDouble / 100.0, n)
+      }
+    }
+    rows.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id)).foreach { e =>
+      val tsUs = tsMicros(e.ts)
+      val cents = centsOf(e.value)
+      val bucket = tsUs - java.lang.Math.floorMod(tsUs, HourUs)
+      if (st == null) st = PctState(bucket, Map(cents -> 1L))
+      else if (bucket == st.bucketUs)
+        st = st.copy(counts = st.counts.updated(cents, st.counts.getOrElse(cents, 0L) + 1L))
+      else {
+        emit(st)
+        st = PctState(bucket, Map(cents -> 1L))
+      }
+    }
+    if (st != null) state.update(st)
+    out.iterator
+  }
+
+  def percentilesStream(events: Dataset[MetricEvent]): Dataset[PctRow] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.metric)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(percentilesFlatMap)
+  }
+
   case class LocfState(bucketUs: Long, sumCents: Long, n: Long)
   case class LocfRow(metric: String, bucket: Timestamp, avg_value: Option[Double],
       locf_value: Double, is_gap: Boolean, sample_count: Long)

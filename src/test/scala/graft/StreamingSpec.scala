@@ -403,6 +403,57 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("percentile stream: closed hourly buckets match an independent rank replay across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // two metrics; hour 0 has duplicates and ties, split across batches
+    val samples = Seq(
+      (1L, "2024-01-01 00:05:00", "rate", 10.00),
+      (2L, "2024-01-01 00:10:00", "rate", 30.00),
+      (3L, "2024-01-01 00:20:00", "rate", 20.00),
+      (4L, "2024-01-01 00:30:00", "rate", 30.00), // duplicate value
+      (5L, "2024-01-01 00:40:00", "rate", 40.00),
+      (6L, "2024-01-01 01:10:00", "rate", 99.00), // closes rate hour 0
+      (7L, "2024-01-01 00:15:00", "temp", -7.85),
+      (8L, "2024-01-01 02:05:00", "temp", -6.25)) // closes temp hour 0 (n=1)
+    def ev(t: (Long, String, String, Double)) =
+      MetricEvent(t._1, Timestamp.valueOf(t._2), 1L, t._3, t._4)
+    val mem = MemoryStream[MetricEvent]
+    val q = StreamingOps.percentilesStream(mem.toDS())
+      .writeStream.format("memory").queryName("pct_out")
+      .outputMode("append").start()
+    try {
+      // the bucket's samples and its closing sample arrive in different
+      // micro-batches — the value-count map must carry through state
+      mem.addData(samples.take(4).map(ev): _*)
+      q.processAllAvailable()
+      mem.addData(samples.slice(4, 6).map(ev): _*)
+      q.processAllAvailable()
+      mem.addData(samples.drop(6).map(ev): _*)
+      q.processAllAvailable()
+      val got = spark.table("pct_out").as[StreamingOps.PctRow].collect()
+        .map(r => (r.metric, r.bucket.toString, r.p_permille, r.p_value, r.n_samples))
+        .toSet
+      // independent replay: the batch operator's rank rule applied per
+      // closed (metric, hour) directly to the sorted sample multiset
+      def replay(metric: String, bucket: String, vs: Seq[Double]) = {
+        val sorted = vs.sorted
+        graft.ops.RelationalOps.PercentilesPerMille.map { pm =>
+          val target = math.max(1L, (vs.length.toLong * pm + 999L) / 1000L)
+          (metric, bucket, pm, sorted((target - 1).toInt), vs.length.toLong)
+        }
+      }
+      val expect = (
+        replay("rate", "2024-01-01 00:00:00.0", Seq(10.0, 30.0, 20.0, 30.0, 40.0)) ++
+        replay("temp", "2024-01-01 00:00:00.0", Seq(-7.85))).toSet
+      assert(got == expect, s"stream $got vs replay $expect")
+      // ranks land on real samples: p50 of the 5-sample hour is the 3rd
+      // ascending value (30.0), p99 the 5th (40.0)
+      assert(got.contains(("rate", "2024-01-01 00:00:00.0", 500, 30.0, 5L)))
+      assert(got.contains(("rate", "2024-01-01 00:00:00.0", 990, 40.0, 5L)))
+    } finally q.stop()
+  }
+
   test("locf gap-fill stream: closed minutes + carried gaps equal the batch operator") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
