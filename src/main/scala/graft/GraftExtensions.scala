@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimilarity, MinHashSig, NGramHashes, SimHashSig, TermFreqStats, WordShingleHashes}
+import graft.functions.{CosineSimilarity, MinHashSig, NearestCentroid, NGramHashes, SimHashSig, TermCounts, TermFreqStats, WordShingleHashes}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 
 /** SparkSessionExtensions injector for the engine's native functions.
@@ -23,6 +23,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((MinHashSig.identifier, MinHashSig.info, MinHashSig.builder))
     ext.injectFunction((SimHashSig.identifier, SimHashSig.info, SimHashSig.builder))
     ext.injectFunction((TermFreqStats.identifier, TermFreqStats.info, TermFreqStats.builder))
+    ext.injectFunction((NearestCentroid.identifier, NearestCentroid.info, NearestCentroid.builder))
+    ext.injectFunction((TermCounts.identifier, TermCounts.info, TermCounts.builder))
   }
 }
 
@@ -34,5 +36,7 @@ object GraftExtensions {
     MinHashSig.register(spark.sessionState.functionRegistry)
     SimHashSig.register(spark.sessionState.functionRegistry)
     TermFreqStats.register(spark.sessionState.functionRegistry)
+    NearestCentroid.register(spark.sessionState.functionRegistry)
+    TermCounts.register(spark.sessionState.functionRegistry)
   }
 }

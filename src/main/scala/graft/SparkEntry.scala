@@ -71,6 +71,8 @@ object SparkEntry {
     "q_token_count" -> (TextOps.tokenCount _),
     "q_fingerprint" -> (TextOps.fingerprint _),
     "q_quality_score" -> (TextOps.qualityScore _),
+    "q_top_terms" -> (TextOps.topTerms _),
+    "q_tfidf" -> (TextOps.tfidf _),
     "q_dedup_exact" -> (TextOps.dedupExact _),
     "q_dedup_minhash" -> (DedupOps.dedupMinhash _),
     "q_dedup_simhash" -> (DedupOps.dedupSimhash _),
@@ -82,6 +84,7 @@ object SparkEntry {
     // -centroid IVF pipelines are deterministic arithmetic DuckDB mirrors
     "q_sim_topk_lsh" -> ((s: SparkSession, dir: String) => SimilarityOps.simTopKLsh(s, dir)),
     "q_sim_topk_ivf" -> ((s: SparkSession, dir: String) => SimilarityOps.simTopKIvf(s, dir)),
+    "q_kmeans" -> (ClusterOps.kmeans _),
     "q_sessionize" -> (SessionOps.sessionize _),
     "q_approx_distinct" -> (SessionOps.approxDistinct _),
     // multimodal plumbing: deterministic stubs (histogram features, stride
@@ -108,5 +111,5 @@ object SparkEntry {
     DataflowOps.oracles ++ RelationalOps.oracles ++ AlarmOps.oracles ++
       TextOps.oracles ++ DedupOps.oracles ++ SimilarityOps.oracles ++
       SessionOps.oracles ++ MultimodalOps.oracles ++ CurationOps.oracles ++
-      CleanOps.oracles
+      CleanOps.oracles ++ ClusterOps.oracles
 }

@@ -1,0 +1,178 @@
+package graft.ops
+
+import graft.Tables.ResultOrdering
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** §2E embedding clustering: distributed Lloyd's k-means over the
+  * `embeddings` table — the trained-centroid half of the IVF similarity
+  * story (`SimilarityOps.simTopKIvf` partitions by label-mean centroids;
+  * a real index trains its coarse quantizer, and this operator is that
+  * training loop).
+  *
+  * Design, and why it scales (the MLlib KMeans shape, declarative):
+  *
+  *  - The corpus is read ONCE into quantized integer vectors and pinned
+  *    with an eager `localCheckpoint` (the same deterministic-release
+  *    materialization the dedup family uses — reclaimed when the result
+  *    is dropped, never a session-lifetime cache pin). Each iteration
+  *    re-reads the checkpointed blocks, not the parquet.
+  *  - Centroids are METADATA: k·d values (8·64 here) regardless of corpus
+  *    size. They live on the driver between iterations exactly like
+  *    MLlib's KMeans state and ride into the assignment projection as a
+  *    foldable literal — so the per-iteration distributed work is ONE
+  *    aggregation job and the assignment step itself is a pure per-row
+  *    projection with ZERO corpus shuffle (`nearest_centroid` is a native
+  *    codegen expression: two nested primitive loops, no allocation).
+  *  - The per-iteration shuffle is the (cluster, d) partial-sum
+  *    aggregation: map-side combine reduces every partition to ≤ k·d
+  *    rows before the exchange, so the shuffled volume is k·d·partitions
+  *    — independent of row count. The driver then folds ≤ k·d rows.
+  *
+  * Determinism / oracle exactness: vectors are quantized to integers
+  * (floor(x·10^5 + 0.5) — the repo's roundN formula, identical in SQL),
+  * distances are exact integer squared-L2 (≤ ~2.6·10^14, inside both
+  * Long and the 2^53 double-exact range, so DuckDB's double-domain dot
+  * products see the same integers), argmin ties break to the lowest
+  * cluster id, and the centroid update is floor(sum/count) evaluated as
+  * the SAME IEEE double division on both engines. Empty clusters keep
+  * their previous centroid (size 0 in the output).
+  */
+object ClusterOps {
+
+  val K = 8
+  val Iters = 3
+  val Scale = 100000L
+
+  def nearestCentroid(q: Column, cens: Column): Column = {
+    import org.apache.spark.sql.graftbridge
+    graftbridge.column(graft.functions.NearestCentroid(
+      graftbridge.expression(q), graftbridge.expression(cens)))
+  }
+
+  /** NaN-free corpus quantized to exact integer vectors. */
+  private[graft] def quantizedPoints(s: SparkSession, dir: String): DataFrame =
+    SimilarityOps.nanFreeEmbeddings(s, dir)
+      .select(
+        col("vec_id"),
+        expr(s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $Scale.0 + 0.5) AS BIGINT))")
+          .as("q"))
+
+  /** k-means centroid table: (cluster, d, c, size) — k·d rows. */
+  def kmeans(s: SparkSession, dir: String): DataFrame =
+    kmeansOn(s, quantizedPoints(s, dir), K, Iters)
+
+  /** One Lloyd iteration's distributed job: zero-shuffle assignment (the
+    * centroid matrix is a foldable literal; `nearest_centroid` is a pure
+    * per-row projection), then map-side-combined (cluster, d) partial
+    * sums — ≤ k·d rows per partition reach the wire. Exposed for the
+    * plan-regression guard in PlanSpec.
+    */
+  private[graft] def iterationStats(
+      pts: DataFrame, clusters: Array[Int], cens: Array[Array[Long]]): DataFrame = {
+    val censCol = typedLit(cens.map(_.toSeq).toSeq)
+    val idsCol = typedLit(clusters.toSeq)
+    pts
+      .select(element_at(idsCol, nearestCentroid(col("q"), censCol) + 1).as("cluster"),
+        posexplode(col("q")).as(Seq("d", "x")))
+      .groupBy(col("cluster"), col("d"))
+      .agg(sum(col("x")).as("sx"), count(lit(1)).as("cnt"))
+  }
+
+  def kmeansOn(s: SparkSession, ptsIn: DataFrame, k: Int, iters: Int): DataFrame = {
+    // LAZY checkpoint: the seed collect (the first action) materializes the
+    // blocks, so the corpus parquet is read exactly once without paying a
+    // separate eager materialization job — one fewer sequential stage per
+    // invocation at any scale. Release semantics are the same as the dedup
+    // family's checkpoints (ContextCleaner reclaims with the reference).
+    val pts = ptsIn.localCheckpoint(eager = false)
+
+    // Seed: the first k NaN-free vec_ids (deterministic on both engines).
+    // k rows to the driver — metadata, same class as the planning
+    // statistics reads (Tables.planningSize) and the CC finish.
+    val seed = pts.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int"), col("q"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Long](1).toArray))
+      .sortBy(_._1)
+    require(seed.nonEmpty, "kmeans: no seed vectors (vec_id < k all NaN or absent)")
+
+    val clusters: Array[Int] = seed.map(_._1)
+    var cens: Array[Array[Long]] = seed.map(_._2)
+    var sizes: Map[Int, Long] = Map.empty
+
+    for (_ <- 1 to iters) {
+      val stats = iterationStats(pts, clusters, cens)
+        .collect() // ≤ k·d rows — metadata-scale driver fold
+      val byCluster = stats.groupBy(_.getInt(0))
+      sizes = byCluster.map { case (cid, rows) => cid -> rows.head.getLong(3) }
+      cens = clusters.zip(cens).map { case (cid, old) =>
+        byCluster.get(cid).fold(old) { rows =>
+          val next = old.clone()
+          rows.foreach { r =>
+            // floor of the IEEE double quotient — the defining formula,
+            // evaluated identically by the oracle's floor(sum/count)
+            next(r.getInt(1)) = math.floor(r.getLong(2).toDouble / r.getLong(3)).toLong
+          }
+          next
+        }
+      }
+    }
+
+    val rows = for {
+      (cid, cen) <- clusters.zip(cens).toSeq
+      d <- cen.indices
+    } yield (cid, d, cen(d), sizes.getOrElse(cid, 0L))
+    s.createDataFrame(rows).toDF("cluster", "d", "c", "size")
+      .resultOrder(col("cluster"), col("d"))
+  }
+
+  /** DuckDB twin: the same three unrolled Lloyd iterations in SQL.
+    * Distances run as double-domain dot products over the quantized
+    * integers (exact below 2^53); argmin and tie-break are encoded as
+    * min(dist·k + cluster) — pure integer arithmetic, no engine-specific
+    * arg_min tie semantics.
+    */
+  private def iterSql(i: Int, k: Int): String = {
+    val prev = s"cen${i - 1}"
+    s"""a$i AS (
+       |  SELECT p.vec_id, p.q,
+       |         CAST(min(CAST(list_dot_product(CAST(p.q AS DOUBLE[]), CAST(p.q AS DOUBLE[]))
+       |                     + list_dot_product(CAST(c.cen AS DOUBLE[]), CAST(c.cen AS DOUBLE[]))
+       |                     - 2 * list_dot_product(CAST(p.q AS DOUBLE[]), CAST(c.cen AS DOUBLE[])) AS BIGINT)
+       |                  * $k + c.cluster) % $k AS INTEGER) AS cluster
+       |  FROM pts p CROSS JOIN cen${i - 1} c GROUP BY p.vec_id, p.q),
+       |m$i AS (
+       |  SELECT cluster, CAST(i - 1 AS INTEGER) AS d,
+       |         CAST(floor(CAST(sum(x) AS DOUBLE) / count(*)) AS BIGINT) AS cm
+       |  FROM (SELECT cluster, unnest(q) AS x, generate_subscripts(q, 1) AS i FROM a$i)
+       |  GROUP BY cluster, i),
+       |cen$i AS (
+       |  SELECT c.cluster,
+       |         coalesce(m.cen_new, c.cen) AS cen
+       |  FROM $prev c
+       |  LEFT JOIN (SELECT cluster, list(cm ORDER BY d) AS cen_new FROM m$i GROUP BY cluster) m
+       |    USING (cluster))""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q_kmeans" -> {
+      val nanFree = "len(list_filter(embedding, x -> isnan(CAST(x AS DOUBLE)))) = 0"
+      s"""WITH pts AS (
+         |  SELECT vec_id,
+         |         list_transform(embedding,
+         |           x -> CAST(floor(CAST(x AS DOUBLE) * $Scale.0 + 0.5) AS BIGINT)) AS q
+         |  FROM embeddings WHERE $nanFree),
+         |cen0 AS (SELECT CAST(vec_id AS INTEGER) AS cluster, q AS cen FROM pts WHERE vec_id < $K),
+         |${(1 to Iters).map(iterSql(_, K)).mkString(",\n")},
+         |sizes AS (SELECT cluster, CAST(count(*) AS BIGINT) AS size FROM a$Iters GROUP BY cluster)
+         |SELECT fin.cluster, fin.d, fin.c, coalesce(s.size, 0) AS size
+         |FROM (
+         |  SELECT cluster, CAST(generate_subscripts(cen, 1) - 1 AS INTEGER) AS d,
+         |         unnest(cen) AS c
+         |  FROM cen$Iters) fin
+         |LEFT JOIN sizes s USING (cluster)
+         |ORDER BY fin.cluster, fin.d""".stripMargin
+    }
+  )
+}

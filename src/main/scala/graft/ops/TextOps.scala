@@ -192,7 +192,116 @@ object TextOps {
       )
       .resultOrder(col("doc_id"))
 
+  /** Per-document term-frequency vector — the native `term_counts`
+    * codegen expression (one in-row pass, O(distinct) memory bounded by
+    * the document). The explode-then-groupBy(doc_id, term) alternative
+    * shuffles the corpus's ENTIRE token stream to compute counts that
+    * never cross a document boundary; in-row, downstream term aggregates
+    * see one row per (doc, distinct term) and reduce map-side to
+    * vocabulary-scale wire volume.
+    */
+  def termCounts(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graftbridge
+    graftbridge.column(graft.functions.TermCounts(graftbridge.expression(c)))
+  }
+
+  /** Corpus vocabulary heavy hitters: top-20 terms by total occurrence
+    * count, with document frequency. Per-doc counts are computed IN-ROW
+    * (`term_counts`), so the single term-level aggregation's map-side
+    * partial reduces each partition to ≤ vocabulary rows — the one
+    * exchange carries vocabulary-scale, not corpus-scale, volume, and
+    * natural Zipf skew is absorbed before the wire. The final top-k is
+    * orderBy+limit, which Spark plans as TakeOrderedAndProject
+    * (per-partition heap + driver merge of k×partitions rows — never a
+    * global sort).
+    */
+  def topTerms(s: SparkSession, dir: String): DataFrame =
+    topTermsOn(Tables.fanOut(Tables.documents(s, dir)), 20)
+
+  def topTermsOn(docs: DataFrame, k: Int): DataFrame =
+    docs
+      .select(explode(termCounts(col("text"))).as("tc"))
+      .select(col("tc.term").as("term"), col("tc.c").as("c"))
+      .groupBy(col("term"))
+      .agg(sum(col("c")).as("cnt"), count(lit(1)).as("doc_freq"))
+      .orderBy(col("cnt").desc, col("term"))
+      .limit(k)
+
+  /** Per-document TF-IDF keyword extraction (top-3 terms per doc) — the
+    * standard relevance primitive for corpus curation and topic tagging.
+    * Log-free rank-equivalent integer form: score = floor(c·N·10^6 /
+    * (ntok·df)) — monotone in the classic tf·(N/df), but exact BIGINT
+    * arithmetic (every intermediate < 2^53, so the double division is
+    * IEEE-exact on both engines) instead of a transcendental the two
+    * engines could round differently.
+    *
+    * Plan shape (the part that matters at 100 TB): term frequency AND doc
+    * length are per-document properties computed IN-ROW (`term_counts` +
+    * size(split)), so the tf table needs no shuffle at all. The df table
+    * is a term-level aggregate whose map-side partials reduce each
+    * partition to ≤ vocabulary rows (vocabulary-scale exchange), joined
+    * back size-gated-broadcast. The ONLY corpus-scale exchange is the
+    * final per-doc top-3 row_number window's hashpartitioning(doc_id) —
+    * which Spark caps with WindowGroupLimit (per-partition rank-limit
+    * pushdown before the exchange).
+    */
+  def tfidf(s: SparkSession, dir: String): DataFrame =
+    tfidfOn(Tables.fanOut(Tables.documents(s, dir)), 3)
+
+  def tfidfOn(docs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(
+        col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("ntok"),
+        explode(termCounts(col("text"))).as("tc"))
+      .select(col("doc_id"), col("ntok"), col("tc.term").as("term"), col("tc.c").as("c"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf
+      .join(Tables.broadcastIfSmall(df), "term")
+      .crossJoin(Tables.broadcastIfSmall(n))
+      .withColumn("score",
+        floor(col("c").cast("double") * col("n_docs") * 1000000.0 /
+          (col("ntok") * col("df"))).cast("long"))
+    scored
+      .withColumn("rk",
+        row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("rk"), col("term"), col("score"))
+      .resultOrder(col("doc_id"), col("rk"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_top_terms" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |g AS (SELECT term, doc_id, count(*) AS c FROM tok GROUP BY 1, 2)
+        |SELECT term, CAST(sum(c) AS BIGINT) AS cnt,
+        |       CAST(count(*) AS BIGINT) AS doc_freq
+        |FROM g GROUP BY term ORDER BY cnt DESC, term LIMIT 20""".stripMargin,
+    "q_tfidf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS c FROM tok GROUP BY 1, 2),
+        |lens AS (SELECT doc_id, term, c, sum(c) OVER (PARTITION BY doc_id) AS ntok FROM tf),
+        |dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT l.doc_id, l.term,
+        |         CAST(floor(CAST(l.c AS DOUBLE) * n.n_docs * 1000000.0
+        |                    / (l.ntok * d.df)) AS BIGINT) AS score
+        |  FROM lens l JOIN dfs d USING (term) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT doc_id, term, score,
+        |         row_number() OVER (PARTITION BY doc_id
+        |                            ORDER BY score DESC, term) AS rk
+        |  FROM scored)
+        |SELECT doc_id, CAST(rk AS INTEGER) AS rk, term, score
+        |FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
     "q_fingerprint" ->
       s"""WITH t AS (
          |  SELECT doc_id, string_split($normTextSql, ' ') AS toks FROM documents),

@@ -462,6 +462,96 @@ class ExtensionOpsSpec extends SparkSuite {
       .head()
     assert(r.getInt(0) == 4 && r.getInt(1) == 2)
   }
+
+  test("term_counts: in-row frequencies == explode+groupBy reference; ascending terms") {
+    val docs = Tables.documents(spark, SfDir).limit(100)
+    val native = docs
+      .select(col("doc_id"), explode(TextOps.termCounts(col("text"))).as("tc"))
+      .select(col("doc_id"), col("tc.term").as("term"), col("tc.c").as("c"))
+    val ref = docs
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
+    assert(native.exceptAll(ref).count() == 0 && ref.exceptAll(native).count() == 0,
+      "native term_counts disagrees with the explode+groupBy reference")
+    // ascending term order inside each array
+    val arrays = docs.select(TextOps.termCounts(col("text")).as("tcs"))
+      .select(expr("transform(tcs, t -> t.term)").as("ts")).collect()
+    arrays.foreach { r =>
+      val ts = r.getSeq[String](0)
+      assert(ts == ts.sorted, s"terms not ascending: $ts")
+    }
+  }
+
+  test("term_counts: trim/whitespace tokenization edge cases match split semantics") {
+    import org.apache.spark.sql.Row
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row("  a  b\ta a "), Row(""), Row("   "), Row("x")), 1), schema)
+    val out = df.select(
+        TextOps.termCounts(col("text")).as("tcs"),
+        split(trim(col("text")), "\\s+").as("ref"))
+      .collect()
+    out.foreach { r =>
+      val total = r.getSeq[Row](0).map(_.getLong(1)).sum
+      assert(total == r.getSeq[String](1).size,
+        s"token totals diverge from split(trim): $r")
+    }
+    val first = out(0).getSeq[Row](0).map(t => (t.getString(0), t.getLong(1)))
+    assert(first == Seq(("a", 3L), ("b", 1L)))
+  }
+
+  test("top terms: counts match an independent token scan; ordered desc") {
+    val out = TextOps.topTerms(spark, SfDir).collect()
+    assert(out.length == 20)
+    val cnts = out.map(_.getLong(1))
+    assert(cnts.sameElements(cnts.sortBy(-_)), "not ordered by cnt desc")
+    val byTerm = Tables.documents(spark, SfDir)
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("term"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("cnt"), countDistinct(col("doc_id")).as("doc_freq"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    out.foreach { r =>
+      val (cnt, dfreq) = byTerm(r.getString(0))
+      assert(r.getLong(1) == cnt && r.getLong(2) == dfreq, s"mismatch for $r")
+    }
+  }
+
+  test("tfidf: top-3 per doc, scores reproduce the integer formula") {
+    val out = SparkEntry.queries("q_tfidf")(spark, SfDir).collect()
+    val n = Tables.documents(spark, SfDir).count()
+    val perDoc = out.groupBy(_.getLong(0))
+    assert(perDoc.values.forall(_.length <= 3))
+    perDoc.values.foreach { rs =>
+      assert(rs.map(_.getInt(1)).sorted.sameElements(Array.range(1, rs.length + 1)))
+      // rank order follows (score desc, term asc)
+      val sorted = rs.sortBy(_.getInt(1))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getLong(3) > b.getLong(3) ||
+            (a.getLong(3) == b.getLong(3) && a.getString(2) < b.getString(2)))
+        case _ =>
+      }
+    }
+    // independent score recomputation for one document
+    val docId = out.head.getLong(0)
+    val toks = Tables.documents(spark, SfDir).filter(col("doc_id") === docId)
+      .select(explode(split(trim(col("text")), "\\s+")).as("term"))
+    val ntok = toks.count()
+    val dfMap = Tables.documents(spark, SfDir)
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("term"))
+      .distinct().groupBy("term").agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val cMap = toks.groupBy("term").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.filter(_.getLong(0) == docId).foreach { r =>
+      val term = r.getString(2)
+      val expected = math.floor(cMap(term).toDouble * n * 1000000.0 /
+        (ntok * dfMap(term))).toLong
+      assert(r.getLong(3) == expected, s"score mismatch for $term")
+    }
+  }
 }
 
 /** Reference fold for the simhash A/B test: the typed Aggregator pipeline

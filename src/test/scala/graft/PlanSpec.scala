@@ -429,4 +429,44 @@ class PlanSpec extends SparkSuite {
       "pair graph/component table not materialized:\n" + p)
     assert(!p.contains("collect_set"), "minhash pipeline recomputed inside clusters:\n" + p)
   }
+  test("q_top_terms: in-row term_counts — one vocabulary exchange, top-k heap") {
+    val p = plan("q_top_terms")
+    assert(p.contains("term_counts"), "native term_counts not in plan:\n" + p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"), "global sort crept in:\n" + p)
+    // the ONLY hash exchange is the term-level aggregate (map-side partials
+    // reduce each partition to <= vocabulary rows before the wire); a
+    // second one means the corpus-scale (term, doc_id) shuffle came back
+    assert("hashpartitioning\\(".r.findAllIn(p).size == 1,
+      "more than one hash exchange — corpus-scale token shuffle returned:\n" + p)
+  }
+
+  test("q_tfidf: tf in-row, df broadcast back, ONE corpus exchange with rank-limit pushdown") {
+    val p = plan("q_tfidf")
+    assert(p.contains("term_counts"), "native term_counts not in plan:\n" + p)
+    assert(p.contains("BroadcastHashJoin"), "df table not broadcast:\n" + p)
+    assert(!p.contains("SortMergeJoin"), "corpus shuffled to join the vocabulary table:\n" + p)
+    // per-doc top-3 must push a WindowGroupLimit below the exchange
+    assert(p.contains("WindowGroupLimit"), "rank-limit pushdown missing:\n" + p)
+    // exactly one doc_id exchange (the final window); the tf/ntok branch
+    // computes per-document properties in-row and must not shuffle
+    assert("hashpartitioning\\(doc_id".r.findAllIn(p).size == 1,
+      "tf branch shuffles the corpus:\n" + p)
+  }
+
+  test("kmeans iteration: zero-shuffle assignment, map-side-combined (cluster, d) sums") {
+    val pts = ops.ClusterOps.quantizedPoints(spark, SfDir)
+    val cens = Array.fill(4)(Array.fill(64)(0L))
+    val clusters = Array.tabulate(4)(identity)
+    val p = ops.ClusterOps.iterationStats(pts, clusters, cens)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("nearest_centroid"), "native assignment expression not in plan:\n" + p)
+    // one exchange total: the (cluster, d) aggregate; assignment itself is
+    // a projection — any additional exchange means the corpus is shuffled
+    assert("Exchange".r.findAllIn(p).size <= 4, // tree + detail, <= 2 nodes
+      "assignment shuffles the corpus:\n" + p)
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      "no map-side partial aggregation:\n" + p)
+    assert(!p.toLowerCase.contains("scalaudf"), p)
+  }
 }
