@@ -85,6 +85,7 @@ object SparkEntry {
     "q_sim_topk_lsh" -> ((s: SparkSession, dir: String) => SimilarityOps.simTopKLsh(s, dir)),
     "q_sim_topk_ivf" -> ((s: SparkSession, dir: String) => SimilarityOps.simTopKIvf(s, dir)),
     "q_kmeans" -> (ClusterOps.kmeans _),
+    "q_sim_topk_ivf_trained" -> ((s: SparkSession, dir: String) => SimilarityOps.simTopKIvfTrained(s, dir)),
     "q_sessionize" -> (SessionOps.sessionize _),
     "q_approx_distinct" -> (SessionOps.approxDistinct _),
     // multimodal plumbing: deterministic stubs (histogram features, stride

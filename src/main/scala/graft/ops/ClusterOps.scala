@@ -50,13 +50,16 @@ object ClusterOps {
       graftbridge.expression(q), graftbridge.expression(cens)))
   }
 
+  /** Quantization of the float `embedding` column to exact integers —
+    * the roundN formula, shared verbatim by the Spark ops and (as the
+    * same SQL text) the DuckDB oracles. */
+  private[graft] val QuantizeExpr =
+    s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $Scale.0 + 0.5) AS BIGINT))"
+
   /** NaN-free corpus quantized to exact integer vectors. */
   private[graft] def quantizedPoints(s: SparkSession, dir: String): DataFrame =
     SimilarityOps.nanFreeEmbeddings(s, dir)
-      .select(
-        col("vec_id"),
-        expr(s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $Scale.0 + 0.5) AS BIGINT))")
-          .as("q"))
+      .select(col("vec_id"), expr(QuantizeExpr).as("q"))
 
   /** k-means centroid table: (cluster, d, c, size) — k·d rows. */
   def kmeans(s: SparkSession, dir: String): DataFrame =
@@ -79,7 +82,32 @@ object ClusterOps {
       .agg(sum(col("x")).as("sx"), count(lit(1)).as("cnt"))
   }
 
+  /** Trained model: cluster ids (ascending — the centroid-matrix order),
+    * centroid vectors, and last-assignment sizes. Metadata-scale (k·d). */
+  private[graft] case class KmeansModel(
+      clusters: Array[Int], cens: Array[Array[Long]], sizes: Map[Int, Long]) {
+    /** Exact integer squared-L2 argmin — the driver-side twin of the
+      * nearest_centroid expression (same tie-break: lowest cluster id). */
+    def nearest(q: Array[Long], n: Int): Seq[Int] =
+      clusters.zip(cens).map { case (cid, cen) =>
+        var dist = 0L
+        var i = 0
+        while (i < cen.length) { val d = q(i) - cen(i); dist += d * d; i += 1 }
+        (dist, cid)
+      }.sortBy(identity).take(n).map(_._2).toSeq
+  }
+
   def kmeansOn(s: SparkSession, ptsIn: DataFrame, k: Int, iters: Int): DataFrame = {
+    val m = trainOn(ptsIn, k, iters)
+    val rows = for {
+      (cid, cen) <- m.clusters.zip(m.cens).toSeq
+      d <- cen.indices
+    } yield (cid, d, cen(d), m.sizes.getOrElse(cid, 0L))
+    s.createDataFrame(rows).toDF("cluster", "d", "c", "size")
+      .resultOrder(col("cluster"), col("d"))
+  }
+
+  private[graft] def trainOn(ptsIn: DataFrame, k: Int, iters: Int): KmeansModel = {
     // LAZY checkpoint: the seed collect (the first action) materializes the
     // blocks, so the corpus parquet is read exactly once without paying a
     // separate eager materialization job — one fewer sequential stage per
@@ -119,12 +147,7 @@ object ClusterOps {
       }
     }
 
-    val rows = for {
-      (cid, cen) <- clusters.zip(cens).toSeq
-      d <- cen.indices
-    } yield (cid, d, cen(d), sizes.getOrElse(cid, 0L))
-    s.createDataFrame(rows).toDF("cluster", "d", "c", "size")
-      .resultOrder(col("cluster"), col("d"))
+    KmeansModel(clusters, cens, sizes)
   }
 
   /** DuckDB twin: the same three unrolled Lloyd iterations in SQL.
@@ -155,24 +178,33 @@ object ClusterOps {
        |    USING (cluster))""".stripMargin
   }
 
+  /** The shared Lloyd-training CTE chain (pts, cen0, a1..m..cen{Iters}) —
+    * used by the q_kmeans oracle and embedded by the trained-IVF oracle in
+    * SimilarityOps so both engines provably run the SAME training. */
+  private[graft] def kmeansCtesSql: String = {
+    val nanFree = "len(list_filter(embedding, x -> isnan(CAST(x AS DOUBLE)))) = 0"
+    s"""pts AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding,
+       |           x -> CAST(floor(CAST(x AS DOUBLE) * $Scale.0 + 0.5) AS BIGINT)) AS q
+       |  FROM embeddings WHERE $nanFree),
+       |cen0 AS (SELECT CAST(vec_id AS INTEGER) AS cluster, q AS cen FROM pts WHERE vec_id < $K),
+       |${(1 to Iters).map(iterSql(_, K)).mkString(",\n")}""".stripMargin
+  }
+
+  /** Name of the final-centroid CTE inside [[kmeansCtesSql]]. */
+  private[graft] val FinalCenCte = s"cen$Iters"
+
   val oracles: Map[String, String] = Map(
-    "q_kmeans" -> {
-      val nanFree = "len(list_filter(embedding, x -> isnan(CAST(x AS DOUBLE)))) = 0"
-      s"""WITH pts AS (
-         |  SELECT vec_id,
-         |         list_transform(embedding,
-         |           x -> CAST(floor(CAST(x AS DOUBLE) * $Scale.0 + 0.5) AS BIGINT)) AS q
-         |  FROM embeddings WHERE $nanFree),
-         |cen0 AS (SELECT CAST(vec_id AS INTEGER) AS cluster, q AS cen FROM pts WHERE vec_id < $K),
-         |${(1 to Iters).map(iterSql(_, K)).mkString(",\n")},
+    "q_kmeans" ->
+      s"""WITH ${kmeansCtesSql},
          |sizes AS (SELECT cluster, CAST(count(*) AS BIGINT) AS size FROM a$Iters GROUP BY cluster)
          |SELECT fin.cluster, fin.d, fin.c, coalesce(s.size, 0) AS size
          |FROM (
          |  SELECT cluster, CAST(generate_subscripts(cen, 1) - 1 AS INTEGER) AS d,
          |         unnest(cen) AS c
-         |  FROM cen$Iters) fin
+         |  FROM $FinalCenCte) fin
          |LEFT JOIN sizes s USING (cluster)
          |ORDER BY fin.cluster, fin.d""".stripMargin
-    }
   )
 }

@@ -157,6 +157,56 @@ object SimilarityOps {
       .limit(k)
   }
 
+  /** IVF over TRAINED centroids: the end-to-end serving path of a real
+    * vector index — Lloyd's k-means (ClusterOps) trains the coarse
+    * quantizer, then the query probes the nProbe nearest trained
+    * centroids and exact-rescores only the vectors whose TRAINED cluster
+    * is probed.
+    *
+    * `simTopKIvf` partitions by the supervised `label` column (centroid =
+    * per-label mean) — honest, but a real index has no labels; this is
+    * the unsupervised version. At 100 TB: training is ClusterOps's loop
+    * (centroids are metadata); serving is ONE scan — the assignment is an
+    * in-row `nearest_centroid` projection against the literal centroid
+    * matrix, the probe filter drops (1 - nProbe/k) of the corpus before
+    * any expensive work, and the exact rescore + top-k plans as
+    * TakeOrderedAndProject. Zero shuffles beyond the top-k heap merge. In
+    * production the assignment is precomputed at WRITE time (partition by
+    * cluster id, like the label posting lists) — probing then prunes
+    * whole partitions at the scan; this operator computes it on the fly
+    * so training and serving stay one oracle-checkable unit.
+    *
+    * Probe selection and assignment run in the exact quantized-integer
+    * domain (same argmin + lowest-id tie-break on both engines); only the
+    * final rescore touches floats, with the bitwise-reproducible native
+    * cosine. The oracle embeds ClusterOps's OWN training CTE chain, so an
+    * engine/oracle training divergence fails the hash.
+    */
+  def simTopKIvfTrained(s: SparkSession, dir: String, k: Int = 10, nProbe: Int = 2): DataFrame = {
+    import graft.ops.ClusterOps
+    val model = ClusterOps.trainOn(
+      ClusterOps.quantizedPoints(s, dir), ClusterOps.K, ClusterOps.Iters)
+    val qVec = ClusterOps.quantizedPoints(s, dir)
+      .filter(col("vec_id") === 0).select("q")
+      .head.getSeq[Long](0).toArray
+    val probed = model.nearest(qVec, nProbe)
+    val censCol = typedLit(model.cens.map(_.toSeq).toSeq)
+    val idsCol = typedLit(model.clusters.toSeq)
+    val query = nanFreeEmbeddings(s, dir).filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"))
+    nanFreeEmbeddings(s, dir)
+      .filter(col("vec_id") =!= 0)
+      .withColumn("q", expr(ClusterOps.QuantizeExpr))
+      .withColumn("cluster",
+        element_at(idsCol, ClusterOps.nearestCentroid(col("q"), censCol) + 1))
+      .filter(col("cluster").isin(probed.map(Int.box): _*))
+      .crossJoin(broadcast(query))
+      .withColumn("cos_sim", graft.model.Model.roundN(cosineSim(col("embedding"), col("qv")), 4))
+      .select(col("vec_id"), col("cluster"), col("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Threshold for embedding near-dup pairs. 0.4 yields a non-trivial pair
     * set on the synthetic embeddings (max in-label cosine ≈ 0.47); real
     * dedup corpora would run ~0.95 — a constant, not a plan change.
@@ -273,6 +323,37 @@ object SimilarityOps {
     (Seq(0) ++ (0 until LshPlanes).map(1 << _)).mkString("[", ", ", "]")
 
   val oracles: Map[String, String] = Map(
+    "q_sim_topk_ivf_trained" -> {
+      val k = ClusterOps.K
+      s"""WITH ${ClusterOps.kmeansCtesSql},
+         |qq AS (SELECT q FROM pts WHERE vec_id = 0),
+         |probe AS (
+         |  SELECT c.cluster
+         |  FROM ${ClusterOps.FinalCenCte} c, qq
+         |  ORDER BY CAST(list_dot_product(CAST(qq.q AS DOUBLE[]), CAST(qq.q AS DOUBLE[]))
+         |             + list_dot_product(CAST(c.cen AS DOUBLE[]), CAST(c.cen AS DOUBLE[]))
+         |             - 2 * list_dot_product(CAST(qq.q AS DOUBLE[]), CAST(c.cen AS DOUBLE[])) AS BIGINT),
+         |           c.cluster
+         |  LIMIT 2),
+         |assigned AS (
+         |  SELECT p.vec_id,
+         |         CAST(min(CAST(list_dot_product(CAST(p.q AS DOUBLE[]), CAST(p.q AS DOUBLE[]))
+         |                     + list_dot_product(CAST(c.cen AS DOUBLE[]), CAST(c.cen AS DOUBLE[]))
+         |                     - 2 * list_dot_product(CAST(p.q AS DOUBLE[]), CAST(c.cen AS DOUBLE[])) AS BIGINT)
+         |                  * $k + c.cluster) % $k AS INTEGER) AS cluster
+         |  FROM pts p CROSS JOIN ${ClusterOps.FinalCenCte} c GROUP BY p.vec_id),
+         |qv AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM $EmbSql WHERE vec_id = 0)
+         |SELECT e.vec_id, a.cluster,
+         |       floor(list_dot_product(CAST(e.embedding AS DOUBLE[]), qv.qe)
+         |         / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+         |            * sqrt(list_dot_product(qv.qe, qv.qe))) * 10000.0 + 0.5) / 10000.0 AS cos_sim
+         |FROM $EmbSql e
+         |JOIN assigned a ON e.vec_id = a.vec_id
+         |JOIN probe USING (cluster), qv
+         |WHERE e.vec_id <> 0
+         |ORDER BY cos_sim DESC, e.vec_id
+         |LIMIT 10""".stripMargin
+    },
     "q_sim_topk_lsh" ->
       s"""WITH b AS (
          |  SELECT vec_id, label, embedding, $signBucketSql AS bucket

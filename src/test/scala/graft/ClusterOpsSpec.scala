@@ -120,4 +120,30 @@ class ClusterOpsSpec extends SparkSuite {
       assert(math.floor(f.toDouble * ClusterOps.Scale + 0.5).toLong == l)
     }
   }
+  test("trained IVF: exact rescore within probed clusters, consistent with the model") {
+    val ivf = graft.ops.SimilarityOps.simTopKIvfTrained(spark, SfDir, k = 10, nProbe = 2).collect()
+    assert(ivf.nonEmpty)
+    // probed clusters cover at most nProbe distinct ids
+    assert(ivf.map(_.getAs[Int]("cluster")).distinct.length <= 2)
+    // exact scoring: any hit also in the brute-force top-10 carries the
+    // identical rounded cosine
+    val all = graft.ops.SimilarityOps.simTopK(spark, SfDir).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cos_sim"))).toMap
+    ivf.foreach { r =>
+      val id = r.getAs[Long]("vec_id")
+      all.get(id).foreach(s => assert(s == r.getAs[Double]("cos_sim"), s"vec $id"))
+    }
+    val sims = ivf.map(_.getAs[Double]("cos_sim"))
+    assert(sims.sameElements(sims.sorted(Ordering[Double].reverse)))
+    // the reported cluster of every hit is the model's own nearest centroid
+    val model = ClusterOps.trainOn(
+      ClusterOps.quantizedPoints(spark, SfDir), ClusterOps.K, ClusterOps.Iters)
+    val qByVec = ClusterOps.quantizedPoints(spark, SfDir)
+      .filter(col("vec_id").isin(ivf.map(r => Long.box(r.getLong(0))): _*))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    ivf.foreach { r =>
+      assert(model.nearest(qByVec(r.getLong(0)), 1).head == r.getAs[Int]("cluster"),
+        s"vec ${r.getLong(0)} cluster mismatch vs driver-side model")
+    }
+  }
 }

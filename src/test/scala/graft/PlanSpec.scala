@@ -469,4 +469,14 @@ class PlanSpec extends SparkSuite {
       "no map-side partial aggregation:\n" + p)
     assert(!p.toLowerCase.contains("scalaudf"), p)
   }
+  test("q_sim_topk_ivf_trained: serving is one scan — in-row assignment, broadcast query, top-k heap") {
+    val p = plan("q_sim_topk_ivf_trained")
+    assert(p.contains("nearest_centroid"), "assignment not the native in-row expression:\n" + p)
+    assert(p.contains("cosine_sim"), "rescore not the native cosine:\n" + p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "serving path shuffles the corpus:\n" + p)
+    assert(!p.contains("Exchange hashpartitioning"),
+      "serving path should have no hash exchange at all:\n" + p)
+  }
 }
