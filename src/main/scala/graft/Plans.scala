@@ -49,7 +49,10 @@ object Plans {
       "q_time_weight" -> "window partitioned on the SAME (metric, bucket) key the aggregate groups by — Catalyst reuses one exchange for both; weights are per-row lead arithmetic, no second pass",
       "q_histogram" -> "per-metric bounds (5-row aggregate) broadcast back onto the value stream — the corpus shuffles only for the final (metric, bin) partial+final aggregate",
       "q_percentiles" -> "ONE scan and one (metric)-window sort for ALL percentile targets: the per-mille targets explode in-row (Generate) and a rank-equality filter selects them — never a union of per-percentile re-scans",
-      "q_spc_rules" -> "per-metric stats broadcast back (tiny aggregate, no corpus shuffle for the join); run detection is rank arithmetic over (metric[, side, island]) ordered windows — the alarm-engine window shape"
+      "q_spc_rules" -> "per-metric stats broadcast back (tiny aggregate, no corpus shuffle for the join); run detection is rank arithmetic over (metric[, side, island]) ordered windows — the alarm-engine window shape",
+      "q_top_terms" -> "per-doc term frequencies in-row via native term_counts — the single term-level aggregate's map-side partials reduce each partition to <= vocabulary rows before the one exchange; top-20 via TakeOrderedAndProject, never a global sort",
+      "q_tfidf" -> "tf and doc length are per-document properties computed in-row (term_counts + size(split)); the vocabulary df aggregate broadcasts back; the ONLY corpus-scale exchange is the per-doc top-3 window's hashpartitioning(doc_id), rank-limit-capped by WindowGroupLimit on BOTH sides of it",
+      "q_sim_topk_ivf_trained" -> "serving is ONE scan: in-row nearest_centroid assignment against the literal trained-centroid matrix, probe filter drops (1 - nProbe/k) of the corpus before the broadcast-query cosine rescore, top-k via TakeOrderedAndProject — zero hash exchanges"
     )
 
     val sb = new StringBuilder

@@ -61,9 +61,32 @@ object ClusterOps {
     SimilarityOps.nanFreeEmbeddings(s, dir)
       .select(col("vec_id"), expr(QuantizeExpr).as("q"))
 
+  // Trained-model memo, OPT-IN via spark.graft.fixtureCache — the same
+  // flag, keying, and leak reasoning as Tables.memoizedDf: Bench/Verify
+  // own one session and run both q_kmeans and the trained-IVF query, which
+  // share this training; a library session leaves the flag off and
+  // retrains per call (the correct default for mutable inputs). The model
+  // itself is k·d longs — no session reference.
+  private val modelCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), KmeansModel]
+
+  private[graft] def trainedModel(s: SparkSession, dir: String): KmeansModel = {
+    def train = trainOn(quantizedPoints(s, dir), K, Iters)
+    if (s.conf.getOption("spark.graft.fixtureCache").contains("true"))
+      modelCache.getOrElseUpdate((s, s"$dir|$K|$Iters"), train)
+    else train
+  }
+
   /** k-means centroid table: (cluster, d, c, size) — k·d rows. */
-  def kmeans(s: SparkSession, dir: String): DataFrame =
-    kmeansOn(s, quantizedPoints(s, dir), K, Iters)
+  def kmeans(s: SparkSession, dir: String): DataFrame = {
+    val m = trainedModel(s, dir)
+    val rows = for {
+      (cid, cen) <- m.clusters.zip(m.cens).toSeq
+      d <- cen.indices
+    } yield (cid, d, cen(d), m.sizes.getOrElse(cid, 0L))
+    s.createDataFrame(rows).toDF("cluster", "d", "c", "size")
+      .resultOrder(col("cluster"), col("d"))
+  }
 
   /** One Lloyd iteration's distributed job: zero-shuffle assignment (the
     * centroid matrix is a foldable literal; `nearest_centroid` is a pure

@@ -184,8 +184,7 @@ object SimilarityOps {
     */
   def simTopKIvfTrained(s: SparkSession, dir: String, k: Int = 10, nProbe: Int = 2): DataFrame = {
     import graft.ops.ClusterOps
-    val model = ClusterOps.trainOn(
-      ClusterOps.quantizedPoints(s, dir), ClusterOps.K, ClusterOps.Iters)
+    val model = ClusterOps.trainedModel(s, dir)
     val qVec = ClusterOps.quantizedPoints(s, dir)
       .filter(col("vec_id") === 0).select("q")
       .head.getSeq[Long](0).toArray

@@ -767,6 +767,26 @@ object StreamingOps {
   def scrubStream(events: DataFrame): DataFrame =
     graft.ops.CleanOps.piiRedactOn(events)
 
+  /** Streaming twin of TextOps.topTerms: a RUNNING vocabulary count —
+    * per-doc term frequencies extracted in-row by the same native
+    * `term_counts` expression (identical tokenization, hence identical
+    * counts), folded into an update-mode streaming aggregation keyed by
+    * term. State is one (cnt, doc_freq) pair per distinct term —
+    * vocabulary-bounded, not corpus-bounded — and the in-row extraction
+    * means each micro-batch ships at most |vocabulary| updated rows to the
+    * state store, exactly the map-side-partial property the batch plan
+    * has. Exactly-once across redelivery is the engine's checkpointed
+    * source-offset contract (the same basis as mvStream), not per-row
+    * dedup. The consumer ranks top-k per trigger (batch's trailing
+    * orderBy+limit — presentation, not state).
+    */
+  def topTermsStream(docs: DataFrame): DataFrame =
+    docs
+      .select(explode(graft.ops.TextOps.termCounts(col("text"))).as("tc"))
+      .select(col("tc.term").as("term"), col("tc.c").as("c"))
+      .groupBy(col("term"))
+      .agg(sum(col("c")).as("cnt"), count(lit(1)).as("doc_freq"))
+
   /** Ingest dataflow (§3.1): JSON envelope → flatten → type dispatch →
     * broadcast enrichment. `contextDf` is the (tiny) slowly-changing
     * dimension looked up at stream time (hydration_agent/main.py:73-74).

@@ -271,6 +271,31 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("top-terms stream: running vocabulary counts equal batch recompute across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingOps.topTermsStream(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("topterms_out")
+      .outputMode("complete").start()
+    try {
+      val batch1 = Seq((1L, "spark spark scan join"), (2L, "scan  scan filter"))
+      val batch2 = Seq((3L, "join spark"), (4L, "filter"))
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      mem.addData(batch2: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("topterms_out")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val batch = graft.ops.TextOps.topTermsOn(
+          (batch1 ++ batch2).toDF("doc_id", "text"), k = 100)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed == batch, s"streamed $streamed vs batch $batch")
+      assert(streamed == Set(
+        ("spark", 3L, 2L), ("scan", 3L, 2L), ("join", 2L, 2L), ("filter", 2L, 2L)))
+    } finally q.stop()
+  }
+
   test("streaming ingest: dispatch + enrichment on a memory stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
