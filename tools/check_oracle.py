@@ -22,7 +22,13 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 def main(sf_dir: str, out_dir: str) -> None:
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # driver fixtures are single files; Spark-written scale fixtures
+        # (ScaleFixtures output) are directories of part files — same
+        # handling as bench_oracle.py
+        import os
+        p = f"{sf_dir}/{t}.parquet"
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = n_bad = 0
     for name, sql in sorted(oracle.items()):
