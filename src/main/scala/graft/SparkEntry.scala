@@ -72,6 +72,7 @@ object SparkEntry {
     "q_fingerprint" -> (TextOps.fingerprint _),
     "q_quality_score" -> (TextOps.qualityScore _),
     "q_top_terms" -> (TextOps.topTerms _),
+    "q_top_terms_approx" -> (TextOps.topTermsApprox _),
     "q_tfidf" -> (TextOps.tfidf _),
     "q_dedup_exact" -> (TextOps.dedupExact _),
     "q_dedup_minhash" -> (DedupOps.dedupMinhash _),

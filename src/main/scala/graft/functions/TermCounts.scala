@@ -24,8 +24,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Tokenization matches `split(trim(text), '\\s+')` and the DuckDB
   * oracle's `string_split_regex(trim(text), '\s+')` — identical to
-  * TermFreqStats. Output order is ascending by term (UTF8 binary order)
-  * so the array is deterministic. Null in → null out.
+  * TermFreqStats. Output order is ascending by term in Java String order
+  * (UTF-16 code-unit order — differs from UTF-8 byte order only above
+  * the BMP; the order is deterministic and presentation-only: every
+  * consumer explodes and aggregates, so no result depends on it).
+  * Null in → null out.
   */
 case class TermCounts(child: Expression) extends UnaryExpression {
 

@@ -227,6 +227,40 @@ object TextOps {
       .orderBy(col("cnt").desc, col("term"))
       .limit(k)
 
+  /** Counter budget of the approximate top-terms sketch: error ≤
+    * n/(m+1) occurrences over n total tokens. 256 keeps the summary a
+    * few KB; the fixture vocabulary (≪ 256) never triggers compaction,
+    * so the sketch is exact there (ExtensionOpsSpec asserts equality
+    * with q_top_terms; PropertySpec drives the lossy regime).
+    */
+  val TopTermsSketchCounters = 256
+
+  /** Approximate sibling of [[topTerms]] — the constant-memory path when
+    * the key space is unbounded (n-grams, URLs, identifiers at corpus
+    * scale): a mergeable Misra-Gries summary ([[graft.functions.TopTermsSketch]])
+    * aggregated in one partial+final pass, state capped at m counters per
+    * partition and in the merged result. Output carries the
+    * deterministic bound per term: est_cnt ≤ true ≤ cnt_hi. Sketch
+    * content under compaction depends on merge order (like every
+    * mergeable sketch), so this is a rows-only driver row — the bound,
+    * and exactness below m distinct terms, are property-tested instead.
+    */
+  def topTermsApprox(s: SparkSession, dir: String): DataFrame =
+    topTermsApproxOn(Tables.fanOut(Tables.documents(s, dir)), 20)
+
+  def topTermsApproxOn(docs: DataFrame, k: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    val sketch =
+      new graft.functions.TopTermsSketch(TopTermsSketchCounters, k).toColumn
+    docs
+      .select(explode(termCounts(col("text"))).as("tc"))
+      .select(col("tc.term"), col("tc.c")).as[(String, Long)]
+      .select(sketch.name("hh"))
+      .select(posexplode(col("hh")).as(Seq("i", "h")))
+      .select((col("i") + 1).as("rank"), col("h._1").as("term"),
+        col("h._2").as("est_cnt"), col("h._3").as("cnt_hi"))
+  }
+
   /** Per-document TF-IDF keyword extraction (top-3 terms per doc) — the
     * standard relevance primitive for corpus curation and topic tagging.
     * Log-free rank-equivalent integer form: score = floor(c·N·10^6 /

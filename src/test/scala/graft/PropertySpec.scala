@@ -372,6 +372,46 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("top-terms MG sketch: error bound holds in the lossy regime; exact below capacity") {
+    import spark.implicits._
+    // Zipf-ish corpus with FAR more distinct terms than the sketch's 256
+    // counters: term_i appears ceil(4000 / i) times, i in 1..3000 — heavy
+    // head, long tail, ~30k total occurrences
+    val rnd = new scala.util.Random(42)
+    val occurrences = rnd.shuffle(
+      (1 to 3000).flatMap(i => Seq.fill(4000 / i + 1)(f"t$i%04d")))
+    // pack into docs of 50 tokens so the operator runs its real path
+    val docs = occurrences.grouped(50).zipWithIndex
+      .map { case (toks, id) => (id.toLong, toks.mkString(" ")) }.toSeq
+      .toDF("doc_id", "text")
+    val n = occurrences.size.toLong
+    val m = TextOps.TopTermsSketchCounters
+    val out = TextOps.topTermsApproxOn(docs, k = 20).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.length == 20)
+    val truth = occurrences.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    val loss = out.head._4 - out.head._3 // cnt_hi - est, same for every row
+    assert(loss <= n / (m + 1), s"loss $loss exceeds the MG bound ${n / (m + 1)}")
+    out.foreach { case (_, term, est, hi) =>
+      val t = truth(term)
+      assert(est <= t && t <= hi, s"$term: true $t outside [est $est, hi $hi]")
+    }
+    // the unambiguous head (true count far above loss + everyone else's
+    // upper bound) must surface, in order
+    assert(out(0)._2 == "t0001" && out(1)._2 == "t0002",
+      s"head of the distribution lost: ${out.take(3).mkString(",")}")
+
+    // below capacity (fixture vocabulary << 256 counters) the sketch never
+    // compacts: loss == 0 and the ranking equals the exact aggregate
+    val approxFix = TextOps.topTermsApprox(spark, SfDir).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    val exactFix = TextOps.topTerms(spark, SfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(approxFix.forall { case (_, est, hi) => est == hi }, "loss on a sub-capacity corpus")
+    assert(approxFix.map(t => (t._1, t._2)).toSeq == exactFix.toSeq,
+      "sub-capacity sketch must equal the exact top-terms")
+  }
+
   test("agent JSON escaping: every adversarial payload parses back exactly through the shared envelope schema") {
     // the OPC-UA→MQTT agent hand-assembles its wire JSON (jsonStr /
     // jsonScalar); this property drives the writer with quotes,

@@ -7,13 +7,17 @@ class RegistrySpec extends SparkSuite {
     // a key registered in queries without oracleSql silently downgrades
     // the driver's gate to a rows-only check, so rows-only entries must
     // be DECLARED here, with the reason, not accidental; an oracle
-    // without a query is dead SQL. The only declared exception:
+    // without a query is dead SQL. The only declared exceptions:
     //  - q_percentiles_approx: a GK sketch's returned sample depends on
     //    partition merge order (any value within the rank-error bound is
     //    a correct answer), so cross-engine hash equality is not a
     //    meaningful contract; PropertySpec pins the rank-error bound
     //    against the exact operator instead.
-    val rowsOnly = Set("q_percentiles_approx")
+    //  - q_top_terms_approx: same class — the Misra-Gries summary's
+    //    content under compaction depends on merge order; PropertySpec
+    //    pins the est <= true <= est+loss bound in the lossy regime and
+    //    EXACT equality with q_top_terms below the counter budget.
+    val rowsOnly = Set("q_percentiles_approx", "q_top_terms_approx")
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert((q -- rowsOnly) == o,
