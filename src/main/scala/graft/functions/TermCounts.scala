@@ -56,25 +56,16 @@ case class TermCounts(child: Expression) extends UnaryExpression {
 
 object TermCounts {
 
-  private val Whitespace = java.util.regex.Pattern.compile("\\s+")
-
   val Schema: DataType = ArrayType(
     StructType(Seq(
       StructField("term", StringType, nullable = false),
       StructField("c", LongType, nullable = false))),
     containsNull = false)
 
-  /** Static entry point shared by interpreted eval and generated code. */
+  /** Static entry point shared by interpreted eval and generated code;
+    * token stream = [[TermFreqStats.tokenize]], the one shared tokenizer. */
   def compute(s: UTF8String): ArrayData = {
-    // same token stream as split(trim(text), "\s+"): Spark's trim strips
-    // 0x20 only (String#trim would also strip control chars)
-    var str = s.toString
-    var lo = 0
-    var hi = str.length
-    while (lo < hi && str.charAt(lo) == ' ') lo += 1
-    while (hi > lo && str.charAt(hi - 1) == ' ') hi -= 1
-    str = str.substring(lo, hi)
-    val toks = Whitespace.split(str, -1)
+    val toks = TermFreqStats.tokenize(s)
 
     // TreeMap: counts and the ascending term order in one structure —
     // O(tokens · log distinct), bounded by the document, not the corpus

@@ -57,6 +57,23 @@ object TermFreqStats {
   // — per ROW here; compile once (Pattern is thread-safe for split)
   private val Whitespace = java.util.regex.Pattern.compile("\\s+")
 
+  /** THE whitespace tokenizer — the single definition shared by every
+    * in-row native (TermFreqStats, TermCounts) and documented to match
+    * `split(trim(text), "\s+")` / the oracle's `string_split_regex`:
+    * Spark's trim strips 0x20 only (String#trim would also strip control
+    * chars), runs of whitespace are one separator. Two hand-synced copies
+    * of this preamble drifted a review once; keep it in one place.
+    */
+  private[functions] def tokenize(s: UTF8String): Array[String] = {
+    var str = s.toString
+    var lo = 0
+    var hi = str.length
+    while (lo < hi && str.charAt(lo) == ' ') lo += 1
+    while (hi > lo && str.charAt(hi - 1) == ' ') hi -= 1
+    str = str.substring(lo, hi)
+    Whitespace.split(str, -1)
+  }
+
   val Schema: StructType = StructType(Seq(
     StructField("n_tokens", LongType, nullable = false),
     StructField("n_distinct", LongType, nullable = false),
@@ -66,15 +83,7 @@ object TermFreqStats {
 
   /** Static entry point shared by interpreted eval and generated code. */
   def compute(s: UTF8String): InternalRow = {
-    // same token stream as split(trim(text), "\s+"): Spark's trim strips
-    // 0x20 only; String#trim would also strip control chars
-    var str = s.toString
-    var lo = 0
-    var hi = str.length
-    while (lo < hi && str.charAt(lo) == ' ') lo += 1
-    while (hi > lo && str.charAt(hi - 1) == ' ') hi -= 1
-    str = str.substring(lo, hi)
-    val toks = Whitespace.split(str, -1)
+    val toks = tokenize(s)
 
     val wordCounts = new java.util.HashMap[String, Int](toks.length * 2)
     var topW = 0

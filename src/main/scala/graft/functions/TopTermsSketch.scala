@@ -18,8 +18,9 @@ case class MgBuf(counts: Map[String, Long], loss: Long)
   *
   * Why it exists: the exact vocabulary aggregate's state is
   * O(|vocabulary|) — fine for word-tokenized text, unbounded for n-gram /
-  * URL / identifier streams at 100 TB. The MG summary caps state at m
-  * counters per partition AND at the final merge, with the classic
+  * URL / identifier streams at 100 TB. The MG summary caps state at 2m
+  * counters per partition AND at the final merge (≤ m right after each
+  * compaction), with the classic
   * deterministic error bound (Misra & Gries 1982; mergeability per
   * Agarwal et al., "Mergeable Summaries", PODS'12): merging two
   * summaries then compacting preserves est(t) ≤ true(t) ≤ est(t)+loss
@@ -41,8 +42,17 @@ case class MgBuf(counts: Map[String, Long], loss: Long)
 class TopTermsSketch(m: Int, k: Int)
     extends Aggregator[(String, Long), MgBuf, Seq[(String, Long, Long)]] {
 
+  /** Amortized compaction: the buffer is allowed to grow to 2m keys, and
+    * one compaction (subtract the (m+1)-th largest count, drop the
+    * non-positive — leaves ≤ m keys) then pays for the next m insertions.
+    * Compacting at the hard m bound instead would rebuild the map on
+    * EVERY new key once full — O(m log m) per row in exactly the
+    * unbounded-key regime this sketch exists for. The error bound is
+    * unchanged: each subtracted δ hits ≥ m+1 counters (counting dropped
+    * mass), so Σδ = loss ≤ n/(m+1); memory is ≤ 2m counters.
+    */
   private def compact(counts: Map[String, Long], loss: Long): MgBuf =
-    if (counts.size <= m) MgBuf(counts, loss)
+    if (counts.size <= 2 * m) MgBuf(counts, loss)
     else {
       val sorted = counts.valuesIterator.toArray
       java.util.Arrays.sort(sorted)

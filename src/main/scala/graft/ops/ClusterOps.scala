@@ -77,9 +77,12 @@ object ClusterOps {
     else train
   }
 
-  /** k-means centroid table: (cluster, d, c, size) — k·d rows. */
-  def kmeans(s: SparkSession, dir: String): DataFrame = {
-    val m = trainedModel(s, dir)
+  /** The (cluster, d, c, size) centroid table of a trained model — the
+    * ONE conversion both kmeans (the oracle-gated query) and kmeansOn
+    * (the unit-test entry) go through, so a schema/order change can
+    * never skew one without the other.
+    */
+  private def modelDf(s: SparkSession, m: KmeansModel): DataFrame = {
     val rows = for {
       (cid, cen) <- m.clusters.zip(m.cens).toSeq
       d <- cen.indices
@@ -87,6 +90,10 @@ object ClusterOps {
     s.createDataFrame(rows).toDF("cluster", "d", "c", "size")
       .resultOrder(col("cluster"), col("d"))
   }
+
+  /** k-means centroid table: (cluster, d, c, size) — k·d rows. */
+  def kmeans(s: SparkSession, dir: String): DataFrame =
+    modelDf(s, trainedModel(s, dir))
 
   /** One Lloyd iteration's distributed job: zero-shuffle assignment (the
     * centroid matrix is a foldable literal; `nearest_centroid` is a pure
@@ -120,15 +127,8 @@ object ClusterOps {
       }.sortBy(identity).take(n).map(_._2).toSeq
   }
 
-  def kmeansOn(s: SparkSession, ptsIn: DataFrame, k: Int, iters: Int): DataFrame = {
-    val m = trainOn(ptsIn, k, iters)
-    val rows = for {
-      (cid, cen) <- m.clusters.zip(m.cens).toSeq
-      d <- cen.indices
-    } yield (cid, d, cen(d), m.sizes.getOrElse(cid, 0L))
-    s.createDataFrame(rows).toDF("cluster", "d", "c", "size")
-      .resultOrder(col("cluster"), col("d"))
-  }
+  def kmeansOn(s: SparkSession, ptsIn: DataFrame, k: Int, iters: Int): DataFrame =
+    modelDf(s, trainOn(ptsIn, k, iters))
 
   private[graft] def trainOn(ptsIn: DataFrame, k: Int, iters: Int): KmeansModel = {
     // LAZY checkpoint: the seed collect (the first action) materializes the

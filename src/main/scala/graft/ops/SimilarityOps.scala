@@ -182,13 +182,28 @@ object SimilarityOps {
     * cosine. The oracle embeds ClusterOps's OWN training CTE chain, so an
     * engine/oracle training divergence fails the hash.
     */
-  def simTopKIvfTrained(s: SparkSession, dir: String, k: Int = 10, nProbe: Int = 2): DataFrame = {
+  /** k and nProbe of the registered q_sim_topk_ivf_trained — the SAME
+    * constants the oracle SQL interpolates, so the two cannot drift. */
+  val IvfTrainedK = 10
+  val IvfTrainedProbes = 2
+
+  def simTopKIvfTrained(s: SparkSession, dir: String,
+      k: Int = IvfTrainedK, nProbe: Int = IvfTrainedProbes): DataFrame = {
     import graft.ops.ClusterOps
     val model = ClusterOps.trainedModel(s, dir)
     val qVec = ClusterOps.quantizedPoints(s, dir)
       .filter(col("vec_id") === 0).select("q")
-      .head.getSeq[Long](0).toArray
-    val probed = model.nearest(qVec, nProbe)
+      .collect().headOption.map(_.getSeq[Long](0).toArray)
+    // no (or NaN) query vector: degrade to an empty result — the oracle's
+    // qq/probe CTEs yield zero rows on the same input, and every sibling
+    // similarity operator has the same contract
+    if (qVec.isEmpty)
+      return s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("vec_id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("cluster", org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("cos_sim", org.apache.spark.sql.types.DoubleType))))
+    val probed = model.nearest(qVec.get, nProbe)
     val censCol = typedLit(model.cens.map(_.toSeq).toSeq)
     val idsCol = typedLit(model.clusters.toSeq)
     val query = nanFreeEmbeddings(s, dir).filter(col("vec_id") === 0)
@@ -333,7 +348,7 @@ object SimilarityOps {
          |             + list_dot_product(CAST(c.cen AS DOUBLE[]), CAST(c.cen AS DOUBLE[]))
          |             - 2 * list_dot_product(CAST(qq.q AS DOUBLE[]), CAST(c.cen AS DOUBLE[])) AS BIGINT),
          |           c.cluster
-         |  LIMIT 2),
+         |  LIMIT $IvfTrainedProbes),
          |assigned AS (
          |  SELECT p.vec_id,
          |         CAST(min(CAST(list_dot_product(CAST(p.q AS DOUBLE[]), CAST(p.q AS DOUBLE[]))
@@ -351,7 +366,7 @@ object SimilarityOps {
          |JOIN probe USING (cluster), qv
          |WHERE e.vec_id <> 0
          |ORDER BY cos_sim DESC, e.vec_id
-         |LIMIT 10""".stripMargin
+         |LIMIT $IvfTrainedK""".stripMargin
     },
     "q_sim_topk_lsh" ->
       s"""WITH b AS (
