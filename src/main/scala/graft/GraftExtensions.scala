@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimilarity, MinHashSig, NearestCentroid, NGramHashes, SimHashSig, TermCounts, TermFreqStats, WordShingleHashes}
+import graft.functions.{CosineSimilarity, MinHashSig, NearestCentroid, NGramHashes, SimHashSig, SquaredL2, TermCounts, TermFreqStats, WordShingleHashes}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 
 /** SparkSessionExtensions injector for the engine's native functions.
@@ -25,6 +25,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((TermFreqStats.identifier, TermFreqStats.info, TermFreqStats.builder))
     ext.injectFunction((NearestCentroid.identifier, NearestCentroid.info, NearestCentroid.builder))
     ext.injectFunction((TermCounts.identifier, TermCounts.info, TermCounts.builder))
+    ext.injectFunction((SquaredL2.identifier, SquaredL2.info, SquaredL2.builder))
   }
 }
 
@@ -38,5 +39,6 @@ object GraftExtensions {
     TermFreqStats.register(spark.sessionState.functionRegistry)
     NearestCentroid.register(spark.sessionState.functionRegistry)
     TermCounts.register(spark.sessionState.functionRegistry)
+    SquaredL2.register(spark.sessionState.functionRegistry)
   }
 }

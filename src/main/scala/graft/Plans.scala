@@ -52,7 +52,9 @@ object Plans {
       "q_spc_rules" -> "per-metric stats broadcast back (tiny aggregate, no corpus shuffle for the join); run detection is rank arithmetic over (metric[, side, island]) ordered windows — the alarm-engine window shape",
       "q_top_terms" -> "per-doc term frequencies in-row via native term_counts — the single term-level aggregate's map-side partials reduce each partition to <= vocabulary rows before the one exchange; top-20 via TakeOrderedAndProject, never a global sort",
       "q_tfidf" -> "tf and doc length are per-document properties computed in-row (term_counts + size(split)); the vocabulary df aggregate broadcasts back; the ONLY corpus-scale exchange is the per-doc top-3 window's hashpartitioning(doc_id), rank-limit-capped by WindowGroupLimit on BOTH sides of it",
-      "q_sim_topk_ivf_trained" -> "serving is ONE scan: in-row nearest_centroid assignment against the literal trained-centroid matrix, probe filter drops (1 - nProbe/k) of the corpus before the broadcast-query cosine rescore, top-k via TakeOrderedAndProject — zero hash exchanges"
+      "q_sim_topk_ivf_trained" -> "serving is ONE scan: in-row nearest_centroid assignment against the literal trained-centroid matrix, probe filter drops (1 - nProbe/k) of the corpus before the broadcast-query cosine rescore, top-k via TakeOrderedAndProject — zero hash exchanges",
+      "q_cluster_stats" -> "evaluate leg of the k-means arc: in-row nearest_centroid assignment + squared_l2 distance against the same literal matrix, then a k-row partial+final aggregate — zero corpus shuffle, no joins",
+      "q_dedup_rate_by_source" -> "two-level (source, digest) -> source aggregation — the distinct count never plans a count-distinct Expand; both exchanges carry map-side-combined digest-level rows, uniform 128-bit keys"
     )
 
     val sb = new StringBuilder

@@ -73,6 +73,7 @@ object SparkEntry {
     "q_quality_score" -> (TextOps.qualityScore _),
     "q_top_terms" -> (TextOps.topTerms _),
     "q_top_terms_approx" -> (TextOps.topTermsApprox _),
+    "q_dedup_rate_by_source" -> (TextOps.dedupRateBySource _),
     "q_tfidf" -> (TextOps.tfidf _),
     "q_dedup_exact" -> (TextOps.dedupExact _),
     "q_dedup_minhash" -> (DedupOps.dedupMinhash _),
@@ -86,6 +87,7 @@ object SparkEntry {
     "q_sim_topk_lsh" -> ((s: SparkSession, dir: String) => SimilarityOps.simTopKLsh(s, dir)),
     "q_sim_topk_ivf" -> ((s: SparkSession, dir: String) => SimilarityOps.simTopKIvf(s, dir)),
     "q_kmeans" -> (ClusterOps.kmeans _),
+    "q_cluster_stats" -> (ClusterOps.clusterStats _),
     "q_sim_topk_ivf_trained" -> ((s: SparkSession, dir: String) => SimilarityOps.simTopKIvfTrained(s, dir)),
     "q_sessionize" -> (SessionOps.sessionize _),
     "q_approx_distinct" -> (SessionOps.approxDistinct _),

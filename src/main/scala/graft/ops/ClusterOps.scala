@@ -50,6 +50,47 @@ object ClusterOps {
       graftbridge.expression(q), graftbridge.expression(cens)))
   }
 
+  def squaredL2(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge
+    graftbridge.column(graft.functions.SquaredL2(
+      graftbridge.expression(a), graftbridge.expression(b)))
+  }
+
+  /** Cluster-quality diagnostics of the trained model — the evaluate leg
+    * of the train (q_kmeans) → serve (q_sim_topk_ivf_trained) → evaluate
+    * arc: per-cluster population, mean and max squared distance to the
+    * assigned centroid (floor-of-double mean, exact integer max). One
+    * scan: in-row assignment (nearest_centroid) + in-row distance
+    * (squared_l2 against the same literal matrix), then a k-row
+    * aggregate — zero corpus shuffle beyond the k-sized exchange.
+    * The DuckDB oracle embeds the shared training CTE chain and
+    * recomputes min-distance + argmin per point, so values hash-match
+    * end to end.
+    *
+    * Note the deliberate semantic offset from q_kmeans's `size` column:
+    * that is the population of the LAST TRAINING assignment (the one
+    * whose means became the final centroids), while this diagnostic
+    * re-assigns under the final centroids — one Lloyd step later, the
+    * standard definition of model dispersion. ClusterOpsSpec pins that
+    * both partitions cover the identical corpus.
+    */
+  def clusterStats(s: SparkSession, dir: String): DataFrame = {
+    val m = trainedModel(s, dir)
+    val censCol = typedLit(m.cens.map(_.toSeq).toSeq)
+    val idsCol = typedLit(m.clusters.toSeq)
+    quantizedPoints(s, dir)
+      .withColumn("ci", nearestCentroid(col("q"), censCol))
+      .select(
+        element_at(idsCol, col("ci") + 1).as("cluster"),
+        squaredL2(col("q"), element_at(censCol, col("ci") + 1)).as("dist"))
+      .groupBy(col("cluster"))
+      .agg(
+        count(lit(1)).as("n"),
+        floor(sum(col("dist")).cast("double") / count(lit(1))).cast("long").as("mean_dist"),
+        max(col("dist")).as("max_dist"))
+      .resultOrder(col("cluster"))
+  }
+
   /** Quantization of the float `embedding` column to exact integers —
     * the roundN formula, shared verbatim by the Spark ops and (as the
     * same SQL text) the DuckDB oracles. */
@@ -219,6 +260,24 @@ object ClusterOps {
   private[graft] val FinalCenCte = s"cen$Iters"
 
   val oracles: Map[String, String] = Map(
+    "q_cluster_stats" ->
+      s"""WITH ${kmeansCtesSql},
+         |asn AS (
+         |  SELECT vec_id,
+         |         CAST(min(key) % $K AS INTEGER) AS cluster,
+         |         CAST(floor(min(key) / $K.0) AS BIGINT) AS dist
+         |  FROM (
+         |    SELECT p.vec_id,
+         |           CAST(list_dot_product(CAST(p.q AS DOUBLE[]), CAST(p.q AS DOUBLE[]))
+         |              + list_dot_product(CAST(c.cen AS DOUBLE[]), CAST(c.cen AS DOUBLE[]))
+         |              - 2 * list_dot_product(CAST(p.q AS DOUBLE[]), CAST(c.cen AS DOUBLE[])) AS BIGINT)
+         |             * $K + c.cluster AS key
+         |    FROM pts p CROSS JOIN $FinalCenCte c)
+         |  GROUP BY vec_id)
+         |SELECT cluster, CAST(count(*) AS BIGINT) AS n,
+         |       CAST(floor(CAST(sum(dist) AS DOUBLE) / count(*)) AS BIGINT) AS mean_dist,
+         |       max(dist) AS max_dist
+         |FROM asn GROUP BY cluster ORDER BY cluster""".stripMargin,
     "q_kmeans" ->
       s"""WITH ${kmeansCtesSql},
          |sizes AS (SELECT cluster, CAST(count(*) AS BIGINT) AS size FROM a$Iters GROUP BY cluster)

@@ -227,6 +227,25 @@ object TextOps {
       .orderBy(col("cnt").desc, col("term"))
       .limit(k)
 
+  /** Per-source duplication report — the curation diagnostic a pipeline
+    * reads before deciding which sources to dedup aggressively: document
+    * count, distinct normalized-content count, and the duplication rate
+    * in exact per-mille integers (no float ratio to drift between
+    * engines). Two-level aggregation — (source, digest) then source — so
+    * the distinct count never plans a count-distinct expand; both
+    * exchanges carry map-side-combined digest-level rows (≤ distinct
+    * docs per partition), uniform 128-bit keys, no skew.
+    */
+  def dedupRateBySource(s: SparkSession, dir: String): DataFrame =
+    Tables.fanOut(Tables.documents(s, dir))
+      .groupBy(col("source"), md5(normText(col("text"))).as("fp"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n_docs"), count(lit(1)).as("n_distinct"))
+      .withColumn("dup_permille",
+        expr("((n_docs - n_distinct) * 1000) div n_docs"))
+      .resultOrder(col("source"))
+
   /** Counter budget of the approximate top-terms sketch: error ≤
     * n/(m+1) occurrences over n total tokens. 256 keeps the summary a
     * few KB; the fixture vocabulary (≪ 256) never triggers compaction,
@@ -308,6 +327,14 @@ object TextOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_dedup_rate_by_source" ->
+      s"""WITH g AS (
+         |  SELECT source, md5($normTextSql) AS fp, count(*) AS c
+         |  FROM documents GROUP BY 1, 2)
+         |SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
+         |       CAST(count(*) AS BIGINT) AS n_distinct,
+         |       (CAST(sum(c) AS BIGINT) - count(*)) * 1000 // CAST(sum(c) AS BIGINT) AS dup_permille
+         |FROM g GROUP BY source ORDER BY source""".stripMargin,
     "q_top_terms" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term

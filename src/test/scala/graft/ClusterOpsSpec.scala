@@ -120,6 +120,32 @@ class ClusterOpsSpec extends SparkSuite {
       assert(math.floor(f.toDouble * ClusterOps.Scale + 0.5).toLong == l)
     }
   }
+  test("cluster stats: populations match kmeans sizes; dispersion internally consistent") {
+    val stats = graft.ops.ClusterOps.clusterStats(spark, SfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(stats.nonEmpty)
+    stats.foreach { case (c, n, mean, mx) =>
+      assert(n > 0 && mean >= 0 && mean <= mx, s"cluster $c: n=$n mean=$mean max=$mx")
+    }
+    // q_kmeans.size is the LAST TRAINING assignment (the one that produced
+    // the final centroids); cluster_stats re-assigns under those final
+    // centroids — one Lloyd step later, so per-cluster populations may
+    // differ, but both partitions cover the identical corpus
+    val kmSizes = SparkEntry.queries("q_kmeans")(spark, SfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(3))).distinct.toMap
+    assert(stats.map(_._2).sum == kmSizes.values.sum,
+      "cluster_stats and q_kmeans cover different corpora")
+    // spot-check one point: its assigned-centroid distance bounded by max_dist
+    val model = ClusterOps.trainedModel(spark, SfDir)
+    val q = ClusterOps.quantizedPoints(spark, SfDir)
+      .filter(col("vec_id") === 17).select("q").head.getSeq[Long](0).toArray
+    val cid = model.nearest(q, 1).head
+    val cen = model.cens(model.clusters.indexOf(cid))
+    val d = q.zip(cen).map { case (a, b) => (a - b) * (a - b) }.sum
+    val mx = stats.find(_._1 == cid).get._4
+    assert(d <= mx, s"point dist $d exceeds cluster $cid max $mx")
+  }
+
   test("trained IVF: exact rescore within probed clusters, consistent with the model") {
     val ivf = graft.ops.SimilarityOps.simTopKIvfTrained(spark, SfDir, k = 10, nProbe = 2).collect()
     assert(ivf.nonEmpty)

@@ -463,6 +463,23 @@ class ExtensionOpsSpec extends SparkSuite {
     assert(r.getInt(0) == 4 && r.getInt(1) == 2)
   }
 
+  test("dedup rate by source: totals tie out against corpus and exact dedup") {
+    val out = TextOps.dedupRateBySource(spark, SfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    val docs = Tables.documents(spark, SfDir)
+    assert(out.map(_._2).sum == docs.count(), "per-source docs don't sum to corpus")
+    out.foreach { case (src, n, d, pm) =>
+      assert(d >= 1 && d <= n, s"$src: distinct $d outside [1, $n]")
+      assert(pm == (n - d) * 1000 / n, s"$src: permille formula drift")
+    }
+    // per-source distinct recomputed independently
+    val ref = docs.groupBy(col("source"))
+      .agg(countDistinct(TextOps.normText(col("text"))).as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.foreach { case (src, _, d, _) => assert(ref(src) == d, s"$src distinct mismatch") }
+  }
+
   test("term_counts: in-row frequencies == explode+groupBy reference; ascending terms") {
     val docs = Tables.documents(spark, SfDir).limit(100)
     val native = docs

@@ -479,4 +479,19 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Exchange hashpartitioning"),
       "serving path should have no hash exchange at all:\n" + p)
   }
+  test("q_cluster_stats: in-row assignment + distance — one k-sized exchange, no join") {
+    val p = plan("q_cluster_stats")
+    assert(p.contains("nearest_centroid") && p.contains("squared_l2"),
+      "assignment/distance not the native in-row expressions:\n" + p)
+    assert(!p.contains("Join"), "evaluation should not join anything:\n" + p)
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "no map-side partial aggregation:\n" + p)
+  }
+
+  test("q_dedup_rate_by_source: two-level digest aggregation, no count-distinct expand") {
+    val p = plan("q_dedup_rate_by_source")
+    assert(!p.contains("Expand"), "count-distinct expand crept in:\n" + p)
+    assert("(Sort|Hash)Aggregate".r.findAllIn(p).size / 2 >= 2,
+      "missing the two-level (source, digest) -> source aggregation:\n" + p)
+  }
 }
