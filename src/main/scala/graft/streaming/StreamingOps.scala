@@ -767,6 +767,40 @@ object StreamingOps {
   def scrubStream(events: DataFrame): DataFrame =
     graft.ops.CleanOps.piiRedactOn(events)
 
+  case class HistBounds(cminCents: Long, cmaxCents: Long)
+
+  /** Streaming twin of RelationalOps.histogram, run the way a production
+    * histogram actually runs (the [[spcAlarms]] argument): bin EDGES are
+    * FIXED from a baseline period — the per-metric cent min/max the batch
+    * operator derives — and the stream folds into a running (metric, bin)
+    * count. Bin assignment is a stateless projection with the IDENTICAL
+    * integer arithmetic to the batch operator (`(c - cmin)·bins div
+    * (cmax - cmin)`), clamped into [0, bins-1] for out-of-baseline
+    * arrivals (the batch form never clamps low because its bounds ARE the
+    * corpus extremes); state is one count per (metric, bin) —
+    * bins-bounded, not corpus-bounded. With bounds taken from the same
+    * corpus, the running counts equal the batch histogram's exactly
+    * (StreamingSpec asserts it).
+    */
+  def histogramStream(events: DataFrame, bounds: Map[String, HistBounds]): DataFrame = {
+    val s = events.sparkSession
+    val bins = graft.ops.RelationalOps.HistBins
+    val b = s.createDataFrame(
+        bounds.toSeq.map { case (m, hb) => (m, hb.cminCents, hb.cmaxCents) })
+      .toDF("metric", "cmin", "cmax")
+    events.filter(col("value").isNotNull)
+      .select(col("event_type").as("metric"),
+        floor(col("value") * 100 + 0.5).cast("long").as("c"))
+      .join(broadcast(b), "metric")
+      .withColumn("bin",
+        when(col("cmax") === col("cmin"), lit(0L))
+          .otherwise(greatest(lit(0L), least(lit(bins - 1L),
+            expr(s"((c - cmin) * $bins) div (cmax - cmin)"))))
+          .cast("long"))
+      .groupBy(col("metric"), col("bin"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Streaming twin of TextOps.topTerms: a RUNNING vocabulary count —
     * per-doc term frequencies extracted in-row by the same native
     * `term_counts` expression (identical tokenization, hence identical

@@ -271,6 +271,49 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("histogram stream: fixed-baseline bins — running counts equal batch across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // baseline bounds = the batch operator's own per-metric cent extremes,
+    // computed over the SAME rows the stream will carry
+    val rows = Seq(
+      ("click", 1.00), ("click", 2.50), ("click", 9.99), ("click", 5.25),
+      ("scroll", -3.00), ("scroll", 7.00), ("scroll", 7.00), ("flat", 4.44))
+    val bounds = rows.groupBy(_._1).map { case (m, xs) =>
+      val cents = xs.map(x => math.floor(x._2 * 100 + 0.5).toLong)
+      m -> StreamingOps.HistBounds(cents.min, cents.max)
+    }
+    val mem = MemoryStream[(String, Double)]
+    val q = StreamingOps.histogramStream(
+        mem.toDF().toDF("event_type", "value"), bounds)
+      .writeStream.format("memory").queryName("hist_out")
+      .outputMode("complete").start()
+    try {
+      val (b1, b2) = rows.splitAt(4)
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("hist_out")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      // independent batch recompute with the identical integer binning
+      val bins = graft.ops.RelationalOps.HistBins
+      val batch = rows.groupBy(identity).view.mapValues(_.size).toSeq
+        .map { case ((m, v), n) =>
+          val c = math.floor(v * 100 + 0.5).toLong
+          val hb = bounds(m)
+          val bin = if (hb.cmaxCents == hb.cminCents) 0L
+            else math.min(bins - 1L,
+              (c - hb.cminCents) * bins / (hb.cmaxCents - hb.cminCents))
+          ((m, bin), n.toLong)
+        }.groupBy(_._1).view.mapValues(_.map(_._2).sum)
+        .map { case ((m, bin), n) => (m, bin, n) }.toSet
+      assert(streamed == batch, s"streamed $streamed vs batch $batch")
+      // single-valued metric lands in bin 0 (the batch degenerate case)
+      assert(streamed.exists(t => t._1 == "flat" && t._2 == 0L && t._3 == 1L))
+    } finally q.stop()
+  }
+
   test("top-terms stream: running vocabulary counts equal batch recompute across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
