@@ -11,12 +11,18 @@ import org.apache.spark.sql.Row
   * consumer, topic `machine_events`).
   *
   * The batch surrogates (DataflowOps.srcKafka/snkKafka) verify the envelope
-  * round-trip against the oracle; this bridge is the real streaming path:
-  * `readStream.format("kafka")` resolves the connector at RUNTIME, so the
-  * code compiles and the decode transform is unit-testable against
-  * Kafka-shaped frames without a broker (this container has no egress; a
-  * deployment adds the spark-sql-kafka connector jar and a bootstrap
-  * address and runs the same code).
+  * round-trip against the oracle. Two real streaming paths share this
+  * bridge's decode/encode:
+  *  - [[source]]/[[sink]]: `format("kafka")` resolves the STOCK connector
+  *    at runtime (a deployment adds the spark-sql-kafka jar and a
+  *    bootstrap address);
+  *  - [[sourceLive]]/[[sinkLive]]: `format("kafka-graft")` — the engine's
+  *    own wire-protocol stack ([[graft.net.KafkaBroker]]/
+  *    [[graft.net.KafkaClient]], [[graft.sources.KafkaSubSource]]), which
+  *    speaks real Kafka framing to a real loopback broker, so the
+  *    consumer-group/offset-commit/rebalance semantics the reference
+  *    relies on (kafka_db_agent/main.py:50-57) are EXERCISED in this
+  *    sandbox (KafkaSpec), not just compiled against.
   *
   * Scale notes: the source maps Kafka partitions 1:1 onto input partitions
   * — ingest parallelism = topic partition count; `maxOffsetsPerTrigger`
@@ -49,6 +55,36 @@ object KafkaBridge {
       .option("startingOffsets", "earliest")
       .option("maxOffsetsPerTrigger", maxOffsetsPerTrigger.toString)
       .load())
+
+  /** [[source]] over the engine's own stack: same wire schema, same
+    * decode, the broker end is a [[graft.net.KafkaBroker]]. Offsets live
+    * in the streaming checkpoint (per-partition ranges) — the source is
+    * REPLAYABLE, which with a transactional/idempotent sink gives the
+    * exactly-once the push transports cannot (KafkaSpec pins this with a
+    * crash-restart over one checkpoint).
+    */
+  def sourceLive(spark: org.apache.spark.sql.SparkSession, host: String, port: Int,
+      topic: String = "machine_events", maxOffsetsPerTrigger: Long = 10000L): DataFrame =
+    decode(spark.readStream
+      .format("kafka-graft")
+      .option("host", host)
+      .option("port", port.toString)
+      .option("topic", topic)
+      .option("maxOffsetsPerTrigger", maxOffsetsPerTrigger.toString)
+      .load())
+
+  /** [[sink]] over the engine's own stack: per-task producers, murmur2
+    * key partitioning — at-least-once into the loopback broker's log.
+    */
+  def sinkLive(events: DataFrame, host: String, port: Int, topic: String,
+      checkpointDir: String): DataStreamWriter[Row] =
+    encode(events)
+      .writeStream
+      .format("kafka-graft")
+      .option("host", host)
+      .option("port", port.toString)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpointDir)
 
   /** Kafka wire rows → the decoded envelope (SURVEY §1.2): the shared
     * [[graft.model.Envelope]] contract (value parsed as VARIANT so the

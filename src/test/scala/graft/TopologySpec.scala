@@ -165,4 +165,98 @@ class TopologySpec extends AnyFunSuite {
       } finally q.stop()
     } finally { machine.close(); broker.close() }
   }
+
+  test("Kafka hop LIVE: MQTT decode → kafka-graft sink → broker log → Spark source + db-writer-group twin") {
+    val spark = SparkSuite.session
+    import spark.implicits._
+    val mqtt = new MqttBroker()
+    val kafka = new graft.net.KafkaBroker(defaultPartitions = 3)
+    try {
+      // hydration leg: live MQTT subscribe → envelope decode → encode →
+      // produce onto machine_events (hydration_agent/main.py:64-86, both
+      // transports real)
+      val hydrate = graft.streaming.KafkaBridge.sinkLive(
+        graft.streaming.MqttBridge.decode(
+          graft.streaming.MqttBridge.source(spark, "127.0.0.1", mqtt.port)),
+        "127.0.0.1", kafka.port, "machine_events",
+        java.nio.file.Files.createTempDirectory("topo-kafka-ck").toString)
+        .start()
+      try {
+        hydrate.processAllAvailable() // subscribe before publishing (QoS 0)
+        val pub = new MqttClient("127.0.0.1", mqtt.port, "topo-kafka-pub")
+        // fractional doubles only: the variant round-trip CANONICALIZES
+        // number text ("12.0" -> 12, same JSON number), so byte-identity
+        // below is only a fair assertion for values with a canonical form
+        val envelopes = (0 until 60).map { i =>
+          val v = if (i % 5 == 0) "\"Error\"" else (i + 0.5).toString
+          s"""{"event_id":$i,"node_id":"m${i % 4}","value":$v,"ts_us":${1700000000000000L + i},"user_id":${i % 3}}"""
+        }
+        try envelopes.foreach(e =>
+          pub.publish(graft.streaming.MqttBridge.Topic, e.getBytes("UTF-8")))
+        finally pub.close()
+        val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        def landed(): Long = (0 until 3).map(p =>
+          math.max(0L, kafka.logEndOffset("machine_events", p))).sum
+        while (landed() < 60 && System.nanoTime() < deadline) {
+          hydrate.processAllAvailable()
+          Thread.sleep(50)
+        }
+        assert(landed() == 60, "hydration leg lost envelopes before the log")
+        // keyed by metric: each node's rows live on ONE partition (the
+        // per-node ordering the reference gets from its keyed producer)
+        assert((0 until 3).map(p =>
+          kafka.logEndOffset("machine_events", p)).count(_ > 0) > 1,
+          "keyed envelopes all landed on one partition")
+
+        // consumer leg A — the engine: replayable kafka-graft source,
+        // decode, type dispatch (the db agent's numeric/string split)
+        val q = graft.streaming.KafkaBridge
+          .sourceLive(spark, "127.0.0.1", kafka.port)
+          .withColumn("value_num", expr("try_cast(value AS DOUBLE)"))
+          .writeStream.format("memory").queryName("topo_kafka")
+          .option("checkpointLocation",
+            java.nio.file.Files.createTempDirectory("topo-kafka-src-ck").toString)
+          .start()
+        try {
+          var n = 0L
+          while (n < 60 && System.nanoTime() < deadline) {
+            q.processAllAvailable()
+            n = spark.table("topo_kafka").count()
+            if (n < 60) Thread.sleep(50)
+          }
+          val rows = spark.table("topo_kafka")
+          assert(rows.count() == 60)
+          assert(rows.filter($"value" === "Error" && $"value_num".isNull).count() == 12)
+          assert(rows.filter($"value_num".isNotNull).count() == 48)
+          // the decoded metric matches the producing key on every row
+          assert(rows.filter($"metric" =!= decode($"key", "UTF-8")).count() == 0)
+        } finally q.stop()
+
+        // consumer leg B — the reference's own client shape: group
+        // consumer, earliest reset, auto-commit (kafka_db_agent:50-57)
+        val dbTwin = new graft.net.KafkaGroupConsumer(
+          "127.0.0.1", kafka.port, "db-writer-group")
+        try {
+          dbTwin.subscribe(Seq("machine_events"))
+          var got = Vector.empty[String]
+          val dbDeadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+          while (got.size < 60 && System.nanoTime() < dbDeadline)
+            got ++= dbTwin.poll(200).map(r => new String(r.value, "UTF-8"))
+          assert(got.size == 60 && got.distinct.size == 60)
+          assert(dbTwin.rejoins == 0, "single-member group should never rebalance")
+          // every envelope survived both wires byte-identically
+          assert(got.toSet == envelopes.toSet)
+          dbTwin.commitSync()
+          // committed == logEnd for every partition that HAS data; the
+          // 4 metric keys hash onto only some of the 3 partitions, and
+          // an empty partition legitimately has no committed offset (-1)
+          (0 until 3).foreach { p =>
+            val end = kafka.logEndOffset("machine_events", p)
+            val committed = kafka.committedOffset("db-writer-group", "machine_events", p)
+            assert(committed == (if (end > 0) end else -1L), s"partition $p")
+          }
+        } finally dbTwin.close()
+      } finally hydrate.stop()
+    } finally { mqtt.close(); kafka.close() }
+  }
 }
