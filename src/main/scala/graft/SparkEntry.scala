@@ -99,6 +99,9 @@ object SparkEntry {
     "q_token_budget" -> (CurationOps.tokenBudget _),
     "q_decontaminate" -> (CurationOps.decontaminate _),
     "q_source_mix" -> (CurationOps.sourceMix _),
+    "q_pack_sequences" -> (CurationOps.packSequences _),
+    "q_contam_coverage" -> (CurationOps.contamCoverage _),
+    "q_dedup_semantic" -> (ClusterOps.semanticDedup _),
     // §2E cleaning stage (CleanOps): scrub/profile/gate/restructure
     "q_pii_redact" -> (CleanOps.piiRedact _),
     "q_repetition" -> (CleanOps.repetition _),

@@ -259,7 +259,109 @@ object ClusterOps {
   /** Name of the final-centroid CTE inside [[kmeansCtesSql]]. */
   private[graft] val FinalCenCte = s"cen$Iters"
 
+  /** SemDeDup pruning threshold. Corpus-dependent in practice (the
+    * published recipe sweeps ~0.9+ on web-scale embeddings); aligned here
+    * with the embed near-dup operator's threshold so the synthetic
+    * fixture's planted near-duplicates are the positives.
+    */
+  val SemanticThreshold = 0.4
+
+  /** Semantic deduplication (the SemDeDup recipe, Abbas et al. 2023):
+    * assign every embedding to its trained k-means cluster, then prune —
+    * WITHIN each cluster only — any vector whose cosine similarity to a
+    * LOWER-id cluster-mate reaches the threshold (keep-first semantics:
+    * the pruned row reports its lowest-id such keeper, whether or not
+    * that keeper itself survived). Emits the PRUNE LIST: (vec_id,
+    * cluster, keeper, cos_sim) — what a curation pipeline subtracts from
+    * the corpus.
+    *
+    * Relation to q_dedup_embed: that operator blocks on the GIVEN label
+    * (+ sign sub-buckets) and emits all near-dup pairs; this one blocks
+    * on the LEARNED quantization (the point of SemDeDup — no labels at
+    * corpus scale) and emits the keep/prune decision.
+    *
+    * Scale: assignment is the zero-shuffle in-row projection (centroid
+    * matrix rides as a literal, `nearest_centroid` codegen); the corpus
+    * shuffles ONCE on cluster id; the quadratic step is cluster-local —
+    * k is the knob that bounds cluster population (a production run sizes
+    * k ~ N/targetClusterRows exactly like the IVF index it shares
+    * centroids with; the composite sub-bucket trick from dedupEmbed
+    * composes if a single cluster still overflows). Pairwise scoring runs
+    * over primitive double arrays in flatMapGroups: each norm computed
+    * once per vector, inner loop breaks at the FIRST (= lowest-id) match,
+    * left-to-right double accumulation — bitwise identical to the
+    * oracle's list_dot_product arithmetic.
+    */
+  def semanticDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = trainedModel(s, dir)
+    val censCol = typedLit(m.cens.map(_.toSeq).toSeq)
+    val idsCol = typedLit(m.clusters.toSeq)
+    val thr = SemanticThreshold
+    quantizedPoints(s, dir)
+      .select(
+        element_at(idsCol, nearestCentroid(col("q"), censCol) + 1).as("cluster"),
+        col("vec_id"), col("q"))
+      .as[(Int, Long, Array[Long])]
+      .groupByKey(_._1)
+      .flatMapGroups { (cluster: Int, rows: Iterator[(Int, Long, Array[Long])]) =>
+        val vs = rows.map { case (_, id, q) =>
+          val v = new Array[Double](q.length)
+          var acc = 0.0
+          var i = 0
+          while (i < q.length) { v(i) = q(i).toDouble; acc += v(i) * v(i); i += 1 }
+          (id, v, math.sqrt(acc))
+        }.toArray.sortBy(_._1)
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long, Double)]
+        var b = 1
+        while (b < vs.length) {
+          val (idB, vb, nb) = vs(b)
+          var a = 0
+          var done = false
+          while (a < b && !done) {
+            val (idA, va, na) = vs(a)
+            var dot = 0.0
+            var i = 0
+            val n = math.min(va.length, vb.length)
+            while (i < n) { dot += va(i) * vb(i); i += 1 }
+            val cos = dot / (na * nb)
+            if (cos >= thr) {
+              out += ((idB, cluster, idA, math.floor(cos * 10000.0 + 0.5) / 10000.0))
+              done = true
+            }
+            a += 1
+          }
+          b += 1
+        }
+        out.iterator
+      }
+      .toDF("vec_id", "cluster", "keeper", "cos_sim")
+      .resultOrder(col("vec_id"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_dedup_semantic" ->
+      s"""WITH ${kmeansCtesSql},
+         |asn AS (
+         |  SELECT p.vec_id, p.q,
+         |         CAST(min(CAST(list_dot_product(CAST(p.q AS DOUBLE[]), CAST(p.q AS DOUBLE[]))
+         |                     + list_dot_product(CAST(c.cen AS DOUBLE[]), CAST(c.cen AS DOUBLE[]))
+         |                     - 2 * list_dot_product(CAST(p.q AS DOUBLE[]), CAST(c.cen AS DOUBLE[])) AS BIGINT)
+         |                  * $K + c.cluster) % $K AS INTEGER) AS cluster
+         |  FROM pts p CROSS JOIN $FinalCenCte c GROUP BY p.vec_id, p.q),
+         |pairs AS (
+         |  SELECT b.vec_id, b.cluster, a.vec_id AS keeper,
+         |         list_dot_product(CAST(a.q AS DOUBLE[]), CAST(b.q AS DOUBLE[]))
+         |           / (sqrt(list_dot_product(CAST(a.q AS DOUBLE[]), CAST(a.q AS DOUBLE[])))
+         |              * sqrt(list_dot_product(CAST(b.q AS DOUBLE[]), CAST(b.q AS DOUBLE[])))) AS cos
+         |  FROM asn a JOIN asn b ON a.cluster = b.cluster AND a.vec_id < b.vec_id),
+         |hit AS (
+         |  SELECT vec_id, cluster, min(keeper) AS keeper
+         |  FROM pairs WHERE cos >= $SemanticThreshold GROUP BY vec_id, cluster)
+         |SELECT h.vec_id, h.cluster, h.keeper,
+         |       ${graft.model.Model.roundNSql("p.cos", 4)} AS cos_sim
+         |FROM hit h JOIN pairs p ON p.vec_id = h.vec_id AND p.keeper = h.keeper
+         |ORDER BY h.vec_id""".stripMargin,
     "q_cluster_stats" ->
       s"""WITH ${kmeansCtesSql},
          |asn AS (

@@ -165,12 +165,164 @@ object CurationOps {
       .resultOrder(col("source"), col("lang"))
   }
 
+  /** Context-window length for sequence packing (tokens). */
+  val PackCtxLen = 2048L
+
+  /** Coarse doc-id range width for the two-phase packing prefix sum. */
+  val PackBucket = 4096L
+
+  /** Sequence packing: lay the corpus out as ONE token stream (documents
+    * concatenated in doc_id order) and cut it into fixed `PackCtxLen`
+    * context windows — the standard pretraining packing layout where a
+    * document starts mid-window and may span window boundaries. Emits the
+    * per-doc placement: global start offset, the window holding the
+    * doc's first token, the offset inside that window, and whether the
+    * doc crosses a boundary (the fraction a loss-masking policy cares
+    * about).
+    *
+    * Scale (the two-phase trick the counter-rate/SPC family uses): an
+    * UNPARTITIONED running sum over the corpus would funnel every row
+    * through one task. Instead: (1) partition the cumsum by a coarse
+    * doc_id range bucket — per-bucket windows run wide; (2) aggregate one
+    * row per bucket and prefix-sum THAT (bucket-cardinality = N/4096
+    * rows through one task — metadata-scale; recurse the same trick for
+    * another /4096 if a corpus ever outgrows it); (3) broadcast the
+    * bucket offsets back. Token counts are the whitespace tokenization
+    * already validated cross-engine by q_token_count.
+    */
+  def packSequences(s: SparkSession, dir: String): DataFrame =
+    packSequencesOn(Tables.documents(s, dir))
+
+  private[graft] def packSequencesOn(documents: DataFrame): DataFrame = {
+    val docs = Tables.fanOut(documents)
+      .select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+      .withColumn("bucket", expr(s"doc_id div $PackBucket"))
+    val local = docs.withColumn("local_end",
+      sum(col("n_tokens")).over(
+        Window.partitionBy(col("bucket")).orderBy(col("doc_id"))))
+    val offsets = docs.groupBy(col("bucket"))
+      .agg(sum(col("n_tokens")).as("btok"))
+      .withColumn("boff",
+        coalesce(
+          sum(col("btok")).over(
+            Window.orderBy(col("bucket"))
+              .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("bucket"), col("boff"))
+    local.join(Tables.broadcastIfSmall(offsets), "bucket")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("boff") + col("local_end") - col("n_tokens")).as("start_tok"))
+      .select(col("doc_id"), col("n_tokens"), col("start_tok"),
+        expr(s"start_tok div $PackCtxLen").as("window_id"),
+        expr(s"start_tok % $PackCtxLen").as("pos_in_window"),
+        (expr(s"(start_tok + n_tokens - 1) div $PackCtxLen") >
+          expr(s"start_tok div $PackCtxLen")).as("spans_boundary"))
+      .resultOrder(col("doc_id"))
+  }
+
+  /** Contamination coverage report — the diagnostic sibling of
+    * [[decontaminate]] (which only emits the overlapping docs): EVERY
+    * training document scored by what fraction of its distinct character
+    * 8-grams appear anywhere in the eval set, bucketed into the verdict a
+    * release review reads (`clean` / `trace` / `contaminated` at 10%).
+    * The contaminated bucket is what decontaminate would drop; `trace`
+    * is the gray zone a human samples.
+    *
+    * Scale: identical shape to decontaminate — in-row gram sets (native
+    * `ngram_hashes`, no corpus-wide distinct), per-doc gram cardinality
+    * is an in-row `size`, the eval side is MB-scale and broadcast; one
+    * aggregation by doc_id, one broadcast-able left join back. Collision
+    * note as in DedupOps: counts compare hashed grams to the oracle's raw
+    * grams — identical up to ~n²/2^64 FNV collisions.
+    */
+  def contamCoverage(s: SparkSession, dir: String): DataFrame =
+    contamCoverageOn(Tables.documents(s, dir))
+
+  private[graft] def contamCoverageOn(documents: DataFrame): DataFrame = {
+    import graft.ops.TextOps.normText
+    val train = Tables.fanOut(
+      documents.filter(col("source") =!= EvalSource))
+      .select(col("doc_id"),
+        DedupOps.ngramHashSet(normText(col("text"))).as("grams"))
+      .select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"),
+        col("grams"))
+    val evalGrams = documents
+      .filter(col("source") === EvalSource)
+      .select(explode(DedupOps.ngramHashSet(normText(col("text")))).as("gram"))
+      .distinct()
+    val shared = train
+      .select(col("doc_id"), explode(col("grams")).as("gram"))
+      .join(broadcast(evalGrams), "gram")
+      .groupBy(col("doc_id"))
+      // grams are already distinct IN-ROW (ngram_hashes set semantics),
+      // so a plain count is a distinct-gram count — no re-distinct
+      .agg(count(lit(1)).as("n_shared"))
+    val cov = graft.model.Model.roundN(
+      coalesce(col("n_shared"), lit(0L)).cast("double") /
+        greatest(col("n_grams"), lit(1L)).cast("double"), 4)
+    train.drop("grams")
+      .join(Tables.broadcastIfSmall(shared), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        cov.as("coverage"),
+        when(cov === 0.0, "clean")
+          .when(cov < 0.1, "trace")
+          .otherwise("contaminated").as("verdict"))
+      .resultOrder(col("doc_id"))
+  }
+
   private val ratesCaseSql: String =
     SampleRatesPerMille
       .map { case (lang, r) => s"WHEN lang = '$lang' THEN $r" }
       .mkString("CASE ", " ", " ELSE 0 END")
 
   val oracles: Map[String, String] = Map(
+    "q_pack_sequences" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, n_tokens,
+         |         CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+         |  FROM t)
+         |SELECT doc_id, n_tokens, start_tok,
+         |       start_tok // $PackCtxLen AS window_id,
+         |       start_tok % $PackCtxLen AS pos_in_window,
+         |       ((start_tok + n_tokens - 1) // $PackCtxLen) > (start_tok // $PackCtxLen)
+         |         AS spans_boundary
+         |FROM c ORDER BY doc_id""".stripMargin,
+    "q_contam_coverage" ->
+      s"""WITH n AS (
+         |  SELECT doc_id, source,
+         |         lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+         |  FROM documents),
+         |g AS (
+         |  SELECT DISTINCT doc_id, source, substr(t, CAST(i AS INTEGER), ${DedupOps.NgramLen}) AS gram
+         |  FROM n, unnest(range(1, length(t) - ${DedupOps.NgramLen - 2})) AS u(i)
+         |  WHERE length(t) >= ${DedupOps.NgramLen}),
+         |e AS (SELECT DISTINCT gram FROM g WHERE source = '$EvalSource'),
+         |tr AS (SELECT doc_id, gram FROM g WHERE source <> '$EvalSource'),
+         |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM tr GROUP BY doc_id),
+         |sh AS (
+         |  SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+         |  FROM tr JOIN e USING (gram) GROUP BY tr.doc_id),
+         |base AS (
+         |  SELECT b.doc_id,
+         |         coalesce(c.n_grams, 0) AS n_grams,
+         |         coalesce(s.n_shared, 0) AS n_shared,
+         |         ${graft.model.Model.roundNSql(
+              "CAST(coalesce(s.n_shared, 0) AS DOUBLE) / greatest(coalesce(c.n_grams, 0), 1)", 4)} AS coverage
+         |  FROM (SELECT doc_id FROM n WHERE source <> '$EvalSource') b
+         |  LEFT JOIN cnt c USING (doc_id)
+         |  LEFT JOIN sh s USING (doc_id))
+         |SELECT doc_id, n_grams, n_shared, coverage,
+         |       CASE WHEN coverage = 0.0 THEN 'clean'
+         |            WHEN coverage < 0.1 THEN 'trace'
+         |            ELSE 'contaminated' END AS verdict
+         |FROM base ORDER BY doc_id""".stripMargin,
     "q_source_mix" ->
       s"""WITH t AS (
          |  SELECT doc_id, source, lang, text,

@@ -172,4 +172,50 @@ class ClusterOpsSpec extends SparkSuite {
         s"vec ${r.getLong(0)} cluster mismatch vs driver-side model")
     }
   }
+
+  test("q_dedup_semantic: matches a driver-side brute-force keep-first recompute") {
+    val got = ClusterOps.semanticDedup(spark, SfDir)
+      .collect().map(r => (r.getLong(0), r.getAs[Int]("cluster"),
+        r.getLong(2), r.getDouble(3)))
+    // independent recompute: same model via the driver-side nearest()
+    // twin, plain-Scala pairwise scan per cluster
+    val model = ClusterOps.trainOn(
+      ClusterOps.quantizedPoints(spark, SfDir), ClusterOps.K, ClusterOps.Iters)
+    val pts = ClusterOps.quantizedPoints(spark, SfDir).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).sortBy(_._1)
+    val byCluster = pts.groupBy { case (_, q) => model.nearest(q, 1).head }
+    val expect = byCluster.toSeq.flatMap { case (cid, vs) =>
+      val arr = vs.map { case (id, q) =>
+        val v = q.map(_.toDouble)
+        (id, v, math.sqrt(v.map(x => x * x).sum))
+      }.sortBy(_._1)
+      arr.indices.flatMap { b =>
+        (0 until b).iterator.map { a =>
+          val dot = arr(a)._2.zip(arr(b)._2).foldLeft(0.0) { case (s, (x, y)) => s + x * y }
+          (a, dot / (arr(a)._3 * arr(b)._3))
+        }.find(_._2 >= ClusterOps.SemanticThreshold).map { case (a, cos) =>
+          (arr(b)._1, cid, arr(a)._1,
+            math.floor(cos * 10000.0 + 0.5) / 10000.0)
+        }
+      }
+    }.sortBy(_._1)
+    assert(got.length == expect.length,
+      s"prune-list size ${got.length} vs brute-force ${expect.length}")
+    assert(got.sortBy(_._1).toSeq == expect, "prune list diverged from brute force")
+    // keep-first invariant: no surviving pair in one cluster is similar
+    val pruned = got.map(_._1).toSet
+    byCluster.foreach { case (_, vs) =>
+      val survivors = vs.filterNot { case (id, _) => pruned.contains(id) }
+        .map { case (id, q) =>
+          val v = q.map(_.toDouble)
+          (id, v, math.sqrt(v.map(x => x * x).sum))
+        }
+      for (i <- survivors.indices; j <- 0 until i) {
+        val dot = survivors(i)._2.zip(survivors(j)._2)
+          .foldLeft(0.0) { case (s, (x, y)) => s + x * y }
+        assert(dot / (survivors(i)._3 * survivors(j)._3) < ClusterOps.SemanticThreshold,
+          s"survivors ${survivors(j)._1} and ${survivors(i)._1} are still near-dups")
+      }
+    }
+  }
 }

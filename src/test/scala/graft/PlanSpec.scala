@@ -494,4 +494,38 @@ class PlanSpec extends SparkSuite {
     assert("(Sort|Hash)Aggregate".r.findAllIn(p).size / 2 >= 2,
       "missing the two-level (source, digest) -> source aggregation:\n" + p)
   }
+
+  test("q_pack_sequences: corpus window bucket-partitioned, bucket offsets broadcast") {
+    val p = plan("q_pack_sequences")
+    // the corpus-wide running sum must NOT be a single-partition window;
+    // only the bucket-cardinality offset table may pass through one task
+    assert(p.contains("BroadcastHashJoin"),
+      "bucket offsets not broadcast back onto the stream:\n" + p)
+    assert(!p.contains("SortMergeJoin"),
+      "offset join shuffles the corpus:\n" + p)
+    // two Window nodes: the bucket-partitioned cumsum + the bucket-table
+    // prefix sum (which sees N/4096 rows, not N)
+    assert("Window".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("q_contam_coverage: eval grams broadcast, native gram extraction, in-row gram counts") {
+    val p = plan("q_contam_coverage")
+    assert(p.contains("ngram_hashes"), "native expression missing from plan:\n" + p)
+    assert(p.contains("BroadcastHashJoin"), "eval gram set not broadcast:\n" + p)
+    assert(!p.contains("SortMergeJoin"),
+      "a corpus-shuffling join crept into the coverage path:\n" + p)
+    assert(!p.toLowerCase.contains("scalaudf"), "gram extraction fell back to a UDF:\n" + p)
+  }
+
+  test("q_dedup_semantic: zero-shuffle assignment, one cluster shuffle, no all-pairs join") {
+    val p = plan("q_dedup_semantic")
+    assert(p.contains("nearest_centroid"),
+      "assignment not the native in-row expression:\n" + p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("SortMergeJoin"),
+      s"semantic dedup plans a corpus join:\n$p")
+    // the corpus moves once: the cluster-key exchange into flatMapGroups
+    assert("hashpartitioning".r.findAllIn(p).size == 1,
+      s"semantic dedup shuffles the corpus more than once:\n$p")
+  }
 }
