@@ -54,7 +54,10 @@ object Plans {
       "q_tfidf" -> "tf and doc length are per-document properties computed in-row (term_counts + size(split)); the vocabulary df aggregate broadcasts back; the ONLY corpus-scale exchange is the per-doc top-3 window's hashpartitioning(doc_id), rank-limit-capped by WindowGroupLimit on BOTH sides of it",
       "q_sim_topk_ivf_trained" -> "serving is ONE scan: in-row nearest_centroid assignment against the literal trained-centroid matrix, probe filter drops (1 - nProbe/k) of the corpus before the broadcast-query cosine rescore, top-k via TakeOrderedAndProject — zero hash exchanges",
       "q_cluster_stats" -> "evaluate leg of the k-means arc: in-row nearest_centroid assignment + squared_l2 distance against the same literal matrix, then a k-row partial+final aggregate — zero corpus shuffle, no joins",
-      "q_dedup_rate_by_source" -> "two-level (source, digest) -> source aggregation — the distinct count never plans a count-distinct Expand; both exchanges carry map-side-combined digest-level rows, uniform 128-bit keys"
+      "q_dedup_rate_by_source" -> "two-level (source, digest) -> source aggregation — the distinct count never plans a count-distinct Expand; both exchanges carry map-side-combined digest-level rows, uniform 128-bit keys",
+      "q_pack_sequences" -> "two-phase global prefix sum: corpus cumsum windows partition by the coarse doc-id bucket; only the bucket-cardinality offset table (N/4096 rows) crosses one task and broadcasts back — never a single-partition window over the corpus",
+      "q_contam_coverage" -> "per-doc gram sets in-row (native ngram_hashes — gram cardinality is size(), no corpus distinct); MB-scale eval grams broadcast into the shared-gram join; one doc_id aggregate + one broadcast left join back",
+      "q_dedup_semantic" -> "zero-shuffle in-row nearest_centroid assignment against the literal trained-centroid matrix; ONE cluster-key exchange into flatMapGroups; pairwise scoring strictly cluster-local (k bounds the block) — never an all-pairs join"
     )
 
     val sb = new StringBuilder

@@ -201,8 +201,12 @@ object CurationOps {
     val local = docs.withColumn("local_end",
       sum(col("n_tokens")).over(
         Window.partitionBy(col("bucket")).orderBy(col("doc_id"))))
-    val offsets = docs.groupBy(col("bucket"))
-      .agg(sum(col("n_tokens")).as("btok"))
+    // bucket totals come off the SAME windowed stream (max running sum =
+    // bucket total), so the two branches share one identical bucket
+    // exchange and ReuseExchange scans + tokenizes the corpus ONCE —
+    // a separate groupBy over the raw docs planned a second full scan
+    val offsets = local.groupBy(col("bucket"))
+      .agg(max(col("local_end")).as("btok"))
       .withColumn("boff",
         coalesce(
           sum(col("btok")).over(
@@ -210,7 +214,11 @@ object CurationOps {
               .rowsBetween(Window.unboundedPreceding, -1)),
           lit(0L)))
       .select(col("bucket"), col("boff"))
-    local.join(Tables.broadcastIfSmall(offsets), "bucket")
+    // LEFT join (equivalent: offsets holds every bucket by construction):
+    // an inner join plants an isnotnull(bucket) filter on the streamed
+    // side only, making the two branches' exchange subtrees differ — with
+    // symmetric branches ReuseExchange scans + tokenizes the corpus ONCE
+    local.join(Tables.broadcastIfSmall(offsets), Seq("bucket"), "left")
       .select(col("doc_id"), col("n_tokens"),
         (col("boff") + col("local_end") - col("n_tokens")).as("start_tok"))
       .select(col("doc_id"), col("n_tokens"), col("start_tok"),

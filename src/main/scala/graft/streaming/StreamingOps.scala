@@ -767,6 +767,48 @@ object StreamingOps {
   def scrubStream(events: DataFrame): DataFrame =
     graft.ops.CleanOps.piiRedactOn(events)
 
+  /** Streaming twin of CurationOps.contamCoverage: score each ARRIVING
+    * document's eval-gram coverage and verdict at admission time, before
+    * it ever lands in the training store. Unlike [[decontaminateStream]]
+    * (which must join per-gram to report WHICH eval docs overlap),
+    * coverage is a pure per-document property once the eval gram set is
+    * in hand — so the eval set pins once (the same MB-scale eval-side pin
+    * decontaminateStream documents: benchmark suites are small by
+    * construction; a broadcast ships it to every executor) and the
+    * stream is a STATELESS typed projection: in-row gram set (native
+    * `ngram_hashes`), set-membership count against the broadcast, the
+    * batch operator's exact rounding formula. No state store, no
+    * watermark, trivially append-mode; redelivery re-emits the identical
+    * row (idempotent downstream by doc_id). Stream ≡ batch by
+    * construction — StreamingSpec asserts it against contamCoverageOn
+    * under multi-batch splits anyway.
+    */
+  def contamCoverageStream(docs: DataFrame, evalDocs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val evalSet: Set[Long] = evalDocs
+      .select(explode(graft.ops.DedupOps.ngramHashSet(
+        graft.ops.TextOps.normText(col("text")))).as("gram"))
+      .as[Long].collect().toSet
+    val bc = spark.sparkContext.broadcast(evalSet)
+    docs
+      .select(col("doc_id"), graft.ops.DedupOps.ngramHashSet(
+        graft.ops.TextOps.normText(col("text"))).as("grams"))
+      .as[(Long, Array[Long])]
+      .map { case (id, grams) =>
+        val ev = bc.value
+        var shared = 0L
+        var i = 0
+        while (i < grams.length) { if (ev.contains(grams(i))) shared += 1; i += 1 }
+        val cov = math.floor(
+          shared.toDouble / math.max(grams.length, 1).toDouble * 10000.0 + 0.5) / 10000.0
+        val verdict =
+          if (cov == 0.0) "clean" else if (cov < 0.1) "trace" else "contaminated"
+        (id, grams.length.toLong, shared, cov, verdict)
+      }
+      .toDF("doc_id", "n_grams", "n_shared", "coverage", "verdict")
+  }
+
   case class HistBounds(cminCents: Long, cmaxCents: Long)
 
   /** Streaming twin of RelationalOps.histogram, run the way a production

@@ -506,6 +506,14 @@ class PlanSpec extends SparkSuite {
     // two Window nodes: the bucket-partitioned cumsum + the bucket-table
     // prefix sum (which sees N/4096 rows, not N)
     assert("Window".r.findAllIn(p).size >= 2, p)
+    // the offsets branch derives from the SAME windowed stream; at
+    // runtime AQE must reuse the corpus bucket exchange so the scan +
+    // tokenization run once (the reuse is invisible in static explain)
+    val df = SparkEntry.queries("q_pack_sequences")(spark, SfDir)
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("ReusedExchange"),
+      "corpus scanned/tokenized twice — bucket exchange not reused:\n" +
+        df.queryExecution.executedPlan.toString)
   }
 
   test("q_contam_coverage: eval grams broadcast, native gram extraction, in-row gram counts") {

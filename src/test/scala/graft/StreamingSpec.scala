@@ -252,6 +252,43 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("contamination coverage stream: per-doc verdicts equal the batch operator across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evalText = "the quick brown fox jumps over the lazy dog again and again"
+    val evalDocs = Seq((100L, evalText)).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, evalText),                                                    // coverage 1.0
+      (2L, "completely different words here with zero gram overlap QQ"), // clean
+      (3L, "tiny"),                                                      // no grams
+      (4L, "the quick brown fox PLUS unrelated tail material beyond"))   // partial
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingOps.contamCoverageStream(
+        mem.toDF().toDF("doc_id", "text"), evalDocs)
+      .writeStream.format("memory").queryName("cov_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(train(0))
+      q.processAllAvailable()
+      mem.addData(train(1), train(2), train(3)) // second micro-batch
+      q.processAllAvailable()
+      val streamed = spark.table("cov_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getString(4)))
+        .toSet
+      // batch reference: the oracle-gated operator over the union corpus
+      val batch = graft.ops.CurationOps.contamCoverageOn(
+          (train.map { case (id, t) => (id, t, "s1") } :+
+            ((100L, evalText, graft.ops.CurationOps.EvalSource)))
+            .toDF("doc_id", "text", "source").withColumn("lang", lit("en")))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getString(4)))
+        .toSet
+      assert(streamed == batch, s"streamed $streamed\nbatch $batch")
+      assert(streamed.exists(r => r._1 == 1L && r._4 == 1.0 && r._5 == "contaminated"))
+      assert(streamed.exists(r => r._1 == 3L && r._2 == 0L && r._5 == "clean"))
+    } finally q.stop()
+  }
+
   test("exact dedup stream: one survivor per normalized digest across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
