@@ -80,6 +80,7 @@ object SparkEntry {
     "q_dedup_simhash" -> (DedupOps.dedupSimhash _),
     "q_dedup_ngram" -> (DedupOps.dedupNgram _),
     "q_dedup_clusters" -> (DedupOps.dedupClusters _),
+    "q_dup_weights" -> (DedupOps.dupWeights _),
     "q_dedup_embed" -> (SimilarityOps.dedupEmbed _),
     "q_sim_topk" -> (SimilarityOps.simTopK _),
     // ANN variants: both hash-checked — the sign-bucket LSH and the decimal

@@ -152,6 +152,34 @@ class ExtensionOpsSpec extends SparkSuite {
     }
   }
 
+  test("dup weights: cluster-consistent masses, inverse-multiplicity weights") {
+    val clusters = DedupOps.dedupClusters(spark, SfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val weights = DedupOps.dupWeights(spark, SfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    // one row per cluster, sizes agree with the cluster table
+    val sizeByCluster = clusters.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    assert(weights.keySet == sizeByCluster.keySet)
+    weights.foreach { case (cid, (sz, total, kept, w)) =>
+      assert(sz == sizeByCluster(cid), s"cluster $cid size")
+      assert(kept <= total, s"cluster $cid kept > total")
+      assert(w == math.floor(1.0 / sz * 10000.0 + 0.5) / 10000.0, s"cluster $cid weight")
+    }
+    // token masses reconcile against an independent per-doc count
+    import org.apache.spark.sql.functions.{col, size => asize, split, trim}
+    val toks = Tables.documents(spark, SfDir)
+      .select(col("doc_id"), asize(split(trim(col("text")), "\\s+")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byCluster = clusters.groupBy(_._2)
+    byCluster.foreach { case (cid, members) =>
+      assert(weights(cid)._2 == members.map(m => toks(m._1)).sum, s"cluster $cid total")
+      assert(weights(cid)._3 == toks(cid), s"cluster $cid kept mass != representative's")
+    }
+    // corpus token mass is partitioned exactly across clusters
+    assert(weights.values.map(_._2).sum == toks.values.sum)
+  }
+
   test("ngram dedup: pairs equal an independent df-capped gram-Jaccard reference") {
     val got = DedupOps.dedupNgram(spark, SfDir)
       .select("i", "j", "inter").collect()

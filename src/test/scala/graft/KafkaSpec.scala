@@ -249,6 +249,49 @@ class KafkaSpec extends SparkSuite {
     } finally broker.close()
   }
 
+  test("zombie fencing: a stale-generation commit is rejected, a simple commit is not") {
+    val broker = new KafkaBroker(defaultPartitions = 1, rebalanceTimeoutMs = 400L)
+    try {
+      val producer = new KafkaProducer(broker.host, broker.port)
+      producer.sendBatch("t", (0 until 8).map(i => (null, s(s"m$i"))))
+
+      // member A reads but never commits; a long auto-commit interval
+      // keeps its processed offsets pending
+      val a = new KafkaGroupConsumer(broker.host, broker.port, "g",
+        sessionTimeoutMs = 5000, autoCommitIntervalMs = Long.MaxValue / 2000000L)
+      a.subscribe(Seq("t"))
+      var n = 0
+      val d = System.nanoTime() + 10L * 1000000000L
+      while (n < 8 && System.nanoTime() < d) n += a.poll(200).size
+      assert(n == 8)
+
+      // member B joins; A stays silent through the join window, so the
+      // coordinator drops A and bumps the generation — A is now a zombie
+      val b = new KafkaGroupConsumer(broker.host, broker.port, "g",
+        sessionTimeoutMs = 5000)
+      b.subscribe(Seq("t"))
+
+      // the zombie's commit must be FENCED (unknown member / stale
+      // generation): nothing lands, so B's redelivery covers the gap —
+      // the at-least-once guarantee depends on exactly this rejection
+      a.commitSync()
+      assert(broker.committedOffset("g", "t", 0) == -1L,
+        "stale-generation commit landed — fencing broken")
+
+      // B (the live generation) redelivers everything from earliest
+      var got = 0
+      val d2 = System.nanoTime() + 10L * 1000000000L
+      while (got < 8 && System.nanoTime() < d2) got += b.poll(200).size
+      assert(got == 8, "fenced commit should leave redelivery intact")
+      b.commitSync()
+      assert(broker.committedOffset("g", "t", 0) == 8L)
+
+      a.suspendForTest()
+      b.close()
+      producer.close()
+    } finally broker.close()
+  }
+
   // ---------- DSv2 source/sink ----------
 
   test("kafka-graft streaming source: decode = batch parse, admission control") {
