@@ -123,6 +123,18 @@ object ScaleFixtures {
     }
     write(embeddings, s"$out/embeddings.parquet")
 
+    // dimension/side tables don't scale with the fact tables (classic
+    // star-schema shape — the enrichment/JDBC queries join them as
+    // broadcast dims); symlink them through so a scaled directory is a
+    // COMPLETE fixture and the full suite verifies against it
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem")) {
+      val srcP = java.nio.file.Paths.get(s"$src/$t.parquet")
+      val outP = java.nio.file.Paths.get(s"$out/$t.parquet")
+      if (java.nio.file.Files.exists(srcP) && !java.nio.file.Files.exists(outP))
+        java.nio.file.Files.createSymbolicLink(outP, srcP.toAbsolutePath)
+    }
+
     println(s"""{"out":"$out","factor":$n,"events":${spark.read.parquet(s"$out/events.parquet").count()},"documents":${spark.read.parquet(s"$out/documents.parquet").count()},"embeddings":${spark.read.parquet(s"$out/embeddings.parquet").count()}}""")
     spark.stop()
   }

@@ -21,6 +21,10 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 def main(sf_dir: str, out_dir: str) -> None:
     con = duckdb.connect()
+    # out-of-core spill: the gram-join oracles (decontaminate/coverage)
+    # exceed RAM at sf1 without it and die with an allocation failure
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
+    con.execute("SET preserve_insertion_order=false")
     for t in TABLES:
         # driver fixtures are single files; Spark-written scale fixtures
         # (ScaleFixtures output) are directories of part files — same
