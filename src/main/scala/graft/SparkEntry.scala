@@ -56,6 +56,9 @@ object SparkEntry {
     // PropertySpec pins the rank-error bound against the exact operator
     "q_percentiles_approx" -> (RelationalOps.percentilesApprox _),
     "q_spc_rules" -> (RelationalOps.spcRules _),
+    // dashboard downsampling (TimescaleDB candlestick_agg / lttb shapes)
+    "q_downsample_ohlc" -> (DownsampleOps.downsampleOhlc _),
+    "q_downsample_lttb" -> (DownsampleOps.downsampleLttb _),
     // §2C alarm analytics
     "q_deviation_immediate" -> (AlarmOps.deviationImmediate _),
     "q_deviation_trend" -> (AlarmOps.deviationTrend _),
@@ -119,5 +122,5 @@ object SparkEntry {
     DataflowOps.oracles ++ RelationalOps.oracles ++ AlarmOps.oracles ++
       TextOps.oracles ++ DedupOps.oracles ++ SimilarityOps.oracles ++
       SessionOps.oracles ++ MultimodalOps.oracles ++ CurationOps.oracles ++
-      CleanOps.oracles ++ ClusterOps.oracles
+      CleanOps.oracles ++ ClusterOps.oracles ++ DownsampleOps.oracles
 }

@@ -1,0 +1,164 @@
+package graft.ops
+
+import graft.Tables
+import graft.Tables.ResultOrdering
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Dashboard downsampling — the reduce-before-render stage Grafana asks of
+  * its datasource when a panel's `maxDataPoints` is smaller than the raw
+  * series (TimescaleDB ships both shapes as hyperfunctions: `candlestick_agg`
+  * and `lttb`; the reference's dashboards render raw series today,
+  * machine_dashboard.json:109, and hit exactly this wall at production row
+  * counts).
+  *
+  * Two operators:
+  *  - [[downsampleOhlc]]: per (metric, hour) open/high/low/close — the
+  *    candlestick/decimation shape. Pure partial+final aggregation:
+  *    `min_by`/`max_by` on a (ts, event_id) tie-broken ordering key
+  *    map-side-combine like any min/max, so the corpus crosses the wire
+  *    as one row per (metric, bucket, partition). No window, no sort.
+  *  - [[downsampleLttb]]: largest-triangle-three-buckets with FIXED anchors
+  *    (each bucket's candidate areas are computed against the neighboring
+  *    buckets' average points, not the previously SELECTED point). Classic
+  *    LTTB's left anchor is the previous selection — an inherently
+  *    sequential recurrence per metric; anchoring both sides at bucket
+  *    averages (the right anchor already is, Steinarsson §4.2) removes the
+  *    recurrence, so selection becomes an embarrassingly parallel
+  *    per-bucket argmax: two corpus exchanges total (bucket-average
+  *    aggregate; selection aggregate) with the tiny per-bucket anchor
+  *    table broadcast back. First/last buckets keep their first/last raw
+  *    point (the endpoint rule of the exact algorithm).
+  *
+  * Determinism/oracle notes: triangle areas are exact integers (µs × cents,
+  * doubled — the /2 is monotone and dropped), ties broken by smallest
+  * event_id via a single widened selection key `area·10^10 − event_id`
+  * (DECIMAL(38,0) here, HUGEINT in DuckDB — BIGINT would overflow at
+  * epoch-µs · 10^10). Integer bucket averages subtract a per-bucket base
+  * (bx for x, min for y) before summing so the division operands are
+  * non-negative — `div` (truncate) and DuckDB's `//` (floor) agree only
+  * there — and so a bucket's sum is bounded by width·n (no epoch·n BIGINT
+  * overflow until ~2.5e9 points per bucket).
+  *
+  * Scale: state is O(buckets × metrics) everywhere past the two corpus
+  * aggregates, both of which combine map-side; the anchor join is
+  * size-gated broadcast. A 100 TB series downsamples without any
+  * per-metric single-task stage.
+  */
+object DownsampleOps {
+
+  private def ev(s: SparkSession, dir: String): DataFrame = Tables.events(s, dir)
+
+  /** LTTB bucket width in microseconds (1 hour). */
+  val LttbBucketUs: Long = 3600L * 1000000L
+
+  /** Widening factor for the (area, event_id) selection key. */
+  private val TieK = 10000000000L
+
+  /** Per-(metric, hour) candlestick: open/high/low/close + sample count. */
+  def downsampleOhlc(s: SparkSession, dir: String): DataFrame =
+    downsampleOhlcOn(ev(s, dir))
+
+  def downsampleOhlcOn(events: DataFrame): DataFrame = {
+    val ord = struct(col("ts"), col("event_id"))
+    events.filter(col("value").isNotNull)
+      .select(col("event_type").as("metric"),
+        date_trunc("hour", col("ts")).as("bucket"),
+        col("ts"), col("event_id"), col("value"))
+      .groupBy(col("metric"), col("bucket"))
+      .agg(
+        min_by(col("value"), ord).as("open_v"),
+        max(col("value")).as("high_v"),
+        min(col("value")).as("low_v"),
+        max_by(col("value"), ord).as("close_v"),
+        count(lit(1)).as("n_samples"))
+      .resultOrder(col("metric"), col("bucket"))
+  }
+
+  /** Fixed-anchor LTTB downsample to one representative point per
+    * (metric, hour); first/last buckets keep their first/last raw point.
+    * A single-bucket metric resolves through the first-bucket rule.
+    */
+  def downsampleLttb(s: SparkSession, dir: String): DataFrame =
+    downsampleLttbOn(ev(s, dir))
+
+  def downsampleLttbOn(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pts = events.filter(col("value").isNotNull)
+      .select(col("event_type").as("metric"),
+        col("ts"), col("event_id"), col("value"),
+        unix_micros(col("ts")).as("x"),
+        floor(col("value") * 100 + 0.5).cast("long").as("y"))
+      .withColumn("bx", expr(s"x - x % ${LttbBucketUs}L"))
+    val avgs = pts.groupBy(col("metric"), col("bx"))
+      .agg(expr("bx + ((sum(x - bx)) div count(*))").as("xa"),
+        // sum(y) − n·min(y) is the non-nested spelling of sum(y − min(y)):
+        // a non-negative div operand without a second aggregation pass
+        expr("min(y) + ((sum(y) - count(*) * min(y)) div count(*))").as("ya"))
+    val w = Window.partitionBy(col("metric")).orderBy(col("bx"))
+    val anchors = avgs.select(col("metric"), col("bx"),
+      lag(col("xa"), 1).over(w).as("xl"), lag(col("ya"), 1).over(w).as("yl"),
+      lead(col("xa"), 1).over(w).as("xr"), lead(col("ya"), 1).over(w).as("yr"))
+    val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(38, 0))
+    // area × 2 — exact BIGINT (µs-diff ≤ 2 widths × cents-diff), widened to
+    // DECIMAL only for the ·10^10 tie-break encode
+    val area2 = abs((col("xl") - col("xr")) * (col("y") - col("yl")) -
+      (col("xl") - col("x")) * (col("yr") - col("yl")))
+    val selkey =
+      when(col("xl").isNull, -(dec(col("x")) * TieK + col("event_id")))
+        .when(col("xr").isNull, dec(col("x")) * TieK + col("event_id"))
+        .otherwise(dec(area2) * TieK - col("event_id"))
+    pts.join(Tables.broadcastIfSmall(anchors), Seq("metric", "bx"))
+      .withColumn("selkey", selkey)
+      .groupBy(col("metric"), col("bx"))
+      .agg(max_by(struct(col("ts"), col("value")), col("selkey")).as("sel"))
+      .select(col("metric"), timestamp_micros(col("bx")).as("bucket"),
+        col("sel.ts").as("ts"), col("sel.value").as("sel_value"))
+      .resultOrder(col("metric"), col("bucket"))
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q_downsample_ohlc" ->
+      """WITH p AS (
+        |  SELECT event_type AS metric, date_trunc('hour', ts) AS bucket,
+        |         ts, event_id, value
+        |  FROM events WHERE value IS NOT NULL)
+        |SELECT metric, bucket,
+        |  first(value ORDER BY ts, event_id) AS open_v,
+        |  max(value) AS high_v,
+        |  min(value) AS low_v,
+        |  last(value ORDER BY ts, event_id) AS close_v,
+        |  count(*) AS n_samples
+        |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_downsample_lttb" ->
+      s"""WITH b AS (
+         |  SELECT event_type AS metric, ts, event_id, value,
+         |    epoch_us(ts) AS x,
+         |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS y,
+         |    epoch_us(ts) - epoch_us(ts) % ${LttbBucketUs} AS bx
+         |  FROM events WHERE value IS NOT NULL),
+         |a AS (
+         |  SELECT metric, bx,
+         |    bx + (sum(x - bx) // count(*)) AS xa,
+         |    min(y) + ((sum(y) - count(*) * min(y)) // count(*)) AS ya
+         |  FROM b GROUP BY 1, 2),
+         |anch AS (
+         |  SELECT metric, bx,
+         |    lag(xa)  OVER w AS xl, lag(ya)  OVER w AS yl,
+         |    lead(xa) OVER w AS xr, lead(ya) OVER w AS yr
+         |  FROM a WINDOW w AS (PARTITION BY metric ORDER BY bx)),
+         |c AS (
+         |  SELECT b.metric, b.bx, b.ts, b.value, b.event_id,
+         |    CASE WHEN xl IS NULL THEN -(b.x::HUGEINT * ${TieK} + b.event_id)
+         |         WHEN xr IS NULL THEN   b.x::HUGEINT * ${TieK} + b.event_id
+         |         ELSE abs((xl - xr) * (b.y - yl) - (xl - b.x) * (yr - yl))::HUGEINT
+         |                * ${TieK} - b.event_id
+         |    END AS selkey
+         |  FROM b JOIN anch USING (metric, bx))
+         |SELECT metric, make_timestamp(bx) AS bucket,
+         |  arg_max({'ts': ts, 'value': value}, selkey).ts AS ts,
+         |  arg_max({'ts': ts, 'value': value}, selkey).value AS sel_value
+         |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  )
+}

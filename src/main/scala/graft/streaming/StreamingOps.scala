@@ -346,6 +346,53 @@ object StreamingOps {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(timeWeightFlatMap)
   }
 
+  case class OhlcState(bucketUs: Long, openV: Double, highV: Double,
+      lowV: Double, closeV: Double, n: Long)
+  case class OhlcRow(metric: String, bucket: Timestamp, open_v: Double,
+      high_v: Double, low_v: Double, close_v: Double, n_samples: Long)
+
+  /** Streaming twin of the candlestick downsample
+    * (DownsampleOps.downsampleOhlc): per metric, O(1) state — the open
+    * hour's open/high/low/close/count — emitted when the first sample of a
+    * later hour arrives. Values are the raw doubles the batch operator
+    * aggregates with min_by/max_by on (ts, event_id), reproduced here by
+    * the family's in-order arrival convention (sorted within each
+    * micro-batch; ordered-per-key transport across batches), so closed
+    * buckets equal the batch rows exactly. Same closed-bucket emission
+    * convention as [[timeWeightFlatMap]].
+    */
+  def ohlcFlatMap(
+      metric: String,
+      rows: Iterator[MetricEvent],
+      state: GroupState[OhlcState]
+  ): Iterator[OhlcRow] = {
+    val HourUs = 3600L * 1000000L
+    val out = scala.collection.mutable.ListBuffer.empty[OhlcRow]
+    var st = state.getOption.orNull
+    rows.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id)).foreach { e =>
+      val tsUs = tsMicros(e.ts)
+      val bucket = tsUs - java.lang.Math.floorMod(tsUs, HourUs)
+      if (st == null) st = OhlcState(bucket, e.value, e.value, e.value, e.value, 1L)
+      else if (bucket == st.bucketUs)
+        st = OhlcState(bucket, st.openV, math.max(st.highV, e.value),
+          math.min(st.lowV, e.value), e.value, st.n + 1L)
+      else {
+        out += OhlcRow(metric, new Timestamp(st.bucketUs / 1000L),
+          st.openV, st.highV, st.lowV, st.closeV, st.n)
+        st = OhlcState(bucket, e.value, e.value, e.value, e.value, 1L)
+      }
+    }
+    if (st != null) state.update(st)
+    out.iterator
+  }
+
+  def ohlcStream(events: Dataset[MetricEvent]): Dataset[OhlcRow] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.metric)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(ohlcFlatMap)
+  }
+
   case class PctState(bucketUs: Long, counts: Map[Long, Long])
   case class PctRow(metric: String, bucket: Timestamp, p_permille: Int,
       p_value: Double, n_samples: Long)

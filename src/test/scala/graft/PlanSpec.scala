@@ -536,4 +536,29 @@ class PlanSpec extends SparkSuite {
     assert("hashpartitioning".r.findAllIn(p).size == 1,
       s"semantic dedup shuffles the corpus more than once:\n$p")
   }
+
+  test("q_downsample_ohlc: pure partial+final aggregation — no window, no ranking sort") {
+    val p = plan("q_downsample_ohlc")
+    // min_by/max_by must combine map-side: two aggregate STAGES (each node
+    // prints twice in formatted mode) around one group-key exchange
+    assert(p.contains("partial_min_by") && p.contains("partial_max_by"),
+      "OHLC extrema not map-side combined:\n" + p)
+    assert(!p.contains("Window"), "window-function ranking instead of min_by/max_by:\n" + p)
+    assert("hashpartitioning\\(".r.findAllIn(p).size == 1,
+      s"OHLC shuffles the corpus more than once:\n$p")
+  }
+
+  test("q_downsample_lttb: anchors broadcast back, selection as partial max_by") {
+    val p = plan("q_downsample_lttb")
+    assert(p.contains("BroadcastHashJoin"), "anchor table not broadcast:\n" + p)
+    assert(!p.contains("SortMergeJoin"),
+      "corpus shuffled to join the bucket-average anchors:\n" + p)
+    assert(p.contains("partial_max_by"), "LTTB selection not map-side combined:\n" + p)
+    // the only corpus-scale exchanges are the two aggregates (bucket
+    // averages; selection); the anchor window runs on the tiny average
+    // table — 3 hash exchanges total, anything more means the corpus
+    // started moving for the window or the join
+    assert("hashpartitioning\\(".r.findAllIn(p).size <= 3,
+      s"unexpected extra exchange:\n$p")
+  }
 }

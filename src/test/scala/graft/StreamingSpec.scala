@@ -809,4 +809,50 @@ class StreamingSpec extends SparkSuite {
       assert(byId(2L)._5 == "user <NUM> <<EMAIL>> from <IP> did error", byId(2L).toString)
     } finally q.stop()
   }
+
+  test("OHLC stream: closed hourly candlesticks equal the batch operator across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // two metrics; hour 0's open/high/low/close all differ, and the bucket
+    // is split mid-hour across micro-batches so every component of the
+    // candle must carry through state before the closing sample arrives
+    val samples = Seq(
+      (1L, "2024-01-01 00:05:00", "rate", 20.00),   // open
+      (2L, "2024-01-01 00:20:00", "rate", 45.00),   // high
+      (3L, "2024-01-01 00:35:00", "rate", 5.00),    // low
+      (4L, "2024-01-01 00:50:00", "rate", 30.00),   // close
+      (5L, "2024-01-01 01:30:00", "rate", 50.00),   // closes rate hour 0; hour 1 open
+      (6L, "2024-01-01 00:10:00", "temp", -7.85),
+      (7L, "2024-01-01 02:05:00", "temp", -6.25))   // closes temp hour 0 (n=1 candle)
+    def ev(t: (Long, String, String, Double)) =
+      MetricEvent(t._1, Timestamp.valueOf(t._2), 1L, t._3, t._4)
+    val mem = MemoryStream[MetricEvent]
+    val q = StreamingOps.ohlcStream(mem.toDS())
+      .writeStream.format("memory").queryName("ohlc_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(samples.take(2).map(ev): _*)
+      q.processAllAvailable()
+      mem.addData(samples.slice(2, 5).map(ev): _*)
+      q.processAllAvailable()
+      mem.addData(samples.drop(5).map(ev): _*)
+      q.processAllAvailable()
+      val got = spark.table("ohlc_out").as[StreamingOps.OhlcRow].collect()
+        .map(r => (r.metric, r.bucket.toString, r.open_v, r.high_v, r.low_v,
+          r.close_v, r.n_samples)).toSet
+      // batch recompute over the same rows; the stream emits exactly the
+      // CLOSED buckets — everything but each metric's last (open) bucket
+      val batch = graft.ops.DownsampleOps.downsampleOhlcOn(
+        samples.toDF("event_id", "ts_s", "event_type", "value")
+          .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s"))
+      val open = Set(("rate", "2024-01-01 01:00:00.0"), ("temp", "2024-01-01 02:00:00.0"))
+      val expect = batch.collect()
+        .map(r => (r.getString(0), r.getTimestamp(1).toString, r.getDouble(2),
+          r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6)))
+        .filterNot(r => open(r._1, r._2)).toSet
+      assert(expect.nonEmpty && got == expect, s"stream $got vs batch $expect")
+      // the candle is order-sensitive at both ends: open ≠ low, close ≠ high
+      assert(got.contains(("rate", "2024-01-01 00:00:00.0", 20.0, 45.0, 5.0, 30.0, 4L)))
+    } finally q.stop()
+  }
 }
