@@ -93,6 +93,9 @@ object SparkEntry {
     "q_kmeans" -> (ClusterOps.kmeans _),
     "q_cluster_stats" -> (ClusterOps.clusterStats _),
     "q_sim_topk_ivf_trained" -> ((s: SparkSession, dir: String) => SimilarityOps.simTopKIvfTrained(s, dir)),
+    // product quantization: compressed-domain ADC ranking + distortion stats
+    "q_sim_topk_pq" -> (PqOps.simTopKPq _),
+    "q_pq_stats" -> (PqOps.pqStats _),
     "q_sessionize" -> (SessionOps.sessionize _),
     "q_approx_distinct" -> (SessionOps.approxDistinct _),
     // multimodal plumbing: deterministic stubs (histogram features, stride
@@ -122,5 +125,6 @@ object SparkEntry {
     DataflowOps.oracles ++ RelationalOps.oracles ++ AlarmOps.oracles ++
       TextOps.oracles ++ DedupOps.oracles ++ SimilarityOps.oracles ++
       SessionOps.oracles ++ MultimodalOps.oracles ++ CurationOps.oracles ++
-      CleanOps.oracles ++ ClusterOps.oracles ++ DownsampleOps.oracles
+      CleanOps.oracles ++ ClusterOps.oracles ++ DownsampleOps.oracles ++
+      PqOps.oracles
 }

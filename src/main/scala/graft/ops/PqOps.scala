@@ -1,0 +1,311 @@
+package graft.ops
+
+import graft.Tables.ResultOrdering
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** §2E product quantization (PQ) — the compression leg of the ANN story
+  * (Jégou, Douze, Schmid, "Product Quantization for Nearest Neighbor
+  * Search", TPAMI 2011). The similarity family already covers pruning
+  * (sign-bucket LSH, IVF posting lists, trained coarse quantizer); PQ is
+  * the orthogonal axis a 100 TB embedding corpus actually needs: each
+  * 64-dim vector compresses to [[SubM]] one-byte codes (64 floats → 8
+  * bytes), and queries rank candidates in the COMPRESSED domain through a
+  * [[SubM]]×[[PqK]] lookup table without touching raw vectors.
+  *
+  * Train: the 64-dim space splits into [[SubM]] subspaces of [[SubDim]]
+  * dims; each gets its own [[PqK]]-centroid Lloyd codebook. All eight
+  * codebooks train together — ONE distributed job per iteration: per-row
+  * in-row assignment against all eight literal centroid matrices
+  * (`nearest_centroid` on array slices — zero corpus shuffle), then one
+  * map-side-combined (sub, cluster, d) partial-sum aggregate whose wire
+  * volume is ≤ SubM·PqK·SubDim rows per partition (1024 here) regardless
+  * of corpus size. Codebooks are metadata on the driver, exactly like
+  * [[ClusterOps]]' single-codebook model.
+  *
+  * Serve ([[simTopKPq]]): the query's 8 sub-vectors expand into an
+  * 8×16 integer table of exact squared-L2 distances to every codebook
+  * centroid (the ADC lookup table — driver-computed metadata, folded into
+  * the plan as a literal); each corpus row's asymmetric distance is then
+  * eight in-row array lookups and seven adds. One scan, zero exchanges,
+  * TakeOrderedAndProject top-k. No exact-rescore stage here by design —
+  * the IVF operators already demonstrate exact rescoring; this query IS
+  * the compressed-domain ranking.
+  *
+  * Evaluate ([[pqStats]]): per (subspace, centroid) population and
+  * mean/max quantization distortion under the final codebooks — the PQ
+  * analog of [[ClusterOps.clusterStats]]'s dispersion diagnostic.
+  *
+  * Determinism / oracle exactness: the [[ClusterOps]] conventions
+  * verbatim — integer-quantized vectors, exact integer squared-L2 (sub
+  * distances ≤ ~1.2e11, double-exact), argmin ties to the lowest cluster
+  * id via the min(dist·PqK + cluster) encode, centroid update
+  * floor(sum/count) as the same IEEE division, empty clusters keep their
+  * previous centroid. The DuckDB oracle unrolls all eight codebooks'
+  * training CTE chains from the same seed rule, so both engines provably
+  * run the SAME training.
+  */
+object PqOps {
+
+  /** Number of subspaces (codes per vector). */
+  val SubM = 8
+
+  /** Dimensions per subspace (64 / SubM). */
+  val SubDim = 8
+
+  /** Centroids per sub-codebook (codes are 4 bits here; 256 in a
+    * byte-code deployment — a constant, not a plan change). */
+  val PqK = 16
+
+  /** Lloyd iterations per codebook. */
+  val PqIters = 2
+
+  /** Top-k for the serving query. */
+  val PqTopK = 10
+
+  /** Trained product quantizer: per subspace, the cluster ids (ascending,
+    * = centroid-matrix order) and centroid sub-vectors. Metadata-scale
+    * (SubM·PqK·SubDim longs).
+    */
+  private[graft] case class PqModel(clusters: Array[Int], books: Array[Array[Array[Long]]]) {
+    /** Driver-side twin of the in-plan sub-assignment (same tie-break). */
+    def assign(sub: Int, sq: Array[Long]): Int = {
+      var best = 0L
+      var bestI = -1
+      var i = 0
+      while (i < books(sub).length) {
+        val cen = books(sub)(i)
+        var dist = 0L
+        var d = 0
+        while (d < cen.length) { val df = sq(d) - cen(d); dist += df * df; d += 1 }
+        if (bestI < 0 || dist < best) { best = dist; bestI = i }
+        i += 1
+      }
+      bestI
+    }
+  }
+
+  private val modelCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), PqModel]
+
+  /** Trained model memo — the ClusterOps/Tables opt-in pattern: only
+    * Bench/Verify (one session, exits with the JVM) set
+    * spark.graft.fixtureCache; library sessions retrain per call. */
+  private[graft] def trainedPq(s: SparkSession, dir: String): PqModel = {
+    def train = trainPqOn(ClusterOps.quantizedPoints(s, dir))
+    if (s.conf.getOption("spark.graft.fixtureCache").contains("true"))
+      modelCache.getOrElseUpdate((s, s"$dir|$SubM|$PqK|$PqIters"), train)
+    else train
+  }
+
+  private def subSlice(m: Int): Column = slice(col("q"), m * SubDim + 1, SubDim)
+
+  /** One training iteration's distributed stats for ALL subspaces: in-row
+    * assignment per subspace, then one map-side-combined aggregate —
+    * ≤ SubM·PqK·SubDim rows per partition reach the wire. Exposed for the
+    * PlanSpec exchange guard.
+    */
+  private[graft] def pqIterationStats(pts: DataFrame, m: PqModel): DataFrame = {
+    val idsCol = typedLit(m.clusters.toSeq)
+    val subStructs = (0 until SubM).map { sub =>
+      val censCol = typedLit(m.books(sub).map(_.toSeq).toSeq)
+      struct(lit(sub).as("sub"),
+        element_at(idsCol, ClusterOps.nearestCentroid(subSlice(sub), censCol) + 1)
+          .as("cluster"),
+        subSlice(sub).as("sq"))
+    }
+    pts.select(explode(array(subStructs: _*)).as("s"))
+      .select(col("s.sub"), col("s.cluster"), posexplode(col("s.sq")).as(Seq("d", "x")))
+      .groupBy(col("sub"), col("cluster"), col("d"))
+      .agg(sum(col("x")).as("sx"), count(lit(1)).as("cnt"))
+  }
+
+  private[graft] def trainPqOn(ptsIn: DataFrame): PqModel = {
+    val pts = ptsIn.localCheckpoint(eager = false)
+    // Seed: sub-slices of the first PqK NaN-free vec_ids (the ClusterOps
+    // seed rule) — PqK rows of metadata to the driver
+    val seed = pts.filter(col("vec_id") < PqK)
+      .select(col("vec_id").cast("int"), col("q"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Long](1).toArray))
+      .sortBy(_._1)
+    require(seed.nonEmpty, "pq: no seed vectors (vec_id < PqK all NaN or absent)")
+    val clusters = seed.map(_._1)
+    var model = PqModel(clusters,
+      Array.tabulate(SubM)(m => seed.map(_._2.slice(m * SubDim, (m + 1) * SubDim))))
+    for (_ <- 1 to PqIters) {
+      val stats = pqIterationStats(pts, model).collect() // ≤ SubM·PqK·SubDim rows
+      val bySub = stats.groupBy(r => (r.getInt(0), r.getInt(1)))
+      val books = Array.tabulate(SubM) { m =>
+        clusters.zip(model.books(m)).map { case (cid, old) =>
+          bySub.get((m, cid)).fold(old) { rows =>
+            val next = old.clone()
+            rows.foreach { r =>
+              next(r.getInt(2)) = math.floor(r.getLong(3).toDouble / r.getLong(4)).toLong
+            }
+            next
+          }
+        }
+      }
+      model = PqModel(clusters, books)
+    }
+    model
+  }
+
+  private def emptyServe(s: SparkSession): DataFrame =
+    s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("label", org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("adc_dist", org.apache.spark.sql.types.LongType))))
+
+  /** Compressed-domain top-k: rank every corpus vector (except the query,
+    * vec_id 0) by asymmetric PQ distance to the query through the 8×16
+    * integer lookup table. Missing/NaN query degrades to an empty result —
+    * the sibling similarity operators' contract.
+    */
+  def simTopKPq(s: SparkSession, dir: String): DataFrame = {
+    val model = trainedPq(s, dir)
+    val qVec = ClusterOps.quantizedPoints(s, dir)
+      .filter(col("vec_id") === 0).select("q")
+      .collect().headOption.map(_.getSeq[Long](0).toArray)
+    if (qVec.isEmpty) return emptyServe(s)
+    // ADC lookup table: lut(sub)(i) = exact integer ||q_sub − cen_{sub,i}||²
+    val lut: Seq[Seq[Long]] = (0 until SubM).map { m =>
+      val qs = qVec.get.slice(m * SubDim, (m + 1) * SubDim)
+      model.books(m).toSeq.map { cen =>
+        var dist = 0L
+        var d = 0
+        while (d < SubDim) { val df = qs(d) - cen(d); dist += df * df; d += 1 }
+        dist
+      }
+    }
+    val lutCol = typedLit(lut)
+    val adc = (0 until SubM).map { m =>
+      val censCol = typedLit(model.books(m).map(_.toSeq).toSeq)
+      element_at(element_at(lutCol, m + 1),
+        ClusterOps.nearestCentroid(subSlice(m), censCol) + 1)
+    }.reduce(_ + _)
+    SimilarityOps.nanFreeEmbeddings(s, dir)
+      .select(col("vec_id"), col("label"), expr(ClusterOps.QuantizeExpr).as("q"))
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("label"), adc.as("adc_dist"))
+      .orderBy(col("adc_dist"), col("vec_id"))
+      .limit(PqTopK)
+  }
+
+  /** Per-(subspace, centroid) quantization diagnostics under the final
+    * codebooks: population, floor-of-double mean and exact max squared
+    * distortion. One scan, in-row assignment + distance, one
+    * ≤ SubM·PqK-row aggregate.
+    */
+  def pqStats(s: SparkSession, dir: String): DataFrame = {
+    val model = trainedPq(s, dir)
+    val idsCol = typedLit(model.clusters.toSeq)
+    val subStructs = (0 until SubM).map { sub =>
+      val censCol = typedLit(model.books(sub).map(_.toSeq).toSeq)
+      val ci = ClusterOps.nearestCentroid(subSlice(sub), censCol)
+      struct(lit(sub).as("sub"),
+        element_at(idsCol, ci + 1).as("cluster"),
+        ClusterOps.squaredL2(subSlice(sub), element_at(censCol, ci + 1)).as("dist"))
+    }
+    ClusterOps.quantizedPoints(s, dir)
+      .select(explode(array(subStructs: _*)).as("s"))
+      .select(col("s.sub"), col("s.cluster"), col("s.dist"))
+      .groupBy(col("sub"), col("cluster"))
+      .agg(
+        count(lit(1)).as("n"),
+        floor(sum(col("dist")).cast("double") / count(lit(1))).cast("long").as("mean_dist"),
+        max(col("dist")).as("max_dist"))
+      .resultOrder(col("sub"), col("cluster"))
+  }
+
+  // ---------------------------------------------------------------- oracle
+
+  private def dotSql(a: String, b: String): String =
+    s"list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))"
+
+  private def sqL2Sql(a: String, b: String): String =
+    s"${dotSql(a, a)} + ${dotSql(b, b)} - 2 * ${dotSql(a, b)}"
+
+  /** One subspace's sliced points + seed + unrolled Lloyd chain; the final
+    * codebook CTE is s{m}c{PqIters}. Mirrors ClusterOps.iterSql with
+    * per-subspace naming. */
+  private def subTrainSql(m: Int): String = {
+    val lo = m * SubDim + 1
+    val hi = (m + 1) * SubDim
+    val iters = (1 to PqIters).map { i =>
+      s"""s${m}a$i AS (
+         |  SELECT p.vec_id, p.sq,
+         |    CAST(min(CAST(${sqL2Sql("p.sq", "c.cen")} AS BIGINT) * $PqK + c.cluster)
+         |         % $PqK AS INTEGER) AS cluster
+         |  FROM s${m}p p CROSS JOIN s${m}c${i - 1} c GROUP BY p.vec_id, p.sq),
+         |s${m}m$i AS (
+         |  SELECT cluster, CAST(i - 1 AS INTEGER) AS d,
+         |    CAST(floor(CAST(sum(x) AS DOUBLE) / count(*)) AS BIGINT) AS cm
+         |  FROM (SELECT cluster, unnest(sq) AS x, generate_subscripts(sq, 1) AS i FROM s${m}a$i)
+         |  GROUP BY cluster, i),
+         |s${m}c$i AS (
+         |  SELECT c.cluster, coalesce(mm.cen_new, c.cen) AS cen
+         |  FROM s${m}c${i - 1} c
+         |  LEFT JOIN (SELECT cluster, list(cm ORDER BY d) AS cen_new FROM s${m}m$i GROUP BY cluster) mm
+         |    USING (cluster))""".stripMargin
+    }
+    s"""s${m}p AS (SELECT vec_id, q[$lo:$hi] AS sq FROM pts),
+       |s${m}c0 AS (SELECT CAST(vec_id AS INTEGER) AS cluster, sq AS cen FROM s${m}p WHERE vec_id < $PqK),
+       |${iters.mkString(",\n")}""".stripMargin
+  }
+
+  /** Final per-point sub-assignment: min(dist·PqK + cluster) encodes both
+    * the assigned cluster (% PqK) and its distortion (// PqK). */
+  private def subEncodeSql(m: Int): String =
+    s"""s${m}e AS (
+       |  SELECT p.vec_id,
+       |    CAST(min(CAST(${sqL2Sql("p.sq", "c.cen")} AS BIGINT) * $PqK + c.cluster) % $PqK AS INTEGER) AS cluster,
+       |    min(CAST(${sqL2Sql("p.sq", "c.cen")} AS BIGINT) * $PqK + c.cluster) // $PqK AS dist
+       |  FROM s${m}p p CROSS JOIN s${m}c$PqIters c GROUP BY p.vec_id)""".stripMargin
+
+  private val PtsSql =
+    s"""pts AS (
+       |  SELECT vec_id, label,
+       |    list_transform(embedding,
+       |      x -> CAST(floor(CAST(x AS DOUBLE) * ${ClusterOps.Scale}.0 + 0.5) AS BIGINT)) AS q
+       |  FROM embeddings
+       |  WHERE len(list_filter(embedding, x -> isnan(CAST(x AS DOUBLE)))) = 0)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_sim_topk_pq" -> {
+      val adcs = (0 until SubM).map { m =>
+        s"""s${m}d AS (
+           |  SELECT e.vec_id,
+           |    CAST(${sqL2Sql("qq.sq", "c.cen")} AS BIGINT) AS dist
+           |  FROM s${m}e e JOIN s${m}c$PqIters c USING (cluster)
+           |  CROSS JOIN (SELECT sq FROM s${m}p WHERE vec_id = 0) qq)""".stripMargin
+      }
+      s"""WITH $PtsSql,
+         |${(0 until SubM).map(subTrainSql).mkString(",\n")},
+         |${(0 until SubM).map(subEncodeSql).mkString(",\n")},
+         |${adcs.mkString(",\n")},
+         |alld AS (${(0 until SubM).map(m => s"SELECT * FROM s${m}d").mkString(" UNION ALL ")})
+         |SELECT p.vec_id, any_value(p.label) AS label,
+         |  CAST(sum(d.dist) AS BIGINT) AS adc_dist
+         |FROM pts p JOIN alld d USING (vec_id)
+         |WHERE p.vec_id <> 0
+         |GROUP BY p.vec_id
+         |ORDER BY adc_dist, vec_id LIMIT $PqTopK""".stripMargin
+    },
+    "q_pq_stats" -> {
+      val stats = (0 until SubM).map { m =>
+        s"""SELECT $m AS sub, cluster, count(*) AS n,
+           |  CAST(floor(CAST(sum(dist) AS DOUBLE) / count(*)) AS BIGINT) AS mean_dist,
+           |  CAST(max(dist) AS BIGINT) AS max_dist
+           |FROM s${m}e GROUP BY 1, 2""".stripMargin
+      }
+      s"""WITH $PtsSql,
+         |${(0 until SubM).map(subTrainSql).mkString(",\n")},
+         |${(0 until SubM).map(subEncodeSql).mkString(",\n")}
+         |${stats.mkString("\nUNION ALL\n")}
+         |ORDER BY sub, cluster""".stripMargin
+    }
+  )
+}

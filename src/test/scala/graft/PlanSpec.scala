@@ -1,5 +1,6 @@
 package graft
 
+import graft.ops.PqOps
 import org.apache.spark.sql.execution.FormattedMode
 
 /** Physical-plan regression guards: the properties PLANS.md claims must
@@ -535,6 +536,24 @@ class PlanSpec extends SparkSuite {
     // the corpus moves once: the cluster-key exchange into flatMapGroups
     assert("hashpartitioning".r.findAllIn(p).size == 1,
       s"semantic dedup shuffles the corpus more than once:\n$p")
+  }
+
+  test("q_sim_topk_pq: compressed-domain serving is one scan — zero exchanges, in-row codes") {
+    val p = plan("q_sim_topk_pq")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // eight in-row sub-assignments against literal codebooks; the ADC
+    // table is a folded literal — nothing shuffles, nothing joins
+    assert("nearest_centroid".r.findAllIn(p).size >= PqOps.SubM, p)
+    assert(!p.contains("hashpartitioning("), s"PQ serving shuffled the corpus:\n$p")
+    assert(!p.contains("Join"), s"PQ serving planned a join:\n$p")
+  }
+
+  test("q_pq_stats: in-row assignment+distortion, one partial+final aggregate") {
+    val p = plan("q_pq_stats")
+    assert(p.contains("squared_l2"), "native distance not in plan:\n" + p)
+    assert("HashAggregate".r.findAllIn(p).size / 2 >= 2, "no map-side combine:\n" + p)
+    assert("hashpartitioning\\(".r.findAllIn(p).size == 1,
+      s"stats shuffled more than the SubM·PqK-row aggregate:\n$p")
   }
 
   test("q_downsample_ohlc: pure partial+final aggregation — no window, no ranking sort") {
