@@ -93,6 +93,7 @@ object SparkEntry {
     "q_kmeans" -> (ClusterOps.kmeans _),
     "q_cluster_stats" -> (ClusterOps.clusterStats _),
     "q_sim_topk_ivf_trained" -> ((s: SparkSession, dir: String) => SimilarityOps.simTopKIvfTrained(s, dir)),
+    "q_sim_topk_batch" -> ((s: SparkSession, dir: String) => SimilarityOps.simTopKBatch(s, dir)),
     // product quantization: compressed-domain ADC ranking + distortion stats
     "q_sim_topk_pq" -> (PqOps.simTopKPq _),
     "q_pq_stats" -> (PqOps.pqStats _),

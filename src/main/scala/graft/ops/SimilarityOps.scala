@@ -324,6 +324,41 @@ object SimilarityOps {
       .resultOrder(col("i"), col("j"))
   }
 
+  /** Queries per serving batch (vec_ids 0..BatchQueries-1). */
+  val BatchQueries = 5
+
+  /** Neighbors per query in the batched serving op. */
+  val BatchK = 10
+
+  /** Batched exact serving — the production shape: many queries amortize
+    * one corpus scan. The query set broadcasts (BroadcastNestedLoopJoin of
+    * a literal handful of rows), each corpus row scores against every
+    * query in-row, and the per-query top-k runs as a rank window that
+    * Spark caps on BOTH sides of the qid exchange with WindowGroupLimit —
+    * each map partition forwards at most k rows per query, so the shuffle
+    * volume is k·queries·partitions regardless of corpus size (the
+    * windowed generalization of TakeOrderedAndProject; a plain row_number
+    * filter without the pushed limit would shuffle the whole scored
+    * corpus into |queries| reducers).
+    */
+  def simTopKBatch(s: SparkSession, dir: String): DataFrame =
+    simTopKBatchOn(nanFreeEmbeddings(s, dir), BatchQueries, BatchK)
+
+  def simTopKBatchOn(emb: DataFrame, nq: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val queries = emb.filter(col("vec_id") < nq)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("vec_id"))
+    emb.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos_sim",
+        graft.model.Model.roundN(cosineSim(col("embedding"), col("qv")), 4))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("vec_id"), col("label"), col("cos_sim"))
+      .resultOrder(col("qid"), col("rnk"))
+  }
+
   // (the oracle's sub-bucket key is computed in-query from the same two
   // counts via the identical integer ceil-log2 formula — see q_dedup_embed)
 
@@ -337,6 +372,22 @@ object SimilarityOps {
     (Seq(0) ++ (0 until LshPlanes).map(1 << _)).mkString("[", ", ", "]")
 
   val oracles: Map[String, String] = Map(
+    "q_sim_topk_batch" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+         |  FROM $EmbSql WHERE vec_id < $BatchQueries),
+         |c AS (
+         |  SELECT q.qid, e.vec_id, e.label,
+         |    floor(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qe)
+         |      / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+         |         * sqrt(list_dot_product(q.qe, q.qe))) * 10000.0 + 0.5) / 10000.0 AS cos_sim
+         |  FROM $EmbSql e CROSS JOIN q WHERE e.vec_id <> q.qid),
+         |r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rnk
+         |  FROM c)
+         |SELECT qid, CAST(rnk AS INTEGER) AS rnk, vec_id, label, cos_sim
+         |FROM r WHERE rnk <= $BatchK
+         |ORDER BY qid, rnk""".stripMargin,
     "q_sim_topk_ivf_trained" -> {
       val k = ClusterOps.K
       s"""WITH ${ClusterOps.kmeansCtesSql},

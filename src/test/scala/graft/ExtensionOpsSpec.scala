@@ -331,6 +331,31 @@ class ExtensionOpsSpec extends SparkSuite {
     assert(sims.sameElements(sims.sorted(Ordering[Double].reverse)))
   }
 
+  test("batched top-k: each query's ranks equal an independent per-query brute force") {
+    import spark.implicits._
+    val got = SimilarityOps.simTopKBatch(spark, SfDir).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rnk"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("cos_sim")))
+    assert(got.map(_._1).distinct.length == SimilarityOps.BatchQueries)
+    val vecs = Tables.embeddings(spark, SfDir)
+      .filter(!exists(col("embedding"), x => isnan(x)))
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+      .map { case (id, e) => id -> e.map(_.toDouble) }
+    // independent: rank every corpus vector against every query by plain
+    // Scala loops and the portable rounding, then take each query's top-k
+    val expect = vecs.filter(_._1 < SimilarityOps.BatchQueries).flatMap { case (qid, q) =>
+      val qn = math.sqrt(q.map(x => x * x).sum)
+      vecs.filter(_._1 != qid).map { case (id, v) =>
+        val dot = v.zip(q).map { case (a, b) => a * b }.sum
+        val cos = math.floor(
+          dot / (math.sqrt(v.map(x => x * x).sum) * qn) * 10000.0 + 0.5) / 10000.0
+        (qid, id, cos)
+      }.sortBy(t => (-t._3, t._2)).take(SimilarityOps.BatchK)
+        .zipWithIndex.map { case ((g, id, cos), i) => (g, i + 1, id, cos) }
+    }
+    assert(got.sortBy(t => (t._1, t._2)).toSeq === expect.sortBy(t => (t._1, t._2)).toSeq)
+  }
+
   test("IVF top-k: exact scores, candidates drawn from probed posting lists") {
     val ivf = SimilarityOps.simTopKIvf(spark, SfDir, k = 10, nProbe = 2).collect()
     assert(ivf.nonEmpty)

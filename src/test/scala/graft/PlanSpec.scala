@@ -538,6 +538,17 @@ class PlanSpec extends SparkSuite {
       s"semantic dedup shuffles the corpus more than once:\n$p")
   }
 
+  test("q_sim_topk_batch: broadcast query set, rank limit pushed to both sides of the qid exchange") {
+    val p = plan("q_sim_topk_batch")
+    assert(p.contains("BroadcastNestedLoopJoin"), "query set not broadcast:\n" + p)
+    // WindowGroupLimit must appear PARTIAL (before the exchange — each map
+    // partition forwards <= k rows per query) and FINAL: two nodes, each
+    // printed twice in formatted mode
+    assert("WindowGroupLimit".r.findAllIn(p).size / 2 >= 2,
+      "rank limit not pushed below the exchange — the scored corpus would shuffle into |queries| reducers:\n" + p)
+    assert("hashpartitioning\\(".r.findAllIn(p).size == 1, s"extra corpus exchange:\n$p")
+  }
+
   test("q_sim_topk_pq: compressed-domain serving is one scan — zero exchanges, in-row codes") {
     val p = plan("q_sim_topk_pq")
     assert(p.contains("TakeOrderedAndProject"), p)
