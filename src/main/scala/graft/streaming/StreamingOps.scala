@@ -393,6 +393,96 @@ object StreamingOps {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(ohlcFlatMap)
   }
 
+  case class LttbPt(xUs: Long, yCents: Long, eventId: Long, ts: Timestamp, value: Double)
+  case class LttbState(
+      hasLeft: Boolean, leftXa: Long, leftYa: Long,
+      pendingBx: Long, pendingPts: Seq[LttbPt],
+      curBx: Long, curPts: Seq[LttbPt])
+  case class LttbRow(metric: String, bucket: Timestamp, ts: Timestamp, sel_value: Double)
+
+  private def lttbAvg(bx: Long, pts: Seq[LttbPt]): (Long, Long) = {
+    // the batch operator's integer averages verbatim: per-bucket base (bx
+    // for x, min for y) keeps the division operands non-negative
+    val n = pts.size
+    val ymin = pts.map(_.yCents).min
+    (bx + pts.map(_.xUs - bx).sum / n,
+      ymin + (pts.map(_.yCents).sum - n * ymin) / n)
+  }
+
+  /** Streaming twin of the fixed-anchor LTTB downsample
+    * (DownsampleOps.downsampleLttb). A bucket's selection needs its
+    * neighbors' AVERAGE points, so a closed bucket waits in state as
+    * `pending` until its right-anchor bucket also closes, then emits; the
+    * metric's FIRST bucket keeps its first raw point (the batch endpoint
+    * rule) and needs no right anchor, so it emits at its own close. The
+    * stream therefore emits exactly the batch rows for every bucket
+    * except each metric's last two (the still-open bucket, and the
+    * pending one whose right anchor is still accumulating) — the
+    * two-sided anchor dependency made explicit.
+    *
+    * State per metric is O(2 bucket populations) — the pending bucket's
+    * points (selection candidates) plus the open bucket's; bounded by
+    * bucket width × arrival rate, independent of stream length. Exact
+    * integer area arithmetic and tie-breaks are the batch operator's;
+    * same in-order arrival convention as [[timeWeightFlatMap]].
+    */
+  def lttbFlatMap(
+      metric: String,
+      rows: Iterator[MetricEvent],
+      state: GroupState[LttbState]
+  ): Iterator[LttbRow] = {
+    val BUs = graft.ops.DownsampleOps.LttbBucketUs
+    val out = scala.collection.mutable.ListBuffer.empty[LttbRow]
+    var st = state.getOption.orNull
+
+    def selectFirst(pts: Seq[LttbPt]): LttbPt =
+      pts.minBy(p => (p.xUs, p.eventId))
+    def selectMid(pts: Seq[LttbPt], left: (Long, Long), right: (Long, Long)): LttbPt = {
+      val (xl, yl) = left
+      val (xr, yr) = right
+      pts.maxBy(p => (((xl - xr) * (p.yCents - yl) - (xl - p.xUs) * (yr - yl)).abs, -p.eventId))
+    }
+    def emit(bx: Long, p: LttbPt): Unit =
+      out += LttbRow(metric, new Timestamp(bx / 1000L), p.ts, p.value)
+
+    def close(st0: LttbState): LttbState = {
+      val cAvg = lttbAvg(st0.curBx, st0.curPts)
+      if (st0.pendingPts.nonEmpty) {
+        emit(st0.pendingBx,
+          selectMid(st0.pendingPts, (st0.leftXa, st0.leftYa), cAvg))
+        val pAvg = lttbAvg(st0.pendingBx, st0.pendingPts)
+        LttbState(hasLeft = true, pAvg._1, pAvg._2, st0.curBx, st0.curPts, -1L, Nil)
+      } else if (!st0.hasLeft) {
+        emit(st0.curBx, selectFirst(st0.curPts))
+        LttbState(hasLeft = true, cAvg._1, cAvg._2, -1L, Nil, -1L, Nil)
+      } else
+        LttbState(st0.hasLeft, st0.leftXa, st0.leftYa, st0.curBx, st0.curPts, -1L, Nil)
+    }
+
+    rows.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id)).foreach { e =>
+      val tsUs = tsMicros(e.ts)
+      val bucket = tsUs - java.lang.Math.floorMod(tsUs, BUs)
+      val pt = LttbPt(tsUs, centsOf(e.value), e.event_id, e.ts, e.value)
+      if (st == null)
+        st = LttbState(hasLeft = false, 0L, 0L, -1L, Nil, bucket, Seq(pt))
+      else if (bucket == st.curBx)
+        st = st.copy(curPts = st.curPts :+ pt)
+      else {
+        val closed = close(st)
+        st = closed.copy(curBx = bucket, curPts = Seq(pt))
+      }
+    }
+    if (st != null) state.update(st)
+    out.iterator
+  }
+
+  def lttbStream(events: Dataset[MetricEvent]): Dataset[LttbRow] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.metric)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(lttbFlatMap)
+  }
+
   case class PctState(bucketUs: Long, counts: Map[Long, Long])
   case class PctRow(metric: String, bucket: Timestamp, p_permille: Int,
       p_value: Double, n_samples: Long)

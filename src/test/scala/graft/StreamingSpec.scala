@@ -855,4 +855,65 @@ class StreamingSpec extends SparkSuite {
       assert(got.contains(("rate", "2024-01-01 00:00:00.0", 20.0, 45.0, 5.0, 30.0, 4L)))
     } finally q.stop()
   }
+
+  test("LTTB stream: a bucket emits when its right-anchor bucket closes, equal to batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // metric m: four hourly buckets (0 emits at close via the first-bucket
+    // rule; 1 emits only once 2 CLOSES — its right anchor; 2 pends, 3 open);
+    // metric solo: two buckets (0 emits at close via the first rule, 1
+    // open). Bucket 1's points and its anchors arrive in three different
+    // micro-batches.
+    val samples = Seq(
+      (1L, "2024-01-01 00:10:00", "m", 5.0),
+      (2L, "2024-01-01 00:50:00", "m", 9.0),
+      (3L, "2024-01-01 01:15:00", "m", 2.0),
+      (4L, "2024-01-01 01:30:00", "m", 20.0),
+      (5L, "2024-01-01 01:45:00", "m", 3.0),
+      (6L, "2024-01-01 02:20:00", "m", 7.0),
+      (7L, "2024-01-01 02:40:00", "m", 1.0),
+      (8L, "2024-01-01 03:05:00", "m", 4.0),
+      (9L, "2024-01-01 05:10:00", "solo", 2.5),
+      (10L, "2024-01-01 06:20:00", "solo", 6.5))
+    def ev(t: (Long, String, String, Double)) =
+      MetricEvent(t._1, Timestamp.valueOf(t._2), 1L, t._3, t._4)
+    val mem = MemoryStream[MetricEvent]
+    val q = StreamingOps.lttbStream(mem.toDS())
+      .writeStream.format("memory").queryName("lttb_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(samples.take(3).map(ev): _*)
+      q.processAllAvailable()
+      val afterFirst = spark.table("lttb_out").as[StreamingOps.LttbRow].collect()
+      // bucket m/0 closed in this batch and emits immediately (first rule);
+      // nothing else can have emitted yet
+      assert(afterFirst.map(r => (r.metric, r.bucket.toString)).toSet ===
+        Set(("m", "2024-01-01 00:00:00.0")))
+      mem.addData(samples.slice(3, 6).map(ev): _*)
+      q.processAllAvailable()
+      mem.addData(samples.drop(6).map(ev): _*)
+      q.processAllAvailable()
+      val got = spark.table("lttb_out").as[StreamingOps.LttbRow].collect()
+        .map(r => (r.metric, r.bucket.toString, r.ts.toString, r.sel_value)).toSet
+      val batch = graft.ops.DownsampleOps.downsampleLttbOn(
+        samples.toDF("event_id", "ts_s", "event_type", "value")
+          .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s"))
+      // stream emits every batch row except the open bucket and any closed
+      // bucket still pending its right anchor (the first bucket needs no
+      // right anchor, so solo's 05 bucket DID emit)
+      val unemitted = Set(
+        ("m", "2024-01-01 02:00:00.0"), ("m", "2024-01-01 03:00:00.0"),
+        ("solo", "2024-01-01 06:00:00.0"))
+      val expect = batch.collect()
+        .map(r => (r.getString(0), r.getTimestamp(1).toString,
+          r.getTimestamp(2).toString, r.getDouble(3)))
+        .filterNot(r => unemitted(r._1, r._2)).toSet
+      assert(expect.nonEmpty && got == expect, s"stream $got vs batch $expect")
+      // the mid-bucket selection used real anchors: the chosen point is the
+      // area argmax (the 20.0 spike at 01:30), an INTERIOR point of its
+      // bucket — neither the first nor the last sample
+      assert(got.exists(r => r._1 == "m" && r._2 == "2024-01-01 01:00:00.0" && r._4 == 20.0),
+        s"mid-bucket selection wrong: $got")
+    } finally q.stop()
+  }
 }
