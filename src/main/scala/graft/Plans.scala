@@ -57,7 +57,12 @@ object Plans {
       "q_dedup_rate_by_source" -> "two-level (source, digest) -> source aggregation — the distinct count never plans a count-distinct Expand; both exchanges carry map-side-combined digest-level rows, uniform 128-bit keys",
       "q_pack_sequences" -> "two-phase global prefix sum: corpus cumsum windows partition by the coarse doc-id bucket; only the bucket-cardinality offset table (N/4096 rows) crosses one task and broadcasts back — never a single-partition window over the corpus",
       "q_contam_coverage" -> "per-doc gram sets in-row (native ngram_hashes — gram cardinality is size(), no corpus distinct); MB-scale eval grams broadcast into the shared-gram join; one doc_id aggregate + one broadcast left join back",
-      "q_dedup_semantic" -> "zero-shuffle in-row nearest_centroid assignment against the literal trained-centroid matrix; ONE cluster-key exchange into flatMapGroups; pairwise scoring strictly cluster-local (k bounds the block) — never an all-pairs join"
+      "q_dedup_semantic" -> "zero-shuffle in-row nearest_centroid assignment against the literal trained-centroid matrix; ONE cluster-key exchange into flatMapGroups; pairwise scoring strictly cluster-local (k bounds the block) — never an all-pairs join",
+      "q_downsample_ohlc" -> "candlestick extrema via min_by/max_by partial+final aggregation around ONE (metric, bucket) exchange — no window, no per-bucket sort; the corpus crosses the wire as one candle per (bucket, partition)",
+      "q_downsample_lttb" -> "two corpus aggregates (bucket averages; per-bucket area argmax via partial max_by) with the tiny anchor table broadcast back — the sequential prev-selection recurrence of classic LTTB is gone, nothing funnels into a per-metric single task",
+      "q_sim_topk_batch" -> "broadcast query set (BroadcastNestedLoopJoin of a literal handful of rows); per-query rank window capped by WindowGroupLimit on BOTH sides of the qid exchange — shuffle volume k·queries·partitions, never the scored corpus",
+      "q_sim_topk_pq" -> "compressed-domain serving is ONE scan with ZERO exchanges: eight in-row nearest_centroid sub-assignments against literal codebooks, ADC distance as eight lookups into a folded 8×16 literal table, top-k via TakeOrderedAndProject",
+      "q_pq_stats" -> "PQ distortion diagnostics: in-row sub-assignment + native squared_l2 per subspace, then one SubM·PqK-row partial+final aggregate — zero corpus shuffle beyond the 128-key exchange"
     )
 
     val sb = new StringBuilder
