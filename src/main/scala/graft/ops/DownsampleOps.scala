@@ -90,7 +90,10 @@ object DownsampleOps {
         col("ts"), col("event_id"), col("value"),
         unix_micros(col("ts")).as("x"),
         floor(col("value") * 100 + 0.5).cast("long").as("y"))
-      .withColumn("bx", expr(s"x - x % ${LttbBucketUs}L"))
+      // pmod, not %: floor semantics keep pre-1970 timestamps in their
+      // correct (lower) bucket and match the streaming twin's floorMod;
+      // bare % truncates toward zero and would shift them up one bucket
+      .withColumn("bx", expr(s"x - pmod(x, ${LttbBucketUs}L)"))
     val avgs = pts.groupBy(col("metric"), col("bx"))
       .agg(expr("bx + ((sum(x - bx)) div count(*))").as("xa"),
         // sum(y) − n·min(y) is the non-nested spelling of sum(y − min(y)):
@@ -136,7 +139,7 @@ object DownsampleOps {
          |  SELECT event_type AS metric, ts, event_id, value,
          |    epoch_us(ts) AS x,
          |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS y,
-         |    epoch_us(ts) - epoch_us(ts) % ${LttbBucketUs} AS bx
+         |    epoch_us(ts) - ((epoch_us(ts) % ${LttbBucketUs} + ${LttbBucketUs}) % ${LttbBucketUs}) AS bx
          |  FROM events WHERE value IS NOT NULL),
          |a AS (
          |  SELECT metric, bx,

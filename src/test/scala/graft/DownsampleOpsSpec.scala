@@ -31,7 +31,7 @@ class DownsampleOpsSpec extends SparkSuite {
   private def lttbReference(
       ps: Seq[(String, Long, Long, Long, java.sql.Timestamp, Double)])
       : Map[(String, Long), (java.sql.Timestamp, Double)] = {
-    val byBucket = ps.groupBy(p => (p._1, p._2 - p._2 % BUs))
+    val byBucket = ps.groupBy(p => (p._1, p._2 - java.lang.Math.floorMod(p._2, BUs)))
     val avg = byBucket.map { case (k, rows) =>
       val n = rows.size
       val bx = k._2
@@ -60,7 +60,7 @@ class DownsampleOpsSpec extends SparkSuite {
     val got = DownsampleOps.downsampleOhlc(spark, SfDir).collect()
     assert(got.nonEmpty)
     val expected = pts(events.collect())
-      .groupBy(p => (p._1, p._2 - p._2 % BUs))
+      .groupBy(p => (p._1, p._2 - java.lang.Math.floorMod(p._2, BUs)))
       .map { case (k, rows) =>
         val byTime = rows.sortBy(p => (p._2, p._4))
         k -> (byTime.head._6, rows.map(_._6).max, rows.map(_._6).min,
