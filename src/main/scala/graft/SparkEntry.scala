@@ -99,6 +99,9 @@ object SparkEntry {
     "q_pq_stats" -> (PqOps.pqStats _),
     "q_sessionize" -> (SessionOps.sessionize _),
     "q_approx_distinct" -> (SessionOps.approxDistinct _),
+    // TimescaleDB hyperfunction analogs: heartbeat_agg liveness, state_agg
+    "q_uptime" -> (SessionOps.uptime _),
+    "q_state_agg" -> (SessionOps.stateAgg _),
     // multimodal plumbing: deterministic stubs (histogram features, stride
     // resize, frame sampling) over the binary payload column, flattened to
     // scalar columns and oracle-checked (payload stays library-side)

@@ -43,7 +43,94 @@ object SessionOps {
       .agg(count_distinct(col("user_id")).as("n_users"))
       .resultOrder(col("event_type"))
 
+  /** Liveness gap threshold: a heartbeat covers the next [[UptimeTimeoutMin]]
+    * minutes; a longer silence is an interruption. */
+  val UptimeTimeoutMin = 5
+
+  /** Heartbeat liveness — the TimescaleDB heartbeat_agg shape over the
+    * reference's periodic publishers: each sample covers min(gap to next,
+    * timeout) of uptime (the last sample covers a full timeout window),
+    * and a gap beyond the timeout counts as one interruption. All exact
+    * integer microseconds; one lead window on the same (metric) key the
+    * final aggregate groups by, so Catalyst reuses a single exchange.
+    *
+    * Scale: per-metric windows partition the corpus once; the output is
+    * one row per metric. The covered-duration formula is associative over
+    * the timeline, so a 100 TB feed aggregates without materializing
+    * interval unions.
+    */
+  def uptime(s: SparkSession, dir: String): DataFrame =
+    uptimeOn(Tables.events(s, dir))
+
+  def uptimeOn(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val timeoutUs = UptimeTimeoutMin * 60L * 1000000L
+    val w = Window.partitionBy(col("metric")).orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("event_type").as("metric"), col("ts"), col("event_id"))
+      .withColumn("gap_us",
+        unix_micros(lead(col("ts"), 1).over(w)) - unix_micros(col("ts")))
+      .groupBy(col("metric"))
+      .agg(
+        sum(least(coalesce(col("gap_us"), lit(timeoutUs)), lit(timeoutUs)))
+          .as("up_us"),
+        sum(when(col("gap_us") > timeoutUs, 1L).otherwise(0L)).as("interruptions"),
+        count(lit(1)).as("n_heartbeats"))
+      .resultOrder(col("metric"))
+  }
+
+  /** Time-in-state durations — the TimescaleDB state_agg shape: each
+    * user's event stream is a state machine (the event_type is the
+    * state), a state lasts until the user's next event, and the final
+    * open state contributes zero (no range end to bound it — documented,
+    * and identical in the oracle). Output per state: total dwell time,
+    * number of entries, and mean dwell as exact integer µs.
+    *
+    * Scale: one user_id window partition + one small (state) aggregate.
+    */
+  def stateAgg(s: SparkSession, dir: String): DataFrame =
+    stateAggOn(Tables.events(s, dir))
+
+  def stateAggOn(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("user_id"), col("event_type").as("state"), col("ts"), col("event_id"))
+      .withColumn("dwell_us",
+        coalesce(unix_micros(lead(col("ts"), 1).over(w)) - unix_micros(col("ts")), lit(0L)))
+      .groupBy(col("state"))
+      .agg(
+        sum(col("dwell_us")).as("total_us"),
+        count(lit(1)).as("n_entries"),
+        expr("sum(dwell_us) div count(*)").as("mean_us"))
+      .resultOrder(col("state"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_uptime" ->
+      s"""WITH g AS (
+         |  SELECT event_type AS metric, ts, event_id,
+         |    date_diff('microsecond', ts,
+         |      lead(ts) OVER (PARTITION BY event_type ORDER BY ts, event_id)) AS gap_us
+         |  FROM events)
+         |SELECT metric,
+         |  CAST(sum(least(coalesce(gap_us, ${UptimeTimeoutMin * 60L * 1000000L}),
+         |                 ${UptimeTimeoutMin * 60L * 1000000L})) AS BIGINT) AS up_us,
+         |  CAST(sum(CASE WHEN gap_us > ${UptimeTimeoutMin * 60L * 1000000L} THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS interruptions,
+         |  count(*) AS n_heartbeats
+         |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_state_agg" ->
+      """WITH d AS (
+        |  SELECT event_type AS state,
+        |    coalesce(date_diff('microsecond', ts,
+        |      lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)), 0) AS dwell_us
+        |  FROM events)
+        |SELECT state,
+        |  CAST(sum(dwell_us) AS BIGINT) AS total_us,
+        |  count(*) AS n_entries,
+        |  CAST(sum(dwell_us) // count(*) AS BIGINT) AS mean_us
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_sessionize" ->
       """WITH g AS (
         |  SELECT user_id, ts, value, event_id,

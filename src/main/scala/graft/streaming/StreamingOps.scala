@@ -483,6 +483,38 @@ object StreamingOps {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(lttbFlatMap)
   }
 
+  case class DistinctState(users: Seq[Long])
+  case class DistinctRow(metric: String, n_users: Long)
+
+  /** Streaming twin of the per-metric distinct-user cardinality
+    * (SessionOps.approxDistinct's exact column): per metric, the state is
+    * the user-id set itself, and a batch emits the new running count
+    * whenever it grew — so the latest row per metric always equals the
+    * batch recompute over everything seen. State is O(distinct users per
+    * metric), the reference's bounded entity space; an unbounded id
+    * domain wants the mergeable HLL sketch the batch operator's
+    * approx_n_users column demonstrates (constant memory, ±2%) instead
+    * of exactness — the same exact/approx pairing as percentiles.
+    */
+  def distinctFlatMap(
+      metric: String,
+      rows: Iterator[MetricEvent],
+      state: GroupState[DistinctState]
+  ): Iterator[DistinctRow] = {
+    val before = state.getOption.map(_.users.toSet).getOrElse(Set.empty[Long])
+    val after = before ++ rows.map(_.user_id)
+    state.update(DistinctState(after.toSeq))
+    if (after.size != before.size) Iterator.single(DistinctRow(metric, after.size.toLong))
+    else Iterator.empty
+  }
+
+  def distinctStream(events: Dataset[MetricEvent]): Dataset[DistinctRow] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.metric)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(distinctFlatMap)
+  }
+
   case class PctState(bucketUs: Long, counts: Map[Long, Long])
   case class PctRow(metric: String, bucket: Timestamp, p_permille: Int,
       p_value: Double, n_samples: Long)

@@ -404,6 +404,38 @@ class ExtensionOpsSpec extends SparkSuite {
     assert(got == Seq((1L, 2L, 3.0), (1L, 1L, 4.0), (2L, 1L, 8.0)))
   }
 
+  test("uptime: heartbeat coverage caps at the timeout, long gaps count interruptions") {
+    // metric m: gaps of 2 min (covered in full), 10 min (capped at 5 and
+    // one interruption), then the trailing heartbeat's full timeout window
+    val df = eventsDf(Seq(
+      (1L, "2024-01-01 00:00:00", 1L, "m", 1.0, "{}"),
+      (2L, "2024-01-01 00:02:00", 1L, "m", 1.0, "{}"),
+      (3L, "2024-01-01 00:12:00", 1L, "m", 1.0, "{}"),
+      (4L, "2024-01-01 09:00:00", 2L, "lone", 1.0, "{}") // single heartbeat
+    ))
+    val got = SessionOps.uptimeOn(df).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val min5 = 5L * 60 * 1000000
+    // m: 2min + min(10min, 5min) + trailing 5min = 12 min up, 1 interruption
+    assert(got("m") === ((2L * 60 * 1000000 + min5 + min5, 1L, 3L)))
+    // a single heartbeat is up for exactly one timeout window, no gaps
+    assert(got("lone") === ((min5, 0L, 1L)))
+  }
+
+  test("state_agg: dwell ends at the user's next event; open states contribute zero") {
+    val df = eventsDf(Seq(
+      (1L, "2024-01-01 00:00:00", 1L, "idle", 1.0, "{}"),   // 10 min idle
+      (2L, "2024-01-01 00:10:00", 1L, "busy", 1.0, "{}"),   // 5 min busy
+      (3L, "2024-01-01 00:15:00", 1L, "idle", 1.0, "{}"),   // open → 0
+      (4L, "2024-01-01 00:00:00", 2L, "busy", 1.0, "{}"),   // 20 min busy
+      (5L, "2024-01-01 00:20:00", 2L, "idle", 1.0, "{}")    // open → 0
+    ))
+    val got = SessionOps.stateAggOn(df).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got("idle") === ((10L * 60 * 1000000, 3L, 10L * 60 * 1000000 / 3)))
+    assert(got("busy") === ((25L * 60 * 1000000, 2L, 25L * 60 * 1000000 / 2)))
+  }
+
   test("simhash: band pairs EQUAL brute-force all-pairs hamming <= 3 (pigeonhole lossless)") {
     import graft.ops.DedupOps
     val got = DedupOps.dedupSimhash(spark, SfDir)

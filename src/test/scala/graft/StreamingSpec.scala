@@ -856,6 +856,39 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("distinct stream: running per-metric cardinality, emits only on growth") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[MetricEvent]
+    val q = StreamingOps.distinctStream(mem.toDS())
+      .writeStream.format("memory").queryName("dist_out")
+      .outputMode("append").start()
+    def ev(id: Long, m: String, u: Long) =
+      MetricEvent(id, Timestamp.valueOf("2024-01-01 00:00:00"), u, m, 1.0)
+    try {
+      mem.addData(ev(1, "click", 7), ev(2, "click", 8), ev(3, "view", 7))
+      q.processAllAvailable()
+      // duplicates only — no growth, batch must emit NOTHING for click
+      mem.addData(ev(4, "click", 7), ev(5, "click", 8))
+      q.processAllAvailable()
+      val afterDup = spark.table("dist_out").as[StreamingOps.DistinctRow].collect()
+      assert(afterDup.toSet === Set(StreamingOps.DistinctRow("click", 2L),
+        StreamingOps.DistinctRow("view", 1L)), afterDup.mkString(","))
+      // growth across the batch boundary: set state carried, count exact
+      mem.addData(ev(6, "click", 9), ev(7, "view", 8))
+      q.processAllAvailable()
+      val rows = spark.table("dist_out").as[StreamingOps.DistinctRow].collect()
+      val latest = rows.groupBy(_.metric).map { case (m, rs) => m -> rs.map(_.n_users).max }
+      // latest running count per metric == batch count_distinct over all rows
+      assert(latest === Map("click" -> 3L, "view" -> 2L), rows.mkString(","))
+      // per-metric emissions are strictly increasing (emit-on-growth)
+      rows.groupBy(_.metric).values.foreach { rs =>
+        val ns = rs.map(_.n_users).sorted
+        assert(ns.distinct.length == ns.length, rs.mkString(","))
+      }
+    } finally q.stop()
+  }
+
   test("LTTB stream: a bucket emits when its right-anchor bucket closes, equal to batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
