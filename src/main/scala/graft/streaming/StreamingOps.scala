@@ -483,6 +483,43 @@ object StreamingOps {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(lttbFlatMap)
   }
 
+  case class HeartbeatState(lastTsUs: Long)
+  case class Interruption(metric: String, down_from: Timestamp, down_us: Long)
+
+  /** Streaming twin of the liveness operator's interruption counting
+    * (SessionOps.uptimeOn): one long of state per metric — the last
+    * heartbeat's timestamp — and an [[Interruption]] row fires the moment
+    * a heartbeat arrives more than the timeout after the previous one
+    * (the alert shape a monitoring pipeline actually wants; the batch
+    * operator's `interruptions` column is exactly the count of these
+    * rows, and `down_from`/`down_us` name the silent interval). Same
+    * in-order arrival convention as [[counterIncFlatMap]].
+    */
+  def heartbeatFlatMap(
+      metric: String,
+      rows: Iterator[MetricEvent],
+      state: GroupState[HeartbeatState]
+  ): Iterator[Interruption] = {
+    val timeoutUs = graft.ops.SessionOps.UptimeTimeoutMin * 60L * 1000000L
+    val out = scala.collection.mutable.ListBuffer.empty[Interruption]
+    var last = state.getOption.map(_.lastTsUs).getOrElse(Long.MinValue)
+    rows.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id)).foreach { e =>
+      val tsUs = tsMicros(e.ts)
+      if (last != Long.MinValue && tsUs - last > timeoutUs)
+        out += Interruption(metric, new Timestamp(last / 1000L), tsUs - last)
+      last = math.max(last, tsUs)
+    }
+    if (last != Long.MinValue) state.update(HeartbeatState(last))
+    out.iterator
+  }
+
+  def heartbeatStream(events: Dataset[MetricEvent]): Dataset[Interruption] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.metric)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(heartbeatFlatMap)
+  }
+
   case class DistinctState(users: Seq[Long])
   case class DistinctRow(metric: String, n_users: Long)
 

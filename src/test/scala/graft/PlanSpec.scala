@@ -538,6 +538,15 @@ class PlanSpec extends SparkSuite {
       s"semantic dedup shuffles the corpus more than once:\n$p")
   }
 
+  test("q_uptime: the lead window reuses the aggregate's metric exchange") {
+    val p = plan("q_uptime")
+    // window partitioning == group key → ONE corpus exchange feeds both;
+    // the only other exchange is the single-reducer presentation sort
+    assert("hashpartitioning\\(".r.findAllIn(p).size == 1,
+      s"uptime shuffles the corpus twice:\n$p")
+    assert(!p.contains("props"), "scan reads unused props column:\n" + p)
+  }
+
   test("q_sim_topk_batch: broadcast query set, rank limit pushed to both sides of the qid exchange") {
     val p = plan("q_sim_topk_batch")
     assert(p.contains("BroadcastNestedLoopJoin"), "query set not broadcast:\n" + p)

@@ -856,6 +856,45 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("heartbeat stream: interruption fires on late arrival, count equals batch column") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // m: 2-min gap (fine), 10-min gap straddling a BATCH BOUNDARY (one
+    // interruption — last-ts state must carry), then fine again; lone
+    // metric never gaps
+    val samples = Seq(
+      (1L, "2024-01-01 00:00:00", "m"),
+      (2L, "2024-01-01 00:02:00", "m"),
+      (3L, "2024-01-01 00:12:00", "m"),
+      (4L, "2024-01-01 00:14:00", "m"),
+      (5L, "2024-01-01 00:01:00", "lone"))
+    def ev(t: (Long, String, String)) =
+      MetricEvent(t._1, Timestamp.valueOf(t._2), 1L, t._3, 1.0)
+    val mem = MemoryStream[MetricEvent]
+    val q = StreamingOps.heartbeatStream(mem.toDS())
+      .writeStream.format("memory").queryName("hb_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(samples.take(2).map(ev): _*)
+      q.processAllAvailable()
+      assert(spark.table("hb_out").isEmpty, "2-min gap must not alert")
+      mem.addData(samples.drop(2).map(ev): _*)
+      q.processAllAvailable()
+      val got = spark.table("hb_out").as[StreamingOps.Interruption].collect()
+      assert(got.toSeq === Seq(StreamingOps.Interruption(
+        "m", Timestamp.valueOf("2024-01-01 00:02:00"), 10L * 60 * 1000000)),
+        got.mkString(","))
+      // the alert count is the batch operator's interruptions column
+      val batch = graft.ops.SessionOps.uptimeOn(
+        samples.map(t => (t._1, t._2, 1L, t._3, 1.0, "")).toDF(
+          "event_id", "ts_s", "user_id", "event_type", "value", "props")
+          .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s"))
+        .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+      assert(batch === Map("m" -> 1L, "lone" -> 0L))
+      assert(got.count(_.metric == "m") === batch("m"))
+    } finally q.stop()
+  }
+
   test("distinct stream: running per-metric cardinality, emits only on growth") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
