@@ -4,7 +4,6 @@ import graft.Tables
 import graft.Tables.ResultOrdering
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 /** Dashboard downsampling — the reduce-before-render stage Grafana asks of
   * its datasource when a panel's `maxDataPoints` is smaller than the raw
@@ -33,9 +32,10 @@ import org.apache.spark.sql.types.DecimalType
   *
   * Determinism/oracle notes: triangle areas are exact integers (µs × cents,
   * doubled — the /2 is monotone and dropped), ties broken by smallest
-  * event_id via a single widened selection key `area·10^10 − event_id`
-  * (DECIMAL(38,0) here, HUGEINT in DuckDB — BIGINT would overflow at
-  * epoch-µs · 10^10). Integer bucket averages subtract a per-bucket base
+  * event_id — a lexicographic (area, −event_id) struct key under max_by
+  * here (unbounded id domain), the equivalent `area·2^63 − event_id`
+  * HUGEINT encode in DuckDB (order-correct for every non-negative BIGINT
+  * id). Integer bucket averages subtract a per-bucket base
   * (bx for x, min for y) before summing so the division operands are
   * non-negative — `div` (truncate) and DuckDB's `//` (floor) agree only
   * there — and so a bucket's sum is bounded by width·n (no epoch·n BIGINT
@@ -53,8 +53,15 @@ object DownsampleOps {
   /** LTTB bucket width in microseconds (1 hour). */
   val LttbBucketUs: Long = 3600L * 1000000L
 
-  /** Widening factor for the (area, event_id) selection key. */
-  private val TieK = 10000000000L
+  /** Oracle-side widening factor for the (area, event_id) selection key:
+    * 2^63, so `key = area·2^63 − event_id` is order-correct for EVERY
+    * non-negative BIGINT event_id inside DuckDB's 128-bit HUGEINT (the
+    * Spark side compares a (area, −event_id) struct lexicographically and
+    * needs no widening at all). A smaller factor would silently mis-rank
+    * ids above it — the id domain at 100 TB (snowflake-style ids ~1e18)
+    * is exactly where that would bite.
+    */
+  private val TieK = "9223372036854775808::HUGEINT"
 
   /** Per-(metric, hour) candlestick: open/high/low/close + sample count. */
   def downsampleOhlc(s: SparkSession, dir: String): DataFrame =
@@ -103,15 +110,19 @@ object DownsampleOps {
     val anchors = avgs.select(col("metric"), col("bx"),
       lag(col("xa"), 1).over(w).as("xl"), lag(col("ya"), 1).over(w).as("yl"),
       lead(col("xa"), 1).over(w).as("xr"), lead(col("ya"), 1).over(w).as("yr"))
-    val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(38, 0))
-    // area × 2 — exact BIGINT (µs-diff ≤ 2 widths × cents-diff), widened to
-    // DECIMAL only for the ·10^10 tie-break encode
+    // area × 2 — exact BIGINT (µs-diff ≤ 2 widths × cents-diff). The
+    // selection key is a lexicographic (primary, tie) STRUCT, never a
+    // widened integer encode: an encode factor bounds the event_id domain
+    // it can order (see TieK) while struct comparison has no bound. The
+    // endpoint branches negate to turn min-selection into the same max_by:
+    // first bucket (−x, −id) ⇒ earliest point, last bucket (x, id) ⇒
+    // latest, interior (area, −id) ⇒ largest triangle, smallest id on ties.
     val area2 = abs((col("xl") - col("xr")) * (col("y") - col("yl")) -
       (col("xl") - col("x")) * (col("yr") - col("yl")))
     val selkey =
-      when(col("xl").isNull, -(dec(col("x")) * TieK + col("event_id")))
-        .when(col("xr").isNull, dec(col("x")) * TieK + col("event_id"))
-        .otherwise(dec(area2) * TieK - col("event_id"))
+      when(col("xl").isNull, struct((-col("x")).as("k1"), (-col("event_id")).as("k2")))
+        .when(col("xr").isNull, struct(col("x").as("k1"), col("event_id").as("k2")))
+        .otherwise(struct(area2.as("k1"), (-col("event_id")).as("k2")))
     pts.join(Tables.broadcastIfSmall(anchors), Seq("metric", "bx"))
       .withColumn("selkey", selkey)
       .groupBy(col("metric"), col("bx"))

@@ -36,6 +36,15 @@ object StreamingOps {
     * use this, not getTime: a millisecond-truncated key lets two
     * same-milli events process out of time order.
     */
+  /** Inverse of [[tsMicros]]: a full-µs-precision Timestamp (the bare
+    * millisecond constructor silently drops sub-ms digits — fine for
+    * bucket-aligned instants, lossy for raw event times). */
+  private[streaming] def tsFromMicros(us: Long): Timestamp = {
+    val t = new Timestamp(java.lang.Math.floorDiv(us, 1000L))
+    t.setNanos((java.lang.Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
   private[streaming] def tsMicros(t: Timestamp): Long =
     t.getTime * 1000L + (t.getNanos % 1000000L) / 1000L
 
@@ -433,46 +442,60 @@ object StreamingOps {
   ): Iterator[LttbRow] = {
     val BUs = graft.ops.DownsampleOps.LttbBucketUs
     val out = scala.collection.mutable.ListBuffer.empty[LttbRow]
-    var st = state.getOption.orNull
+
+    // local mutable view of the state: the open bucket accumulates in an
+    // ArrayBuffer (appending through the immutable state Seq per point is
+    // O(points²) per bucket), written back to the case class once per
+    // invocation
+    var hasLeft = false
+    var leftXa = 0L
+    var leftYa = 0L
+    var pendingBx = -1L
+    var pendingPts: Seq[LttbPt] = Nil
+    var curBx = -1L
+    val curPts = scala.collection.mutable.ArrayBuffer.empty[LttbPt]
+    var started = false
+    state.getOption.foreach { s =>
+      hasLeft = s.hasLeft; leftXa = s.leftXa; leftYa = s.leftYa
+      pendingBx = s.pendingBx; pendingPts = s.pendingPts
+      curBx = s.curBx; curPts ++= s.curPts
+      started = true
+    }
 
     def selectFirst(pts: Seq[LttbPt]): LttbPt =
       pts.minBy(p => (p.xUs, p.eventId))
-    def selectMid(pts: Seq[LttbPt], left: (Long, Long), right: (Long, Long)): LttbPt = {
-      val (xl, yl) = left
-      val (xr, yr) = right
+    def selectMid(pts: Seq[LttbPt], xl: Long, yl: Long, xr: Long, yr: Long): LttbPt =
       pts.maxBy(p => (((xl - xr) * (p.yCents - yl) - (xl - p.xUs) * (yr - yl)).abs, -p.eventId))
-    }
     def emit(bx: Long, p: LttbPt): Unit =
       out += LttbRow(metric, new Timestamp(bx / 1000L), p.ts, p.value)
 
-    def close(st0: LttbState): LttbState = {
-      val cAvg = lttbAvg(st0.curBx, st0.curPts)
-      if (st0.pendingPts.nonEmpty) {
-        emit(st0.pendingBx,
-          selectMid(st0.pendingPts, (st0.leftXa, st0.leftYa), cAvg))
-        val pAvg = lttbAvg(st0.pendingBx, st0.pendingPts)
-        LttbState(hasLeft = true, pAvg._1, pAvg._2, st0.curBx, st0.curPts, -1L, Nil)
-      } else if (!st0.hasLeft) {
-        emit(st0.curBx, selectFirst(st0.curPts))
-        LttbState(hasLeft = true, cAvg._1, cAvg._2, -1L, Nil, -1L, Nil)
-      } else
-        LttbState(st0.hasLeft, st0.leftXa, st0.leftYa, st0.curBx, st0.curPts, -1L, Nil)
+    def close(): Unit = {
+      val closed = curPts.toSeq
+      val cAvg = lttbAvg(curBx, closed)
+      if (pendingPts.nonEmpty) {
+        emit(pendingBx, selectMid(pendingPts, leftXa, leftYa, cAvg._1, cAvg._2))
+        val pAvg = lttbAvg(pendingBx, pendingPts)
+        hasLeft = true; leftXa = pAvg._1; leftYa = pAvg._2
+        pendingBx = curBx; pendingPts = closed
+      } else if (!hasLeft) {
+        emit(curBx, selectFirst(closed))
+        hasLeft = true; leftXa = cAvg._1; leftYa = cAvg._2
+      } else {
+        pendingBx = curBx; pendingPts = closed
+      }
+      curPts.clear()
     }
 
     rows.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id)).foreach { e =>
       val tsUs = tsMicros(e.ts)
       val bucket = tsUs - java.lang.Math.floorMod(tsUs, BUs)
       val pt = LttbPt(tsUs, centsOf(e.value), e.event_id, e.ts, e.value)
-      if (st == null)
-        st = LttbState(hasLeft = false, 0L, 0L, -1L, Nil, bucket, Seq(pt))
-      else if (bucket == st.curBx)
-        st = st.copy(curPts = st.curPts :+ pt)
-      else {
-        val closed = close(st)
-        st = closed.copy(curBx = bucket, curPts = Seq(pt))
-      }
+      if (!started) { started = true; curBx = bucket }
+      else if (bucket != curBx) { close(); curBx = bucket }
+      curPts += pt
     }
-    if (st != null) state.update(st)
+    if (started)
+      state.update(LttbState(hasLeft, leftXa, leftYa, pendingBx, pendingPts, curBx, curPts.toSeq))
     out.iterator
   }
 
@@ -506,7 +529,7 @@ object StreamingOps {
     rows.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id)).foreach { e =>
       val tsUs = tsMicros(e.ts)
       if (last != Long.MinValue && tsUs - last > timeoutUs)
-        out += Interruption(metric, new Timestamp(last / 1000L), tsUs - last)
+        out += Interruption(metric, tsFromMicros(last), tsUs - last)
       last = math.max(last, tsUs)
     }
     if (last != Long.MinValue) state.update(HeartbeatState(last))
