@@ -895,6 +895,61 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("LTTB stream == batch under random in-order micro-batch splits") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // randomized but seeded: 3 metrics × ~120 in-order samples with random
+    // gaps (some inside a bucket, some skipping buckets entirely), split at
+    // random batch boundaries — every anchored bucket's selection must
+    // equal the batch operator's
+    val rnd = new scala.util.Random(47)
+    var id = 0L
+    val samples = (0 until 3).flatMap { m =>
+      var tUs = Timestamp.valueOf("2024-01-01 00:00:00").getTime * 1000
+      (0 until 120).map { _ =>
+        tUs += (1L + rnd.nextInt(5000)) * 1000000L // 1 s .. ~83 min steps
+        id += 1
+        (id, tUs, s"m$m", math.floor(rnd.nextDouble() * 10000) / 100.0)
+      }
+    }
+    def ev(t: (Long, Long, String, Double)) = {
+      val ts = new Timestamp(t._2 / 1000)
+      MetricEvent(t._1, ts, 1L, t._3, t._4)
+    }
+    val mem = MemoryStream[MetricEvent]
+    val q = StreamingOps.lttbStream(mem.toDS())
+      .writeStream.format("memory").queryName("lttb_rand_out")
+      .outputMode("append").start()
+    try {
+      // interleave metrics but keep each metric's own order (the family's
+      // ordered-per-key transport assumption)
+      var rest = samples.groupBy(_._3).values.toSeq.map(_.toList)
+      while (rest.exists(_.nonEmpty)) {
+        val ks = rest.map(s => math.min(s.length, 1 + rnd.nextInt(40)))
+        val batch = rest.zip(ks).flatMap { case (s, k) => s.take(k) }
+        rest = rest.zip(ks).map { case (s, k) => s.drop(k) }
+        if (batch.nonEmpty) { mem.addData(batch.map(ev): _*); q.processAllAvailable() }
+      }
+      val got = spark.table("lttb_rand_out").as[StreamingOps.LttbRow].collect()
+        .map(r => (r.metric, r.bucket.toString, r.ts.toString, r.sel_value)).toSet
+      val batchDf = graft.ops.DownsampleOps.downsampleLttbOn(
+        samples.toDF("event_id", "ts_us", "event_type", "value")
+          .withColumn("ts", expr("timestamp_micros(ts_us)")).drop("ts_us"))
+      val all = batchDf.collect()
+        .map(r => (r.getString(0), r.getTimestamp(1).toString,
+          r.getTimestamp(2).toString, r.getDouble(3)))
+      // unanchored tail per metric: the open bucket always; the pending one
+      // too unless it is the metric's first (which emitted at its close)
+      val expect = all.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+        val sorted = rows.toSeq.sortBy(_._2)
+        val drop = if (sorted.length <= 2) 1 else 2
+        sorted.dropRight(drop)
+      }.toSet
+      assert(expect.nonEmpty && got == expect,
+        s"missing ${expect -- got}; extra ${got -- expect}")
+    } finally q.stop()
+  }
+
   test("distinct stream: running per-metric cardinality, emits only on growth") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
