@@ -75,6 +75,9 @@ object SparkEntry {
     "q_fingerprint" -> (TextOps.fingerprint _),
     "q_quality_score" -> (TextOps.qualityScore _),
     "q_top_terms" -> (TextOps.topTerms _),
+    // BPE-style pair statistics + corpus-frequency quality proxy
+    "q_top_bigrams" -> (TextOps.topBigrams _),
+    "q_lm_score" -> (TextOps.lmScore _),
     "q_top_terms_approx" -> (TextOps.topTermsApprox _),
     "q_dedup_rate_by_source" -> (TextOps.dedupRateBySource _),
     "q_tfidf" -> (TextOps.tfidf _),

@@ -246,6 +246,68 @@ object TextOps {
         expr("((n_docs - n_distinct) * 1000) div n_docs"))
       .resultOrder(col("source"))
 
+  /** In-row adjacent-token pairs of a whitespace tokenization — the unit
+    * of BPE-style pair statistics and the corpus-frequency scorer. The
+    * transform/sequence pipeline is pure codegen (no UDF); documents
+    * shorter than two tokens contribute nothing.
+    */
+  private def bigramsCol: org.apache.spark.sql.Column =
+    expr("transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i+1]))")
+
+  private def tokenized(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+      .filter(size(col("t")) >= 2)
+
+  /** Corpus bigram heavy hitters — the counting step a BPE tokenizer
+    * trainer iterates (most frequent adjacent pair), exposed as the
+    * one-shot diagnostic. Pairs extract in-row; the single aggregate's
+    * map-side partials reduce each partition to ≤ |bigram vocabulary|
+    * rows before the exchange, and top-k is a TakeOrderedAndProject —
+    * the [[topTerms]] plan shape one token wider.
+    */
+  def topBigrams(s: SparkSession, dir: String): DataFrame =
+    topBigramsOn(Tables.fanOut(Tables.documents(s, dir)), 20)
+
+  def topBigramsOn(docs: DataFrame, k: Int): DataFrame =
+    tokenized(docs)
+      .select(explode(bigramsCol).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("bigram"))
+      .limit(k)
+
+  /** Corpus-frequency document scoring — the KenLM/Gopher-style quality
+    * proxy in exact integer arithmetic: a document's bigrams are scored
+    * by their corpus frequency (boilerplate-typical text scores high,
+    * rare-junk low), reported as the exact sum and integer mean — no
+    * log-probability doubles to drift between engines (libm log differs
+    * in the last ulp across implementations; ranks are what the
+    * downstream filter consumes, and integer mean frequency is
+    * rank-equivalent to mean log-frequency's exp).
+    *
+    * Scale: the frequency table is |bigram vocabulary|-bounded (an
+    * aggregate, never the corpus) and size-gate broadcast back onto the
+    * in-row pair stream; past the gate it degrades to a shuffle join. A
+    * deployment scoring against an EXTERNAL reference corpus swaps the
+    * count table's source — the plan is unchanged. Documents with fewer
+    * than two tokens have no bigrams and no row (identical in the
+    * oracle).
+    */
+  def lmScore(s: SparkSession, dir: String): DataFrame =
+    lmScoreOn(Tables.fanOut(Tables.documents(s, dir)))
+
+  def lmScoreOn(docs: DataFrame): DataFrame = {
+    val pairs = tokenized(docs).select(col("doc_id"), explode(bigramsCol).as("bigram"))
+    val counts = pairs.groupBy(col("bigram")).agg(count(lit(1)).as("c"))
+    pairs.join(Tables.broadcastIfSmall(counts), "bigram")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(col("c")).as("freq_sum"),
+        expr("sum(c) div count(*)").as("mean_freq"))
+      .resultOrder(col("doc_id"))
+  }
+
   /** Counter budget of the approximate top-terms sketch: error ≤
     * n/(m+1) occurrences over n total tokens. 256 keeps the summary a
     * few KB; the fixture vocabulary (≪ 256) never triggers compaction,
@@ -327,6 +389,27 @@ object TextOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_top_bigrams" ->
+      """WITH t AS (
+        |  SELECT string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |b AS (
+        |  SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS bigram
+        |  FROM t WHERE len(t) >= 2)
+        |SELECT bigram, count(*) AS cnt
+        |FROM b GROUP BY 1 ORDER BY cnt DESC, bigram LIMIT 20""".stripMargin,
+    "q_lm_score" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |db AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS bigram
+        |  FROM t WHERE len(t) >= 2),
+        |bg AS (SELECT bigram, count(*) AS c FROM db GROUP BY 1)
+        |SELECT d.doc_id, count(*) AS n_bigrams,
+        |  CAST(sum(bg.c) AS BIGINT) AS freq_sum,
+        |  CAST(sum(bg.c) // count(*) AS BIGINT) AS mean_freq
+        |FROM db d JOIN bg USING (bigram)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_dedup_rate_by_source" ->
       s"""WITH g AS (
          |  SELECT source, md5($normTextSql) AS fp, count(*) AS c

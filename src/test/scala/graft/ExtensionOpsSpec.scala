@@ -404,6 +404,50 @@ class ExtensionOpsSpec extends SparkSuite {
     assert(got == Seq((1L, 2L, 3.0), (1L, 1L, 4.0), (2L, 1L, 8.0)))
   }
 
+  test("top bigrams + lm score: fixture results match a plain-Scala recompute") {
+    val docs = Tables.documents(spark, SfDir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // independent: sequential tokenize → adjacent pairs → counts
+    val perDoc = docs.map { case (id, text) =>
+      val t = text.trim.split("\\s+")
+      id -> (if (t.length >= 2) t.sliding(2).map(_.mkString(" ")).toSeq else Seq.empty)
+    }
+    val corpus = perDoc.flatMap(_._2).groupBy(identity).map { case (b, xs) => b -> xs.size.toLong }
+    val expTop = corpus.toSeq.sortBy { case (b, c) => (-c, b) }.take(20)
+    val gotTop = TextOps.topBigrams(spark, SfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(gotTop.toSeq === expTop.map { case (b, c) => (b, c) })
+    val gotLm = TextOps.lmScore(spark, SfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val expLm = perDoc.filter(_._2.nonEmpty).map { case (id, bs) =>
+      val s = bs.map(corpus).sum
+      id -> ((bs.size.toLong, s, s / bs.size))
+    }.toMap
+    assert(gotLm === expLm)
+  }
+
+  test("lm score: sub-two-token documents emit no row; typical text outscores rare junk") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat"),
+      (3L, "zzq"),            // one token → no bigrams → no row
+      (4L, "xju qwv")         // bigram unique in corpus → minimum score
+    ).toDF("doc_id", "text")
+    val got = TextOps.lmScoreOn(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(!got.contains(3L))
+    // doc 2's bigrams ("the cat", "cat sat") each appear twice in the
+    // corpus → mean 2; doc 4's singleton bigram → mean 1; doc 1 mixes
+    // shared and unique pairs (sum 7 over 5 → integer mean 1, sum above
+    // the singleton's)
+    assert(got(4L) === ((1L, 1L, 1L)), got.toString)
+    assert(got(2L) === ((2L, 4L, 2L)), got.toString)
+    assert(got(1L) === ((5L, 7L, 1L)), got.toString)
+    assert(got(2L)._3 > got(4L)._3 && got(1L)._2 > got(4L)._2)
+  }
+
   test("uptime: heartbeat coverage caps at the timeout, long gaps count interruptions") {
     // metric m: gaps of 2 min (covered in full), 10 min (capped at 5 and
     // one interruption), then the trailing heartbeat's full timeout window

@@ -538,6 +538,20 @@ class PlanSpec extends SparkSuite {
       s"semantic dedup shuffles the corpus more than once:\n$p")
   }
 
+  test("q_top_bigrams / q_lm_score: in-row pair extraction, bounded exchanges, broadcast counts") {
+    val pTop = plan("q_top_bigrams")
+    assert(pTop.contains("TakeOrderedAndProject"), pTop)
+    assert("hashpartitioning\\(".r.findAllIn(pTop).size == 1,
+      s"bigram counting shuffles more than the vocabulary aggregate:\n$pTop")
+    val pLm = plan("q_lm_score")
+    assert(pLm.contains("BroadcastHashJoin"), "count table not broadcast:\n" + pLm)
+    assert(!pLm.contains("SortMergeJoin"), s"corpus shuffled to join the count table:\n$pLm")
+    // two corpus exchanges (bigram aggregate; doc_id aggregate) — the
+    // presentation sort is the single-reducer repartition, not a hash one
+    assert("hashpartitioning\\(".r.findAllIn(pLm).size <= 2,
+      s"unexpected extra exchange:\n$pLm")
+  }
+
   test("q_uptime: the lead window reuses the aggregate's metric exchange") {
     val p = plan("q_uptime")
     // window partitioning == group key → ONE corpus exchange feeds both;
