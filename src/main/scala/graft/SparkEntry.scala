@@ -102,6 +102,7 @@ object SparkEntry {
     "q_pq_stats" -> (PqOps.pqStats _),
     "q_sessionize" -> (SessionOps.sessionize _),
     "q_approx_distinct" -> (SessionOps.approxDistinct _),
+    "q_funnel" -> (SessionOps.funnel _),
     // TimescaleDB hyperfunction analogs: heartbeat_agg liveness, state_agg
     "q_uptime" -> (SessionOps.uptime _),
     "q_state_agg" -> (SessionOps.stateAgg _),

@@ -43,6 +43,51 @@ object SessionOps {
       .agg(count_distinct(col("user_id")).as("n_users"))
       .resultOrder(col("event_type"))
 
+  /** Ordered funnel stages (strictly increasing timestamps required). */
+  val FunnelStages: Seq[String] = Seq("click", "signup", "purchase")
+
+  /** Ordered-sequence funnel — the conversion analysis every event
+    * pipeline runs: users who performed the stages IN ORDER (each stage
+    * strictly after their first qualifying time for the previous one),
+    * with per-stage populations and per-mille conversion against stage 1.
+    *
+    * Shape: the standard SQL funnel — stage k is a user-cardinality
+    * aggregate (user, first qualifying ts) built by joining stage k−1
+    * back onto ONLY stage k's events. Each branch's event_type equality
+    * pushes to the parquet scan, so the K stages together read about one
+    * corpus pass split by type, and the stage tables are size-gate
+    * broadcast (falling back to a user_id shuffle join — the exchange
+    * every later stage reuses — past the gate). The counts union is K
+    * one-row aggregates; no driver-side action anywhere in the plan.
+    * Same-instant events do NOT advance the funnel (strict >, identical
+    * in the oracle).
+    */
+  def funnel(s: SparkSession, dir: String): DataFrame =
+    funnelOn(Tables.events(s, dir), FunnelStages)
+
+  def funnelOn(events: DataFrame, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty)
+    val stageDfs = stages.tail.scanLeft(
+      events.filter(col("event_type") === stages.head)
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t"))) { (prev, stage) =>
+      events.filter(col("event_type") === stage)
+        .join(Tables.broadcastIfSmall(prev.withColumnRenamed("t", "t_prev")), "user_id")
+        .filter(col("ts") > col("t_prev"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
+    }
+    val counts = stageDfs.zip(stages).zipWithIndex.map { case ((df, name), i) =>
+      df.agg(count(lit(1)).as("n"))
+        .select(lit(i + 1).as("stage"), lit(name).as("event_type"), col("n"))
+    }.reduce(_.unionAll(_))
+    val first = stageDfs.head.agg(count(lit(1)).as("n1"))
+    counts.crossJoin(broadcast(first))
+      .withColumn("n_users", col("n"))
+      .withColumn("conv_permille",
+        when(col("n1") === 0, 0L).otherwise(expr("(n * 1000) div n1")))
+      .select(col("stage"), col("event_type"), col("n_users"), col("conv_permille"))
+      .resultOrder(col("stage"))
+  }
+
   /** Liveness gap threshold: a heartbeat covers the next [[UptimeTimeoutMin]]
     * minutes; a longer silence is an interruption. */
   val UptimeTimeoutMin = 5
@@ -107,6 +152,28 @@ object SessionOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_funnel" -> {
+      val Seq(a, b, c) = FunnelStages
+      s"""WITH s1 AS (
+         |  SELECT user_id, min(ts) AS t FROM events WHERE event_type = '$a' GROUP BY 1),
+         |s2 AS (
+         |  SELECT e.user_id, min(e.ts) AS t
+         |  FROM events e JOIN s1 USING (user_id)
+         |  WHERE e.event_type = '$b' AND e.ts > s1.t GROUP BY 1),
+         |s3 AS (
+         |  SELECT e.user_id, min(e.ts) AS t
+         |  FROM events e JOIN s2 USING (user_id)
+         |  WHERE e.event_type = '$c' AND e.ts > s2.t GROUP BY 1),
+         |cnt AS (
+         |  SELECT 1 AS stage, '$a' AS event_type, count(*) AS n FROM s1
+         |  UNION ALL SELECT 2, '$b', count(*) FROM s2
+         |  UNION ALL SELECT 3, '$c', count(*) FROM s3)
+         |SELECT stage, event_type, CAST(n AS BIGINT) AS n_users,
+         |  CAST(CASE WHEN (SELECT n FROM cnt WHERE stage = 1) = 0 THEN 0
+         |       ELSE (n * 1000) // (SELECT n FROM cnt WHERE stage = 1) END AS BIGINT)
+         |    AS conv_permille
+         |FROM cnt ORDER BY stage""".stripMargin
+    },
     "q_uptime" ->
       s"""WITH g AS (
          |  SELECT event_type AS metric, ts, event_id,

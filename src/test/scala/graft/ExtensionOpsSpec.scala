@@ -448,6 +448,33 @@ class ExtensionOpsSpec extends SparkSuite {
     assert(got(2L)._3 > got(4L)._3 && got(1L)._2 > got(4L)._2)
   }
 
+  test("funnel: stages require strict order; out-of-order and same-instant don't advance") {
+    val df = eventsDf(Seq(
+      // user 1: full ordered funnel
+      (1L, "2024-01-01 00:00:00", 1L, "click", 1.0, "{}"),
+      (2L, "2024-01-01 00:10:00", 1L, "signup", 1.0, "{}"),
+      (3L, "2024-01-01 00:20:00", 1L, "purchase", 1.0, "{}"),
+      // user 2: signup BEFORE first click — must not count as stage 2
+      (4L, "2024-01-01 00:05:00", 2L, "signup", 1.0, "{}"),
+      (5L, "2024-01-01 00:06:00", 2L, "click", 1.0, "{}"),
+      // user 3: click then SAME-INSTANT signup — strict > excludes it
+      (6L, "2024-01-01 00:07:00", 3L, "click", 1.0, "{}"),
+      (7L, "2024-01-01 00:07:00", 3L, "signup", 1.0, "{}"),
+      // user 4: clicks only
+      (8L, "2024-01-01 00:08:00", 4L, "click", 1.0, "{}"),
+      // user 5: purchase without signup — stage 3 requires stage 2
+      (9L, "2024-01-01 00:01:00", 5L, "click", 1.0, "{}"),
+      (10L, "2024-01-01 00:02:00", 5L, "purchase", 1.0, "{}")
+    ))
+    val got = SessionOps.funnelOn(df, SessionOps.FunnelStages).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    // stage 1: users 1,2,3,4,5; stage 2: user 1 only; stage 3: user 1 only
+    assert(got === Seq(
+      (1, "click", 5L, 1000L),
+      (2, "signup", 1L, 200L),
+      (3, "purchase", 1L, 200L)), got.mkString(","))
+  }
+
   test("uptime: heartbeat coverage caps at the timeout, long gaps count interruptions") {
     // metric m: gaps of 2 min (covered in full), 10 min (capped at 5 and
     // one interruption), then the trailing heartbeat's full timeout window

@@ -552,6 +552,16 @@ class PlanSpec extends SparkSuite {
       s"unexpected extra exchange:\n$pLm")
   }
 
+  test("q_funnel: per-stage pushed type filters, stage tables broadcast back") {
+    val p = plan("q_funnel")
+    // each stage branch scans ONLY its event type (pushed equality) and
+    // joins the previous user-cardinality stage table as a broadcast
+    assert("EqualTo\\(event_type,".r.findAllIn(p).size >= 3,
+      "stage filters not pushed to the scans:\n" + p)
+    assert(p.contains("BroadcastHashJoin"), "stage table not broadcast:\n" + p)
+    assert(!p.contains("SortMergeJoin"), s"stage join shuffled the event stream:\n$p")
+  }
+
   test("q_uptime: the lead window reuses the aggregate's metric exchange") {
     val p = plan("q_uptime")
     // window partitioning == group key → ONE corpus exchange feeds both;
