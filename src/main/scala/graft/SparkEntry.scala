@@ -103,6 +103,7 @@ object SparkEntry {
     "q_sessionize" -> (SessionOps.sessionize _),
     "q_approx_distinct" -> (SessionOps.approxDistinct _),
     "q_funnel" -> (SessionOps.funnel _),
+    "q_retention_cohorts" -> (SessionOps.retentionCohorts _),
     // TimescaleDB hyperfunction analogs: heartbeat_agg liveness, state_agg
     "q_uptime" -> (SessionOps.uptime _),
     "q_state_agg" -> (SessionOps.stateAgg _),

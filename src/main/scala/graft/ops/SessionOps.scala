@@ -88,6 +88,39 @@ object SessionOps {
       .resultOrder(col("stage"))
   }
 
+  /** Weekly cohort retention — the companion report to [[funnel]]: users
+    * grouped by first-seen week (the cohort), each later week of activity
+    * marked, and the matrix reported as (cohort_week, weeks_since,
+    * n_active, retained_permille vs the cohort's size). Exact integer
+    * week arithmetic: weeks are epoch-day div 7 (no calendar-week
+    * locale/engine drift), per-mille retention is integer division.
+    *
+    * Scale: first-seen is one user-cardinality aggregate, size-gate
+    * broadcast back; activity dedups on (cohort, week, user) via a
+    * two-level aggregate (map-side combined, never a count-distinct
+    * expand) before the tiny matrix aggregate.
+    */
+  def retentionCohorts(s: SparkSession, dir: String): DataFrame =
+    retentionCohortsOn(Tables.events(s, dir))
+
+  def retentionCohortsOn(events: DataFrame): DataFrame = {
+    val acts = events.select(col("user_id"),
+      expr("datediff(CAST(ts AS DATE), DATE '1970-01-01') div 7").as("week"))
+    val firstSeen = acts.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
+    val sizes = firstSeen.groupBy(col("cohort_week")).agg(count(lit(1)).as("cohort_size"))
+    acts.join(Tables.broadcastIfSmall(firstSeen), "user_id")
+      .select(col("cohort_week"), (col("week") - col("cohort_week")).as("weeks_since"),
+        col("user_id"))
+      .distinct()
+      .groupBy(col("cohort_week"), col("weeks_since"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(Tables.broadcastIfSmall(sizes), "cohort_week")
+      .withColumn("retained_permille", expr("(n_active * 1000) div cohort_size"))
+      .select(col("cohort_week"), col("weeks_since"), col("n_active"),
+        col("retained_permille"))
+      .resultOrder(col("cohort_week"), col("weeks_since"))
+  }
+
   /** Liveness gap threshold: a heartbeat covers the next [[UptimeTimeoutMin]]
     * minutes; a longer silence is an interruption. */
   val UptimeTimeoutMin = 5
@@ -152,6 +185,22 @@ object SessionOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_retention_cohorts" ->
+      """WITH a AS (
+        |  SELECT user_id, date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7 AS week
+        |  FROM events),
+        |fs AS (SELECT user_id, min(week) AS cohort_week FROM a GROUP BY 1),
+        |sz AS (SELECT cohort_week, count(*) AS cohort_size FROM fs GROUP BY 1),
+        |act AS (
+        |  SELECT fs.cohort_week, a.week - fs.cohort_week AS weeks_since, a.user_id
+        |  FROM a JOIN fs USING (user_id) GROUP BY 1, 2, 3),
+        |m AS (
+        |  SELECT cohort_week, weeks_since, count(*) AS n_active
+        |  FROM act GROUP BY 1, 2)
+        |SELECT m.cohort_week, m.weeks_since, m.n_active,
+        |  CAST((m.n_active * 1000) // sz.cohort_size AS BIGINT) AS retained_permille
+        |FROM m JOIN sz USING (cohort_week)
+        |ORDER BY 1, 2""".stripMargin,
     "q_funnel" -> {
       val Seq(a, b, c) = FunnelStages
       s"""WITH s1 AS (

@@ -475,6 +475,32 @@ class ExtensionOpsSpec extends SparkSuite {
       (3, "purchase", 1L, 200L)), got.mkString(","))
   }
 
+  test("retention cohorts: first-seen week anchors, multi-activity weeks count once") {
+    val df = eventsDf(Seq(
+      // cohort week W: users 1,2 first seen 2024-01-01 (Mon); epoch-day div
+      // 7 weeks — NOT calendar weeks, so the exact ids don't matter, only
+      // the differences
+      (1L, "2024-01-01 00:00:00", 1L, "click", 1.0, "{}"),
+      (2L, "2024-01-02 00:00:00", 2L, "click", 1.0, "{}"),
+      // user 1 active twice in week W+1 → counts ONCE
+      (3L, "2024-01-08 00:00:00", 1L, "view", 1.0, "{}"),
+      (4L, "2024-01-09 00:00:00", 1L, "click", 1.0, "{}"),
+      // user 2 skips a week, returns in W+2
+      (5L, "2024-01-16 00:00:00", 2L, "click", 1.0, "{}"),
+      // user 3 is its own later cohort
+      (6L, "2024-01-17 00:00:00", 3L, "click", 1.0, "{}")
+    ))
+    val rows = SessionOps.retentionCohortsOn(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq.sorted
+    val w0 = rows.head._1 // the 2024-01-01 cohort's epoch-week id
+    assert(rows === Seq(
+      (w0, 0L, 2L, 1000L),      // both users active in their first week
+      (w0, 1L, 1L, 500L),       // user 1 — once, despite two events that week
+      (w0, 2L, 1L, 500L),       // user 2 returns after skipping a week
+      (w0 + 2L, 0L, 1L, 1000L)  // user 3's solo later cohort
+    ), rows.mkString(","))
+  }
+
   test("uptime: heartbeat coverage caps at the timeout, long gaps count interruptions") {
     // metric m: gaps of 2 min (covered in full), 10 min (capped at 5 and
     // one interruption), then the trailing heartbeat's full timeout window
