@@ -62,7 +62,12 @@ object Plans {
       "q_downsample_lttb" -> "two corpus aggregates (bucket averages; per-bucket area argmax via partial max_by) with the tiny anchor table broadcast back — the sequential prev-selection recurrence of classic LTTB is gone, nothing funnels into a per-metric single task",
       "q_sim_topk_batch" -> "broadcast query set (BroadcastNestedLoopJoin of a literal handful of rows); per-query rank window capped by WindowGroupLimit on BOTH sides of the qid exchange — shuffle volume k·queries·partitions, never the scored corpus",
       "q_sim_topk_pq" -> "compressed-domain serving is ONE scan with ZERO exchanges: eight in-row nearest_centroid sub-assignments against literal codebooks, ADC distance as eight lookups into a folded 8×16 literal table, top-k via TakeOrderedAndProject",
-      "q_pq_stats" -> "PQ distortion diagnostics: in-row sub-assignment + native squared_l2 per subspace, then one SubM·PqK-row partial+final aggregate — zero corpus shuffle beyond the 128-key exchange"
+      "q_pq_stats" -> "PQ distortion diagnostics: in-row sub-assignment + native squared_l2 per subspace, then one SubM·PqK-row partial+final aggregate — zero corpus shuffle beyond the 128-key exchange",
+      "q_top_bigrams" -> "in-row adjacent-pair extraction (codegen transform/sequence, no UDF); the single aggregate's map-side partials bound each partition at the bigram vocabulary; top-k via TakeOrderedAndProject",
+      "q_lm_score" -> "corpus-frequency scoring: the vocabulary-bounded bigram count table broadcasts back onto the in-row pair stream (size-gated — degrades to a shuffle join past the bound); two corpus exchanges total",
+      "q_uptime" -> "heartbeat liveness: the lead window partitions on the SAME metric key the final aggregate groups by — one corpus exchange serves both; covered-duration arithmetic is per-row, no interval union materializes",
+      "q_funnel" -> "each stage scans ONLY its event type (pushed equality — the K stages together read about one corpus pass split by type); user-cardinality stage tables broadcast back, counts are K one-row aggregates, no driver action",
+      "q_retention_cohorts" -> "first-seen table broadcast back; (cohort, week, user) dedup is a distinct that map-side combines — never a count-distinct Expand; the retention matrix aggregate is weeks×cohorts-sized"
     )
 
     val sb = new StringBuilder
