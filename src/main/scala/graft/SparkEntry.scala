@@ -99,6 +99,7 @@ object SparkEntry {
     "q_sim_topk_batch" -> ((s: SparkSession, dir: String) => SimilarityOps.simTopKBatch(s, dir)),
     // product quantization: compressed-domain ADC ranking + distortion stats
     "q_sim_topk_pq" -> (PqOps.simTopKPq _),
+    "q_pq_train" -> (PqOps.pqTrain _),
     "q_pq_stats" -> (PqOps.pqStats _),
     "q_sessionize" -> (SessionOps.sessionize _),
     "q_approx_distinct" -> (SessionOps.approxDistinct _),

@@ -25,6 +25,11 @@ object Verify {
       // (see Tables.load — safe here: this main owns its only session)
       .config("spark.graft.fixtureCache", "true")
       .getOrCreate()
+    // experiment passthrough ("k=v;k=v"), same contract as Bench's — lets
+    // a gate arm (e.g. spark.graft.singlePhaseMaxBytes=0) be oracle-checked
+    // directly; driver runs set nothing here
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.contains("="))
+      .foreach { kv => val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v) })
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // optional comma-separated subset for local iteration (same contract as

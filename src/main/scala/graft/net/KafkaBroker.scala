@@ -530,21 +530,25 @@ final class KafkaBroker(port0: Int = 0, defaultPartitions: Int = 3,
       })
     }
     val g = group(groupId)
+    // fencing check AND offsets write under ONE monitor hold: with the
+    // check in its own block, a rebalance fencing the member between the
+    // two blocks would still let the stale commit land — the exact
+    // zombie-commit-after-rebalance the check exists to reject
     val err = g.synchronized {
       // generation -1 is the simple-consumer path (no group membership);
       // a generational commit must come from a live member of the current
       // generation — a zombie's commit after a rebalance is REJECTED, the
       // exact fencing that keeps redelivery at-least-once instead of lost
-      if (generation == -1) ErrNone
-      else if (!g.members.contains(memberId)) ErrUnknownMemberId
-      else if (generation != g.generation) ErrIllegalGeneration
-      else if (g.state == "PreparingRebalance") ErrRebalanceInProgress
-      else ErrNone
-    }
-    if (err == ErrNone) g.synchronized {
-      wants.foreach { case (topic, parts) =>
+      val e =
+        if (generation == -1) ErrNone
+        else if (!g.members.contains(memberId)) ErrUnknownMemberId
+        else if (generation != g.generation) ErrIllegalGeneration
+        else if (g.state == "PreparingRebalance") ErrRebalanceInProgress
+        else ErrNone
+      if (e == ErrNone) wants.foreach { case (topic, parts) =>
         parts.foreach { case (p, off) => g.offsets((topic, p)) = off }
       }
+      e
     }
     val w = new W
     w.i32(wants.length)

@@ -53,25 +53,32 @@ object DownsampleOps {
   /** LTTB bucket width in microseconds (1 hour). */
   val LttbBucketUs: Long = 3600L * 1000000L
 
-  /** Oracle-side widening factor for the (area, event_id) selection key:
-    * 2^63, so `key = area·2^63 − event_id` is order-correct for EVERY
-    * non-negative BIGINT event_id inside DuckDB's 128-bit HUGEINT (the
-    * Spark side compares a (area, −event_id) struct lexicographically and
-    * needs no widening at all). A smaller factor would silently mis-rank
-    * ids above it — the id domain at 100 TB (snowflake-style ids ~1e18)
-    * is exactly where that would bite.
-    */
-  private val TieK = "9223372036854775808::HUGEINT"
+  // (The oracle's former single-integer selection key `area·2^63 −
+  // event_id` is gone: with the sparse-series area widened to HUGEINT,
+  // multiplying it by 2^63 again could exceed even int128. The oracle now
+  // orders by the explicit (k1, k2) pair — DuckDB's ordered `first`
+  // aggregate is its native lexicographic max_by.)
 
-  /** Per-(metric, hour) candlestick: open/high/low/close + sample count. */
+  /** Per-(metric, hour) candlestick: open/high/low/close + sample count.
+    * Buckets are epoch-hour floors (`pmod` on unix µs), NOT session-tz
+    * `date_trunc('hour', …)`: the streaming twin ([[graft.streaming
+    * .StreamingOps.ohlcFlatMap]]) buckets on `floorMod` of epoch µs, and
+    * the two agree under every session timezone only on the epoch form —
+    * `date_trunc` shifts by the zone offset, so a fractional-offset
+    * session (e.g. +05:30) would put stream and batch candles 30 min
+    * apart. The batch LTTB sibling already buckets on epoch µs; this
+    * makes OHLC the matching pair (identical output in a UTC session).
+    */
   def downsampleOhlc(s: SparkSession, dir: String): DataFrame =
     downsampleOhlcOn(ev(s, dir))
 
   def downsampleOhlcOn(events: DataFrame): DataFrame = {
     val ord = struct(col("ts"), col("event_id"))
+    val hourUs = 3600L * 1000000L
     events.filter(col("value").isNotNull)
+      .withColumn("x", unix_micros(col("ts")))
       .select(col("event_type").as("metric"),
-        date_trunc("hour", col("ts")).as("bucket"),
+        timestamp_micros(expr(s"x - pmod(x, ${hourUs}L)")).as("bucket"),
         col("ts"), col("event_id"), col("value"))
       .groupBy(col("metric"), col("bucket"))
       .agg(
@@ -110,15 +117,28 @@ object DownsampleOps {
     val anchors = avgs.select(col("metric"), col("bx"),
       lag(col("xa"), 1).over(w).as("xl"), lag(col("ya"), 1).over(w).as("yl"),
       lead(col("xa"), 1).over(w).as("xr"), lead(col("ya"), 1).over(w).as("yr"))
-    // area × 2 — exact BIGINT (µs-diff ≤ 2 widths × cents-diff). The
-    // selection key is a lexicographic (primary, tie) STRUCT, never a
-    // widened integer encode: an encode factor bounds the event_id domain
-    // it can order (see TieK) while struct comparison has no bound. The
+    // area × 2 — exact DECIMAL(38,0). The factors are bounded by bucket
+    // width only on a DENSE series; lag/lead run over the POPULATED
+    // buckets, so on a sparse series (xl − xr) is the µs gap between
+    // neighboring populated buckets — months of silence make it ~1e13 and
+    // a BIGINT product of that against a large cents-diff silently wraps
+    // under Spark's non-ANSI arithmetic, selecting the wrong point. Each
+    // operand therefore widens to decimal(38,0) BEFORE the subtraction
+    // (the µs values themselves can sit anywhere in the BIGINT domain)
+    // and the whole area computes in 38-digit decimal; the oracle runs
+    // the identical formula in HUGEINT. Both engines are exact while
+    // |µs-diff| × |cents-diff| < 10^38 — every real timestamp span (±300
+    // ky in µs ≈ 1e19) against cents up to ~1e19, vs the old silent wrap
+    // at 9.2e18. The selection key is a lexicographic (primary, tie)
+    // STRUCT, never a widened integer encode: an encode factor bounds the
+    // domain it can order while struct comparison has no bound. The
     // endpoint branches negate to turn min-selection into the same max_by:
     // first bucket (−x, −id) ⇒ earliest point, last bucket (x, id) ⇒
     // latest, interior (area, −id) ⇒ largest triangle, smallest id on ties.
-    val area2 = abs((col("xl") - col("xr")) * (col("y") - col("yl")) -
-      (col("xl") - col("x")) * (col("yr") - col("yl")))
+    def wide(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      c.cast("decimal(38,0)")
+    val area2 = abs((wide(col("xl")) - wide(col("xr"))) * (wide(col("y")) - wide(col("yl"))) -
+      (wide(col("xl")) - wide(col("x"))) * (wide(col("yr")) - wide(col("yl"))))
     val selkey =
       when(col("xl").isNull, struct((-col("x")).as("k1"), (-col("event_id")).as("k2")))
         .when(col("xr").isNull, struct(col("x").as("k1"), col("event_id").as("k2")))
@@ -135,7 +155,9 @@ object DownsampleOps {
   val oracles: Map[String, String] = Map(
     "q_downsample_ohlc" ->
       """WITH p AS (
-        |  SELECT event_type AS metric, date_trunc('hour', ts) AS bucket,
+        |  SELECT event_type AS metric,
+        |         make_timestamp(epoch_us(ts)
+        |           - ((epoch_us(ts) % 3600000000 + 3600000000) % 3600000000)) AS bucket,
         |         ts, event_id, value
         |  FROM events WHERE value IS NOT NULL)
         |SELECT metric, bucket,
@@ -164,15 +186,17 @@ object DownsampleOps {
          |  FROM a WINDOW w AS (PARTITION BY metric ORDER BY bx)),
          |c AS (
          |  SELECT b.metric, b.bx, b.ts, b.value, b.event_id,
-         |    CASE WHEN xl IS NULL THEN -(b.x::HUGEINT * ${TieK} + b.event_id)
-         |         WHEN xr IS NULL THEN   b.x::HUGEINT * ${TieK} + b.event_id
-         |         ELSE abs((xl - xr) * (b.y - yl) - (xl - b.x) * (yr - yl))::HUGEINT
-         |                * ${TieK} - b.event_id
-         |    END AS selkey
+         |    CASE WHEN xl IS NULL THEN -b.x::HUGEINT
+         |         WHEN xr IS NULL THEN  b.x::HUGEINT
+         |         ELSE abs((xl::HUGEINT - xr) * (b.y::HUGEINT - yl)
+         |                - (xl::HUGEINT - b.x) * (yr::HUGEINT - yl))
+         |    END AS k1,
+         |    CASE WHEN xl IS NOT NULL AND xr IS NULL THEN b.event_id
+         |         ELSE -b.event_id END AS k2
          |  FROM b JOIN anch USING (metric, bx))
          |SELECT metric, make_timestamp(bx) AS bucket,
-         |  arg_max({'ts': ts, 'value': value}, selkey).ts AS ts,
-         |  arg_max({'ts': ts, 'value': value}, selkey).value AS sel_value
+         |  first(ts    ORDER BY k1 DESC, k2 DESC) AS ts,
+         |  first(value ORDER BY k1 DESC, k2 DESC) AS sel_value
          |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

@@ -507,7 +507,7 @@ object RelationalOps {
     * overrides both defaults (0 forces two-phase everywhere; used by the
     * A/B probes that sized the defaults).
     */
-  private def singlePhaseBound(s: SparkSession, default: Long): Long =
+  private[graft] def singlePhaseBound(s: SparkSession, default: Long): Long =
     s.conf.getOption("spark.graft.singlePhaseMaxBytes")
       .map(_.toLong).getOrElse(default)
 

@@ -51,40 +51,58 @@ object SessionOps {
     * strictly after their first qualifying time for the previous one),
     * with per-stage populations and per-mille conversion against stage 1.
     *
-    * Shape: the standard SQL funnel — stage k is a user-cardinality
-    * aggregate (user, first qualifying ts) built by joining stage k−1
-    * back onto ONLY stage k's events. Each branch's event_type equality
-    * pushes to the parquet scan, so the K stages together read about one
-    * corpus pass split by type, and the stage tables are size-gate
-    * broadcast (falling back to a user_id shuffle join — the exchange
-    * every later stage reuses — past the gate). The counts union is K
-    * one-row aggregates; no driver-side action anywhere in the plan.
-    * Same-instant events do NOT advance the funnel (strict >, identical
-    * in the oracle).
+    * Shape: ONE corpus scan (a pushed `event_type IN (stages)` filter),
+    * one user_id exchange, and a per-user ordered fold. The K-branch
+    * join form (stage k joined back onto stage k's events) reads the
+    * corpus once per stage unless row-groups happen to be type-clustered
+    * — on an interleaved 100 TB log that is K full passes. Here each
+    * user's stage events collect once (`collect_list`, per-user
+    * bucket-scale), sort in-row, and fold left-to-right through
+    * `aggregate`: the accumulator is the K-vector of first qualifying
+    * µs-timestamps, and an event advances its stage iff that slot is
+    * still null and the previous slot is strictly earlier. The
+    * sequential fold computes exactly the join chain's fixpoint — stage
+    * k's first qualifying time is the earliest stage-k event strictly
+    * after stage k−1's — because events arrive in ascending (x, stage)
+    * order and the strict `>` makes same-instant events unable to
+    * advance under ANY tie order. Stage counts are then one global
+    * aggregate over the K slots; no driver-side action anywhere.
     */
   def funnel(s: SparkSession, dir: String): DataFrame =
     funnelOn(Tables.events(s, dir), FunnelStages)
 
   def funnelOn(events: DataFrame, stages: Seq[String]): DataFrame = {
     require(stages.nonEmpty)
-    val stageDfs = stages.tail.scanLeft(
-      events.filter(col("event_type") === stages.head)
-        .groupBy(col("user_id")).agg(min(col("ts")).as("t"))) { (prev, stage) =>
-      events.filter(col("event_type") === stage)
-        .join(Tables.broadcastIfSmall(prev.withColumnRenamed("t", "t_prev")), "user_id")
-        .filter(col("ts") > col("t_prev"))
-        .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
-    }
-    val counts = stageDfs.zip(stages).zipWithIndex.map { case ((df, name), i) =>
-      df.agg(count(lit(1)).as("n"))
-        .select(lit(i + 1).as("stage"), lit(name).as("event_type"), col("n"))
-    }.reduce(_.unionAll(_))
-    val first = stageDfs.head.agg(count(lit(1)).as("n1"))
-    counts.crossJoin(broadcast(first))
-      .withColumn("n_users", col("n"))
-      .withColumn("conv_permille",
-        when(col("n1") === 0, 0L).otherwise(expr("(n * 1000) div n1")))
-      .select(col("stage"), col("event_type"), col("n_users"), col("conv_permille"))
+    val k = stages.size
+    val pts = events.filter(col("event_type").isin(stages: _*))
+      .select(col("user_id"), unix_micros(col("ts")).as("x"),
+        array_position(typedLit(stages), col("event_type")).cast("int").as("stg"))
+    val nulls = Seq.fill(k)("CAST(NULL AS BIGINT)").mkString(", ")
+    val folded = pts
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("x"), col("stg")))).as("evs"))
+      // branch ORDER is load-bearing: `acc[e.stg - 2]` is acc[-1] for a
+      // stage-1 event, and ANSI mode throws on negative indices — the
+      // `e.stg = 1` WHEN must win first (CASE branches evaluate lazily,
+      // unlike OR operands)
+      .select(expr(
+        s"""aggregate(evs, array($nulls), (acc, e) ->
+           |  transform(acc, (v, i) -> CASE
+           |    WHEN i != e.stg - 1 OR v IS NOT NULL THEN v
+           |    WHEN e.stg = 1 THEN e.x
+           |    WHEN acc[e.stg - 2] IS NOT NULL AND e.x > acc[e.stg - 2] THEN e.x
+           |    ELSE v END))""".stripMargin).as("firsts"))
+    val totals = folded.agg(
+      count(col("firsts")(0)).as("n0"),
+      (1 until k).map(i => count(col("firsts")(i)).as(s"n$i")): _*)
+    totals
+      .select(col("n0").as("n1"),
+        explode(array((0 until k).map(i =>
+          struct(lit(i + 1).as("stage"), lit(stages(i)).as("event_type"),
+            col(s"n$i").as("n"))): _*)).as("s"))
+      .select(col("s.stage"), col("s.event_type"), col("s.n").as("n_users"),
+        when(col("n1") === 0, 0L)
+          .otherwise(expr("(s.n * 1000) div n1")).as("conv_permille"))
       .resultOrder(col("stage"))
   }
 
@@ -92,7 +110,7 @@ object SessionOps {
     * grouped by first-seen week (the cohort), each later week of activity
     * marked, and the matrix reported as (cohort_week, weeks_since,
     * n_active, retained_permille vs the cohort's size). Exact integer
-    * week arithmetic: weeks are epoch-day div 7 (no calendar-week
+    * week arithmetic: weeks are floor(epoch-day / 7) (no calendar-week
     * locale/engine drift), per-mille retention is integer division.
     *
     * Scale: first-seen is one user-cardinality aggregate, size-gate
@@ -104,8 +122,14 @@ object SessionOps {
     retentionCohortsOn(Tables.events(s, dir))
 
   def retentionCohortsOn(events: DataFrame): DataFrame = {
+    // FLOOR division, not `div` (truncate-toward-zero): DuckDB's `//` in
+    // the oracle floors, and a pre-1970 activity day (negative day count)
+    // would otherwise bucket one week HIGHER here than there — the same
+    // truncate-vs-floor trap the LTTB bucketing fixed with pmod
     val acts = events.select(col("user_id"),
-      expr("datediff(CAST(ts AS DATE), DATE '1970-01-01') div 7").as("week"))
+      expr("""(datediff(CAST(ts AS DATE), DATE '1970-01-01')
+              | - pmod(datediff(CAST(ts AS DATE), DATE '1970-01-01'), 7)) div 7"""
+        .stripMargin.replace("\n", "")).as("week"))
     val firstSeen = acts.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
     val sizes = firstSeen.groupBy(col("cohort_week")).agg(count(lit(1)).as("cohort_size"))
     acts.join(Tables.broadcastIfSmall(firstSeen), "user_id")
@@ -125,36 +149,90 @@ object SessionOps {
     * minutes; a longer silence is an interruption. */
   val UptimeTimeoutMin = 5
 
+  /** Single-phase bound for [[uptime]]'s gate — the counter-rate family's
+    * generous default ([[RelationalOps.CounterSinglePhaseMaxBytes]]
+    * rationale: one window sort, so the per-metric sort ceiling is the
+    * only limit), overridable through the same
+    * `spark.graft.singlePhaseMaxBytes` conf the A/B probes use.
+    */
+  val UptimeSinglePhaseMaxBytes: Long = 256L << 20
+
   /** Heartbeat liveness — the TimescaleDB heartbeat_agg shape over the
     * reference's periodic publishers: each sample covers min(gap to next,
     * timeout) of uptime (the last sample covers a full timeout window),
     * and a gap beyond the timeout counts as one interruption. All exact
-    * integer microseconds; one lead window on the same (metric) key the
-    * final aggregate groups by, so Catalyst reuses a single exchange.
+    * integer microseconds.
     *
-    * Scale: per-metric windows partition the corpus once; the output is
-    * one row per metric. The covered-duration formula is associative over
-    * the timeline, so a 100 TB feed aggregates without materializing
-    * interval unions.
+    * Scale: `metric` is `event_type` — ≤46 values in the reference model
+    * (opcua_server/main.py:152-203) — so a bare per-metric window funnels
+    * a 100 TB feed into ≤46 sort tasks. Past a planning-size gate the
+    * operator therefore switches to the counter-rate family's two-phase
+    * shape ([[RelationalOps.counterRateOn]] is the template): in-partition
+    * lead over bounded (metric, day) keys, plus one day-boundary repair
+    * carry — the next PRESENT day's first timestamp, a lag/lead over the
+    * tiny day-level aggregate — joined back size-gated. The per-day
+    * partial aggregate runs in the window's own stage (subset-key
+    * clustering), so the corpus is exchanged exactly once either way.
+    * Below the gate the single window's one exchange + sort wins on
+    * per-stage scheduler floor; the gate keys on the data's planning
+    * size, never the caller.
     */
-  def uptime(s: SparkSession, dir: String): DataFrame =
-    uptimeOn(Tables.events(s, dir))
+  def uptime(s: SparkSession, dir: String): DataFrame = {
+    val rows = Tables.events(s, dir)
+    uptimeOn(rows, twoPhase = Tables.planningSize(
+        rows.select(col("event_type"), col("ts"), col("event_id"))) >
+      RelationalOps.singlePhaseBound(s, UptimeSinglePhaseMaxBytes))
+  }
 
-  def uptimeOn(events: DataFrame): DataFrame = {
+  def uptimeOn(events: DataFrame, twoPhase: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val timeoutUs = UptimeTimeoutMin * 60L * 1000000L
-    val w = Window.partitionBy(col("metric")).orderBy(col("ts"), col("event_id"))
-    events
-      .select(col("event_type").as("metric"), col("ts"), col("event_id"))
+    val pts = events.select(col("event_type").as("metric"), col("ts"), col("event_id"))
+    def rollup(withGap: DataFrame, extraKey: Seq[String]): DataFrame = {
+      val partial = withGap
+        .groupBy((Seq("metric") ++ extraKey).map(col): _*)
+        .agg(
+          sum(least(coalesce(col("gap_us"), lit(timeoutUs)), lit(timeoutUs)))
+            .as("up_us"),
+          sum(when(col("gap_us") > timeoutUs, 1L).otherwise(0L)).as("interruptions"),
+          count(lit(1)).as("n_heartbeats"))
+      val total =
+        if (extraKey.isEmpty) partial
+        else partial.groupBy(col("metric")).agg(
+          sum(col("up_us")).as("up_us"),
+          sum(col("interruptions")).as("interruptions"),
+          sum(col("n_heartbeats")).as("n_heartbeats"))
+      total.resultOrder(col("metric"))
+    }
+    if (!twoPhase) {
+      val w = Window.partitionBy(col("metric")).orderBy(col("ts"), col("event_id"))
+      return rollup(pts.withColumn("gap_us",
+        unix_micros(lead(col("ts"), 1).over(w)) - unix_micros(col("ts"))), Nil)
+    }
+    val rows = pts.withColumn("day", date_trunc("day", col("ts")))
+    val wDay = Window.partitionBy(col("metric"), col("day"))
+      .orderBy(col("ts"), col("event_id"))
+    // boundary repair: the next PRESENT day's first timestamp per
+    // (metric, day) — a lead over the day-cardinality aggregate, the
+    // same separate-scan-branch decision as counterRateOn's carry (a
+    // shared-exchange derivation only deduplicates while the subtrees
+    // stay sameResult()-identical, which pruning breaks)
+    val carries = rows.groupBy(col("metric"), col("day"))
+      .agg(min(unix_micros(col("ts"))).as("day_first"))
+      .withColumn("next_first",
+        lead(col("day_first"), 1)
+          .over(Window.partitionBy(col("metric")).orderBy(col("day"))))
+      .select(col("metric"), col("day"), col("next_first"))
+    val withGap = rows
+      .withColumn("gap_in",
+        unix_micros(lead(col("ts"), 1).over(wDay)) - unix_micros(col("ts")))
+      .join(Tables.broadcastIfSmall(carries), Seq("metric", "day"))
+      // last sample of a present day: gap runs to the next present day's
+      // first sample (null on the metric's final day → the coalesce in
+      // rollup gives it the full timeout window, as in single-phase)
       .withColumn("gap_us",
-        unix_micros(lead(col("ts"), 1).over(w)) - unix_micros(col("ts")))
-      .groupBy(col("metric"))
-      .agg(
-        sum(least(coalesce(col("gap_us"), lit(timeoutUs)), lit(timeoutUs)))
-          .as("up_us"),
-        sum(when(col("gap_us") > timeoutUs, 1L).otherwise(0L)).as("interruptions"),
-        count(lit(1)).as("n_heartbeats"))
-      .resultOrder(col("metric"))
+        coalesce(col("gap_in"), col("next_first") - unix_micros(col("ts"))))
+    rollup(withGap, Seq("day"))
   }
 
   /** Time-in-state durations — the TimescaleDB state_agg shape: each

@@ -464,8 +464,12 @@ object StreamingOps {
 
     def selectFirst(pts: Seq[LttbPt]): LttbPt =
       pts.minBy(p => (p.xUs, p.eventId))
+    // area in BigInt, matching the batch operator's decimal(38,0)
+    // widening: on a sparse series (xl − xr) spans the gap between
+    // populated buckets, and the Long product would silently wrap
     def selectMid(pts: Seq[LttbPt], xl: Long, yl: Long, xr: Long, yr: Long): LttbPt =
-      pts.maxBy(p => (((xl - xr) * (p.yCents - yl) - (xl - p.xUs) * (yr - yl)).abs, -p.eventId))
+      pts.maxBy(p => (((BigInt(xl) - BigInt(xr)) * (BigInt(p.yCents) - BigInt(yl)) -
+        (BigInt(xl) - BigInt(p.xUs)) * (BigInt(yr) - BigInt(yl))).abs, -p.eventId))
     def emit(bx: Long, p: LttbPt): Unit =
       out += LttbRow(metric, new Timestamp(bx / 1000L), p.ts, p.value)
 

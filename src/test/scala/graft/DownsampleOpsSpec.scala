@@ -49,7 +49,10 @@ class DownsampleOpsSpec extends SparkSuite {
         case (None, _) => rows.minBy(p => (p._2, p._4)) // first bucket: first point
         case (_, None) => rows.maxBy(p => (p._2, p._4)) // last bucket: last point
         case (Some((xl, yl)), Some((xr, yr))) =>
-          rows.maxBy(p => (((xl - xr) * (p._3 - yl) - (xl - p._2) * (yr - yl)).abs, -p._4))
+          // BigInt, like the operator's decimal(38,0): sparse series make
+          // (xl − xr) the gap between POPULATED buckets, unbounded in µs
+          rows.maxBy(p => (((BigInt(xl) - BigInt(xr)) * (BigInt(p._3) - BigInt(yl)) -
+            (BigInt(xl) - BigInt(p._2)) * (BigInt(yr) - BigInt(yl))).abs, -p._4))
       }
       k -> (chosen._5, chosen._6)
     }
@@ -119,6 +122,30 @@ class DownsampleOpsSpec extends SparkSuite {
       ("m", "2024-01-01 02", "2024-01-01 02:45:00.0", 9.0),
       ("solo", "2024-01-01 05", "2024-01-01 05:00:00.0", 2.0)
     ), got.mkString("\n"))
+  }
+
+  test("q_downsample_lttb sparse: 50-day anchor gap area exceeds BIGINT, selection stays exact") {
+    // Two populated anchor buckets 50 days apart put (xl − xr) = −4.32e12
+    // µs at the interior bucket. The big candidate's cents diff (4,270,080
+    // ≈ 2^64 / gap) makes the true area 1.8e19 — one past BIGINT — while
+    // 64-bit arithmetic wraps it to |−1.5e12|, BELOW the trivial
+    // candidate's 4.32e14: pre-widening code (wrap or ANSI overflow —
+    // either way wrong) cannot select the correct point here. The
+    // decimal(38,0) operator must pick the big-area point.
+    val e = eventsDf(Seq(
+      (1L, "2024-01-01 00:00:00", 1L, "m", 0.0, ""),   // left anchor (yl = 0)
+      (2L, "2024-01-20 05:10:00", 1L, "m", 1.0, ""),   // trivial candidate, area 4.32e14
+      (3L, "2024-01-20 05:20:00", 1L, "m", 42700.8, ""), // true winner, area ~1.8e19
+      (4L, "2024-02-20 00:00:00", 1L, "m", 0.0, "")    // right anchor (yr = 0)
+    ))
+    val got = DownsampleOps.downsampleLttbOn(e).collect()
+      .map(r => r.getAs[java.sql.Timestamp]("ts").toString -> r.getAs[Double]("sel_value"))
+      .toMap
+    assert(got("2024-01-20 05:20:00.0") === 42700.8, got.mkString(","))
+    // and the whole frame matches the BigInt plain-Scala reference
+    val ref = lttbReference(pts(e.collect())).values
+      .map { case (ts, v) => ts.toString -> v }.toMap
+    assert(got === ref)
   }
 
   test("q_downsample_ohlc edges: single-sample bucket collapses all four prices") {

@@ -519,6 +519,31 @@ class ExtensionOpsSpec extends SparkSuite {
     assert(got("lone") === ((min5, 0L, 1L)))
   }
 
+  test("uptime: two-phase (metric, day) arm equals single-phase across day boundaries") {
+    // gaps that straddle midnight exercise the boundary-repair carry: the
+    // last sample of a day must measure its gap to the NEXT PRESENT day's
+    // first sample (2024-01-02 is silent for m — the carry skips it)
+    val df = eventsDf(Seq(
+      (1L, "2024-01-01 23:58:00", 1L, "m", 1.0, "{}"),
+      (2L, "2024-01-01 23:59:00", 1L, "m", 1.0, "{}"),
+      (3L, "2024-01-03 00:01:00", 1L, "m", 1.0, "{}"),  // >1 day gap → interruption
+      (4L, "2024-01-03 00:02:00", 1L, "m", 1.0, "{}"),
+      (5L, "2024-01-01 23:59:30", 2L, "n", 1.0, "{}"),
+      (6L, "2024-01-02 00:00:30", 2L, "n", 1.0, "{}"),  // 1-min midnight gap, covered
+      (7L, "2024-01-02 00:03:30", 2L, "n", 1.0, "{}")
+    ))
+    val single = SessionOps.uptimeOn(df, twoPhase = false).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val two = SessionOps.uptimeOn(df, twoPhase = true).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(single === two, s"single=$single two=$two")
+    val min5 = 5L * 60 * 1000000
+    // m: two 1-min gaps + capped interruption gap (5min) + trailing 5min
+    assert(two.find(_._1 == "m").get === (("m", 2L * 60000000L + min5 + min5, 1L, 4L)))
+    // n: 60s + 180s + trailing 5min, zero interruptions
+    assert(two.find(_._1 == "n").get === (("n", 240000000L + min5, 0L, 3L)))
+  }
+
   test("state_agg: dwell ends at the user's next event; open states contribute zero") {
     val df = eventsDf(Seq(
       (1L, "2024-01-01 00:00:00", 1L, "idle", 1.0, "{}"),   // 10 min idle

@@ -552,23 +552,49 @@ class PlanSpec extends SparkSuite {
       s"unexpected extra exchange:\n$pLm")
   }
 
-  test("q_funnel: per-stage pushed type filters, stage tables broadcast back") {
+  test("q_funnel: ONE corpus scan, pushed stage-set filter, one user exchange, no joins") {
     val p = plan("q_funnel")
-    // each stage branch scans ONLY its event type (pushed equality) and
-    // joins the previous user-cardinality stage table as a broadcast
-    assert("EqualTo\\(event_type,".r.findAllIn(p).size >= 3,
-      "stage filters not pushed to the scans:\n" + p)
-    assert(p.contains("BroadcastHashJoin"), "stage table not broadcast:\n" + p)
-    assert(!p.contains("SortMergeJoin"), s"stage join shuffled the event stream:\n$p")
+    // the K-branch join form read the corpus once per stage; the fold form
+    // reads it ONCE (formatted mode prints the scan in tree + detail)
+    assert("Scan parquet".r.findAllIn(p).size <= 2,
+      "funnel reads the events table more than once:\n" + p)
+    assert(p.contains("In(event_type"),
+      "stage-set membership filter not pushed to the scan:\n" + p)
+    assert(!p.contains("Join"), s"fold form must not join:\n$p")
+    // one corpus exchange (user_id for the per-user fold); the stage-count
+    // rollup is a SinglePartition global aggregate, not a hash exchange
+    assert("hashpartitioning\\(".r.findAllIn(p).size == 1,
+      s"funnel shuffles the corpus more than once:\n$p")
   }
 
-  test("q_uptime: the lead window reuses the aggregate's metric exchange") {
+  test("q_uptime: fixture scale takes the single-phase path — one metric exchange") {
     val p = plan("q_uptime")
     // window partitioning == group key → ONE corpus exchange feeds both;
     // the only other exchange is the single-reducer presentation sort
     assert("hashpartitioning\\(".r.findAllIn(p).size == 1,
       s"uptime shuffles the corpus twice:\n$p")
+    assert(!"windowspecdefinition\\(metric#\\d+, day#\\d+".r.findFirstIn(p).isDefined,
+      s"two-phase day windows below the gate:\n$p")
     assert(!p.contains("props"), "scan reads unused props column:\n" + p)
+  }
+
+  test("q_uptime two-phase form: (metric, day) lead with broadcast day-boundary carries") {
+    val p = planOf(graft.ops.SessionOps.uptimeOn(
+      Tables.events(spark, SfDir), twoPhase = true))
+    assert(!"windowspecdefinition\\(metric#\\d+, ts#".r.findFirstIn(p).isDefined,
+      s"per-metric corpus window in the two-phase form:\n$p")
+    assert("windowspecdefinition\\(metric#\\d+, day#\\d+, ts#".r.findFirstIn(p).isDefined,
+      s"(metric, day) in-day lead window missing:\n$p")
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+      s"day-carry table not broadcast:\n$p")
+    // exchange budget: main (metric, day) window, carry agg, carry window —
+    // counter-rate's three — plus ONE day-cardinality exchange for the
+    // final per-metric rollup (its input is the ≤ metrics×days partial
+    // rows, never the corpus; counter-rate keeps (metric, day) in its
+    // output key and so never needs it). The per-day partial aggregate
+    // itself rides the window's (metric, day) partitioning (subset key).
+    assert("Arguments: hashpartitioning".r.findAllIn(p).size <= 4,
+      s"two-phase uptime regrew a corpus exchange:\n$p")
   }
 
   test("q_sim_topk_batch: broadcast query set, rank limit pushed to both sides of the qid exchange") {

@@ -75,6 +75,21 @@ class PqOpsSpec extends SparkSuite {
         s"subspace $m diverged")
   }
 
+  test("q_pq_train: the registered artifact rows reconstruct exactly the trained model") {
+    // the build leg's DataFrame must be a lossless flattening of the
+    // memoized PqModel the serving/stats legs consume — same source of
+    // truth, no second training
+    val model = PqOps.trainedPq(spark, SfDir)
+    val rows = PqOps.pqTrain(spark, SfDir).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getLong(3)).toMap
+    assert(rows.size === M * K * SD)
+    for {
+      m <- 0 until M
+      (cid, cen) <- model.clusters.zip(model.books(m))
+      d <- 0 until SD
+    } assert(rows((m, cid, d)) === cen(d), s"sub=$m cluster=$cid d=$d")
+  }
+
   test("q_sim_topk_pq: fixture ranks equal a brute-force plain-Scala ADC recompute") {
     val model = PqOps.trainedPq(spark, SfDir)
     val pts = ClusterOps.quantizedPoints(spark, SfDir).collect()
