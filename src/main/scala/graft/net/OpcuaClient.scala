@@ -272,6 +272,49 @@ final class OpcuaClient(host: String, port: Int,
     r.dataValue()
   }
 
+  /** Write the Value attribute of one node — the reference's manual
+    * intervention path (a feeder refill from UaExpert, README.md Test
+    * Scenario 2). Returns the per-node status code (StatusGood on
+    * success); the overall service result is validated by
+    * [[serviceChecked]].
+    */
+  def writeValue(node: NodeId, value: Any): Long = {
+    val r = serviceChecked(IdWriteRequest, IdWriteResponse) { w =>
+      w.i32(1)
+      w.nodeId(node); w.u32(AttrValue); w.str(null)
+      w.dataValue(DataValue(Some(Variant.of(value)), StatusGood, None))
+    }
+    val n = r.i32()
+    require(n == 1, s"expected 1 write result, got $n")
+    r.u32()
+  }
+
+  /** Call one method of an object node (asyncua's
+    * `obj.call_method(method_id, *args)` — the reference's interactive
+    * SimulateError / AcknowledgeAlarms / Start/Stop surface,
+    * opcua_server/main.py:155,205-210). Returns (statusCode,
+    * outputArguments); StatusGood means the handler ran.
+    */
+  def call(objectId: NodeId, methodId: NodeId, args: Seq[Any] = Nil): (Long, Seq[Variant]) = {
+    val r = serviceChecked(IdCallRequest, IdCallResponse) { w =>
+      w.i32(1)
+      w.nodeId(objectId)
+      w.nodeId(methodId)
+      w.i32(args.length)
+      args.foreach(a => w.variant(Variant.of(a)))
+    }
+    val n = r.i32()
+    require(n == 1, s"expected 1 call result, got $n")
+    val status = r.u32()
+    val nIn = r.i32()
+    (0 until math.max(nIn, 0)).foreach(_ => r.u32())
+    val nDiag = r.i32()
+    require(nDiag <= 0, "unexpected input-argument diagnostics")
+    val nOut = r.i32()
+    val outs = (0 until math.max(nOut, 0)).map(_ => r.variant())
+    (status, outs)
+  }
+
   /** Create a subscription; returns its id
     * (`client.create_subscription(500, handler)`,
     * opcua_mqtt_agent/main.py:127).

@@ -65,9 +65,14 @@ final class OpcuaServer(
     * on every monitored item watching it (the `write_value` side of the
     * reference's update loop, opcua_server/main.py:234-268).
     */
-  def put(name: String, value: Any): Unit = {
-    val v = Variant.of(value)
-    val ts = nowTicks()
+  def put(name: String, value: Any): Unit =
+    putVariant(name, Variant.of(value), nowTicks())
+
+  /** [[put]] with an explicit variant + source timestamp — the shared
+    * update path for server-side writers AND the Write service (which
+    * carries the client's DataValue, possibly with its own sourceTs).
+    */
+  def putVariant(name: String, v: Variant, ts: Long): Unit = {
     varsLock.synchronized {
       val existing = vars.get(name)
       if (existing == null) vars.put(name, new Var(name, v, ts))
@@ -75,6 +80,31 @@ final class OpcuaServer(
     }
     subs.forEach((_, sub) => sub.onWrite(name, v, ts))
   }
+
+  /** Current value of a variable (server-side read — the method handlers'
+    * `read_value` twin; None when absent).
+    */
+  def get(name: String): Option[Variant] =
+    varsLock.synchronized(Option(vars.get(name)).map(_.value))
+
+  // registered methods of the root object — the server-side twin of the
+  // reference's `add_method(ua.NodeId(name, idx), name, fn, [], [])`
+  // surface (opcua_server/main.py:155,205-210). Handlers run on the
+  // connection's request thread; they may call put()/get().
+  private val methods = new java.util.LinkedHashMap[String, Seq[Variant] => Seq[Variant]]()
+  private val methodsLock = new Object
+
+  /** Register `name` as a callable method of the root object. */
+  def method(name: String)(handler: Seq[Variant] => Seq[Variant]): Unit =
+    methodsLock.synchronized { methods.put(name, handler); () }
+
+  def methodNames: Seq[String] = methodsLock.synchronized {
+    import scala.jdk.CollectionConverters._
+    methods.keySet().asScala.toSeq
+  }
+
+  private def methodHandler(name: String): Option[Seq[Variant] => Seq[Variant]] =
+    methodsLock.synchronized(Option(methods.get(name)))
 
   def names: Seq[String] = varsLock.synchronized {
     import scala.jdk.CollectionConverters._
@@ -240,6 +270,8 @@ final class OpcuaServer(
           reply(reqId, IdCloseSessionResponse)(_.responseHeader(handle, StatusGood))
         case IdBrowseRequest => handleBrowse(reqId, r)
         case IdReadRequest => handleRead(reqId, r)
+        case IdWriteRequest => handleWrite(reqId, r)
+        case IdCallRequest => handleCall(reqId, r)
         case IdCreateSubscriptionRequest =>
           val (_, handle) = r.requestHeader()
           val interval = r.f64()
@@ -286,9 +318,11 @@ final class OpcuaServer(
               (NumericId(0, NodeServer), "Server", 0, NodeClassObject),
               (StringId(modelNs, rootName), rootName, modelNs, NodeClassObject))
             // model root -> its variables (the agent's second browse,
-            // opcua_mqtt_agent/main.py:113-121)
+            // opcua_mqtt_agent/main.py:113-121) + its registered methods
+            // (the reference's interactive surface, main.py:155,205-210)
             case StringId(ns, `rootName`) if ns == modelNs =>
-              names.map(nm => (StringId(modelNs, nm), nm, modelNs, NodeClassVariable))
+              names.map(nm => (StringId(modelNs, nm), nm, modelNs, NodeClassVariable)) ++
+                methodNames.map(nm => (StringId(modelNs, nm), nm, modelNs, NodeClassMethod))
             case _ => Seq.empty
           }
           w.u32(StatusGood)
@@ -301,7 +335,12 @@ final class OpcuaServer(
             w.qualifiedName(ns, name)
             w.localized(name)
             w.u32(cls)
-            w.expanded(NumericId(0, if (cls == NodeClassObject) 58L else 62L))
+            // type definition: BaseObjectType / BaseDataVariableType;
+            // methods have none (null NodeId)
+            w.expanded(NumericId(0,
+              if (cls == NodeClassObject) 58L
+              else if (cls == NodeClassMethod) 0L
+              else 62L))
           }
         }
         w.i32(0) // diagnostics
@@ -325,6 +364,92 @@ final class OpcuaServer(
         w.i32(reads.length)
         reads.foreach { case (node, attr) => writeAttr(w, node, attr) }
         w.i32(0)
+      }
+    }
+
+    /** Write service (spec Part 4 §5.10.4) — Value attribute of existing
+      * model variables only: the reference's manual-intervention surface
+      * (a feeder refill written from UaExpert, README.md Test Scenario 2).
+      * A write lands through [[putVariant]], so it queues data-change
+      * notifications exactly like a server-side update; the client's
+      * sourceTs is honored when present. Writes cannot CREATE nodes
+      * (BadNodeIdUnknown) and only the Value attribute is writable.
+      */
+    private def handleWrite(reqId: Long, r: R): Unit = {
+      val (_, handle) = r.requestHeader()
+      val n = r.i32()
+      val writes = (0 until n).map { _ =>
+        val node = r.nodeId()
+        val attr = r.u32()
+        r.str() // index range
+        val dv = r.dataValue()
+        (node, attr, dv)
+      }
+      val results = writes.map { case (node, attr, dv) =>
+        if (attr != AttrValue) StatusBadAttributeIdInvalid
+        else node match {
+          case StringId(ns, nm) if ns == modelNs &&
+              varsLock.synchronized(vars.containsKey(nm)) =>
+            dv.value match {
+              case Some(v) =>
+                putVariant(nm, v, dv.sourceTs.getOrElse(nowTicks()))
+                StatusGood
+              case None => StatusBadTypeMismatch
+            }
+          case _ => StatusBadNodeIdUnknown
+        }
+      }
+      reply(reqId, IdWriteResponse) { w =>
+        w.responseHeader(handle, StatusGood)
+        w.i32(results.length)
+        results.foreach(w.u32)
+        w.i32(0) // diagnostics
+      }
+    }
+
+    /** Call service (spec Part 4 §5.11.2) — methods registered on the
+      * root object ([[OpcuaServer.method]]), the wire twin of asyncua's
+      * `call_method` driving the reference's SimulateError /
+      * AcknowledgeAlarms / Start/Stop/maintenance loop
+      * (opcua_server/main.py:155,205-210; README Test Scenarios 1-4).
+      * A handler exception maps to BadMethodInvalid rather than killing
+      * the connection; unknown object → BadNodeIdUnknown.
+      */
+    private def handleCall(reqId: Long, r: R): Unit = {
+      val (_, handle) = r.requestHeader()
+      val n = r.i32()
+      val calls = (0 until math.max(n, 0)).map { _ =>
+        val obj = r.nodeId()
+        val mid = r.nodeId()
+        val nArgs = r.i32()
+        val args = (0 until math.max(nArgs, 0)).map(_ => r.variant())
+        (obj, mid, args)
+      }
+      val results: Seq[(Long, Seq[Variant])] = calls.map { case (obj, mid, args) =>
+        val objOk = obj == StringId(modelNs, rootName)
+        val h = mid match {
+          case StringId(ns, nm) if ns == modelNs => methodHandler(nm)
+          case _ => None
+        }
+        if (!objOk) (StatusBadNodeIdUnknown, Seq.empty[Variant])
+        else h match {
+          case Some(fn) =>
+            try (StatusGood, fn(args))
+            catch { case _: Throwable => (StatusBadMethodInvalid, Seq.empty[Variant]) }
+          case None => (StatusBadMethodInvalid, Seq.empty[Variant])
+        }
+      }
+      reply(reqId, IdCallResponse) { w =>
+        w.responseHeader(handle, StatusGood)
+        w.i32(results.length)
+        results.foreach { case (st, outs) =>
+          w.u32(st)
+          w.i32(0) // inputArgumentResults: empty
+          w.i32(0) // inputArgumentDiagnosticInfos: empty
+          w.i32(outs.length)
+          outs.foreach(w.variant)
+        }
+        w.i32(0) // diagnostics
       }
     }
 

@@ -44,6 +44,10 @@ object OpcuaWire {
   val IdBrowseResponse = 530
   val IdReadRequest = 631
   val IdReadResponse = 634
+  val IdWriteRequest = 673
+  val IdWriteResponse = 676
+  val IdCallRequest = 712
+  val IdCallResponse = 715
   val IdCreateMonitoredItemsRequest = 751
   val IdCreateMonitoredItemsResponse = 754
   val IdCreateSubscriptionRequest = 787
@@ -64,6 +68,7 @@ object OpcuaWire {
   val AttrValue = 13L
   val NodeClassObject = 1L
   val NodeClassVariable = 2L
+  val NodeClassMethod = 4L
 
   val SecurityPolicyNone = "http://opcfoundation.org/UA/SecurityPolicy#None"
 
@@ -71,6 +76,8 @@ object OpcuaWire {
   val StatusBadNodeIdUnknown = 0x80340000L
   val StatusBadAttributeIdInvalid = 0x80350000L
   val StatusBadServiceUnsupported = 0x800B0000L
+  val StatusBadMethodInvalid = 0x80750000L
+  val StatusBadTypeMismatch = 0x80740000L
 
   /** NodeId — the two shapes this subset needs: ns-0 numeric (services,
     * well-known nodes) and string-in-namespace (the PickAndPlace model's

@@ -547,6 +547,46 @@ object StreamingOps {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(heartbeatFlatMap)
   }
 
+  case class StateAggState(state: String, enteredUs: Long)
+  case class StateDwell(user_id: Long, state: String, entered_at: Timestamp, dwell_us: Long)
+
+  /** Streaming twin of the time-in-state operator
+    * (SessionOps.stateAggOn): per user the state is ONE (state,
+    * entered_at) pair — the currently-open state — and a user's arriving
+    * event CLOSES it, emitting a [[StateDwell]] row with the exact-µs
+    * dwell (the event's own state then opens). The emitted closures are
+    * the batch operator's dwell terms verbatim: batch `total_us` per
+    * state equals the sum of streamed dwells (open states contribute
+    * zero there too), and batch `n_entries` equals closed rows + open
+    * states — StreamingSpec recomputes both across random batch splits.
+    * Same in-order arrival convention as [[counterIncFlatMap]]; state is
+    * O(1) per user.
+    */
+  def stateAggFlatMap(
+      userId: Long,
+      rows: Iterator[MetricEvent],
+      state: GroupState[StateAggState]
+  ): Iterator[StateDwell] = {
+    val out = scala.collection.mutable.ListBuffer.empty[StateDwell]
+    var cur = state.getOption
+    rows.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id)).foreach { e =>
+      val tsUs = tsMicros(e.ts)
+      cur.foreach { c =>
+        out += StateDwell(userId, c.state, tsFromMicros(c.enteredUs), tsUs - c.enteredUs)
+      }
+      cur = Some(StateAggState(e.metric, tsUs)) // metric carries event_type here
+    }
+    cur.foreach(state.update)
+    out.iterator
+  }
+
+  def stateAggStream(events: Dataset[MetricEvent]): Dataset[StateDwell] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(stateAggFlatMap)
+  }
+
   case class DistinctState(users: Seq[Long])
   case class DistinctRow(metric: String, n_users: Long)
 

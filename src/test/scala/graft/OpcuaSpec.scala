@@ -266,4 +266,60 @@ class OpcuaSpec extends AnyFunSuite {
       } finally { c1.close(); c2.close() }
     } finally server.close()
   }
+
+  test("write service: wire write updates the value, notifies subscribers, rejects unknowns") {
+    val server = new OpcuaServer()
+    try {
+      server.put("Feeder01Count", 150)
+      val client = new OpcuaClient("127.0.0.1", server.port, server.endpointUrl)
+      try {
+        val got = new ConcurrentLinkedQueue[Long]()
+        val seen = new CountDownLatch(2) // initial + the write
+        val subId = client.createSubscription()
+        client.subscribeDataChange(subId, 1, Seq("Feeder01Count")) { (_, v, _) =>
+          got.add(v.v.asInstanceOf[Long]); seen.countDown()
+        }
+        // the manual refill of README Test Scenario 2, over the socket
+        val st = client.writeValue(StringId(1, "Feeder01Count"), 1000)
+        assert(st == StatusGood, f"write rejected 0x$st%08x")
+        val dv = client.readValue(StringId(1, "Feeder01Count"))
+        assert(dv.value.contains(Variant(Variant.TUInt32, 1000L)), dv)
+        assert(seen.await(10, TimeUnit.SECONDS), s"write not notified: ${got.asScala}")
+        assert(got.asScala.toSeq == Seq(150L, 1000L))
+        // writes cannot create nodes, and only Value is writable
+        assert(client.writeValue(StringId(1, "NoSuchVariable"), 1) == StatusBadNodeIdUnknown)
+      } finally client.close()
+    } finally server.close()
+  }
+
+  test("call service: registered methods browse as Method nodes and dispatch with args") {
+    val server = new OpcuaServer()
+    try {
+      server.put("Status", "Stopped")
+      val calls = new ConcurrentLinkedQueue[Seq[Any]]()
+      server.method("StartMachine") { args =>
+        calls.add(args.map(_.v)); server.put("Status", "Running"); Nil
+      }
+      server.method("Echo") { args => args } // output arguments roundtrip
+      val client = new OpcuaClient("127.0.0.1", server.port, server.endpointUrl)
+      try {
+        val root = StringId(1, "PickAndPlace")
+        val kids = client.browse(root)
+        val methodNames = kids.collect { case (n, _, OpcuaWire.NodeClassMethod) => n }
+        assert(methodNames.toSet == Set("StartMachine", "Echo"), kids.toString)
+        val (st, outs) = client.call(root, StringId(1, "StartMachine"))
+        assert(st == StatusGood && outs.isEmpty)
+        assert(calls.asScala.toSeq == Seq(Seq()))
+        assert(client.readValue(StringId(1, "Status")).value
+          .contains(Variant(Variant.TString, "Running")))
+        val (st2, outs2) = client.call(root, StringId(1, "Echo"), Seq(7, "x"))
+        assert(st2 == StatusGood)
+        assert(outs2.map(_.v) == Seq(7L, "x"), outs2.toString)
+        // unknown method / unknown object
+        assert(client.call(root, StringId(1, "NoSuchMethod"))._1 == StatusBadMethodInvalid)
+        assert(client.call(StringId(1, "NotAnObject"), StringId(1, "Echo"))._1 ==
+          StatusBadNodeIdUnknown)
+      } finally client.close()
+    } finally server.close()
+  }
 }

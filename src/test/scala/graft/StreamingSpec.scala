@@ -950,6 +950,67 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stateAgg stream == batch under random in-order micro-batch splits") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // seeded random walk: 5 users × 60 state transitions at random µs-level
+    // steps, split at random batch boundaries. The streamed closures must
+    // reproduce the batch operator's per-state totals exactly (total_us =
+    // sum of streamed dwells; n_entries = closed + open states).
+    val states = Vector("idle", "busy", "blocked", "maint")
+    val rnd = new scala.util.Random(31)
+    var id = 0L
+    val samples = (1 to 5).flatMap { u =>
+      var tUs = Timestamp.valueOf("2024-01-01 00:00:00").getTime * 1000
+      (0 until 60).map { _ =>
+        tUs += 1L + rnd.nextInt(9000000) // 1 µs .. 9 s steps
+        id += 1
+        (id, tUs, u.toLong, states(rnd.nextInt(states.length)))
+      }
+    }
+    def tsOf(us: Long): Timestamp = { // full-µs Timestamp (memory note: ms ctor drops sub-ms)
+      val t = new Timestamp(java.lang.Math.floorDiv(us, 1000L))
+      t.setNanos((java.lang.Math.floorMod(us, 1000000L) * 1000L).toInt)
+      t
+    }
+    def ev(t: (Long, Long, Long, String)) =
+      StreamingOps.MetricEvent(t._1, tsOf(t._2), t._3, t._4, 1.0)
+    val mem = MemoryStream[StreamingOps.MetricEvent]
+    val q = StreamingOps.stateAggStream(mem.toDS())
+      .writeStream.format("memory").queryName("state_out")
+      .outputMode("append").start()
+    try {
+      var rest = samples.groupBy(_._3).values.toSeq.map(_.toList)
+      while (rest.exists(_.nonEmpty)) {
+        val ks = rest.map(s => math.min(s.length, 1 + rnd.nextInt(25)))
+        val batch = rest.zip(ks).flatMap { case (s, k) => s.take(k) }
+        rest = rest.zip(ks).map { case (s, k) => s.drop(k) }
+        if (batch.nonEmpty) { mem.addData(batch.map(ev): _*); q.processAllAvailable() }
+      }
+      val dwells = spark.table("state_out").as[StreamingOps.StateDwell].collect()
+      // recompute the batch operator over the full event set
+      val batchRows = graft.ops.SessionOps.stateAggOn(
+        samples.toDF("event_id", "ts_us", "user_id", "event_type")
+          .withColumn("ts", expr("timestamp_micros(ts_us)")).drop("ts_us"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      // each user's final (open) state closes nothing but counts an entry
+      val open = samples.groupBy(_._3).values.map(_.maxBy(s => (s._2, s._1))._4)
+        .groupBy(identity).map { case (s, xs) => s -> xs.size.toLong }
+      val streamTotals = dwells.groupBy(_.state).map { case (s, rs) =>
+        s -> (rs.map(_.dwell_us).sum, rs.length.toLong + open.getOrElse(s, 0L))
+      }
+      // every state the batch sees with nonzero entries must reconcile
+      assert(batchRows.keySet === (streamTotals.keySet ++ open.keySet))
+      batchRows.foreach { case (s, (total, n)) =>
+        val (gotTotal, gotN) = streamTotals.getOrElse(s, (0L, open.getOrElse(s, 0L)))
+        assert(gotTotal === total, s"state $s total dwell")
+        assert(gotN === n, s"state $s entry count")
+      }
+      // dwells are per-µs exact and non-negative by construction
+      assert(dwells.forall(_.dwell_us >= 0L))
+    } finally q.stop()
+  }
+
   test("distinct stream: running per-metric cardinality, emits only on growth") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
