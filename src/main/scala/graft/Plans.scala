@@ -62,11 +62,12 @@ object Plans {
       "q_downsample_lttb" -> "two corpus aggregates (bucket averages; per-bucket area argmax via partial max_by) with the tiny anchor table broadcast back — the sequential prev-selection recurrence of classic LTTB is gone, nothing funnels into a per-metric single task",
       "q_sim_topk_batch" -> "broadcast query set (BroadcastNestedLoopJoin of a literal handful of rows); per-query rank window capped by WindowGroupLimit on BOTH sides of the qid exchange — shuffle volume k·queries·partitions, never the scored corpus",
       "q_sim_topk_pq" -> "compressed-domain serving is ONE scan with ZERO exchanges: eight in-row nearest_centroid sub-assignments against literal codebooks, ADC distance as eight lookups into a folded 8×16 literal table, top-k via TakeOrderedAndProject",
-      "q_pq_stats" -> "PQ distortion diagnostics: in-row sub-assignment + native squared_l2 per subspace, then one SubM·PqK-row partial+final aggregate — zero corpus shuffle beyond the 128-key exchange",
+      "q_pq_stats" -> "PQ distortion diagnostics: each sub-assignment PROJECTED once (Generate inputs get no subexpression elimination) + native squared_l2, then one SubM·PqK-row partial+final aggregate — zero corpus shuffle beyond the 128-key exchange (SinglePartition-fused below the size gate); size-gated fanOut spreads the single-split fixture scan",
+      "q_pq_train" -> "the offline PQ codebook build as a first-class artifact: per Lloyd iteration ONE distributed job (in-row assignment against all eight literal codebooks, map-side-combined (sub, cluster, d) partial sums — wire volume <= SubM·PqK·SubDim rows per partition); the result DataFrame is 1024 rows of driver metadata",
       "q_top_bigrams" -> "in-row adjacent-pair extraction (codegen transform/sequence, no UDF); the single aggregate's map-side partials bound each partition at the bigram vocabulary; top-k via TakeOrderedAndProject",
       "q_lm_score" -> "corpus-frequency scoring: the vocabulary-bounded bigram count table broadcasts back onto the in-row pair stream (size-gated — degrades to a shuffle join past the bound); two corpus exchanges total",
-      "q_uptime" -> "heartbeat liveness: the lead window partitions on the SAME metric key the final aggregate groups by — one corpus exchange serves both; covered-duration arithmetic is per-row, no interval union materializes",
-      "q_funnel" -> "each stage scans ONLY its event type (pushed equality — the K stages together read about one corpus pass split by type); user-cardinality stage tables broadcast back, counts are K one-row aggregates, no driver action",
+      "q_uptime" -> "heartbeat liveness, size-gated like counter-rate: below the bound one metric-key exchange serves lead window and aggregate; past it the window partitions on bounded (metric, day) keys with the next-present-day carry broadcast back — the <=46-way per-metric corpus sort never happens at scale",
+      "q_funnel" -> "ONE corpus scan (pushed stage-set IN filter), one user_id exchange, per-user in-row sorted fold (aggregate over collect_list) computing the strict-order stage chain; stage counts are a single global aggregate — no joins, no per-stage re-scan",
       "q_retention_cohorts" -> "first-seen table broadcast back; (cohort, week, user) dedup is a distinct that map-side combines — never a count-distinct Expand; the retention matrix aggregate is weeks×cohorts-sized"
     )
 

@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.Tables
 import graft.Tables.ResultOrdering
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -121,7 +122,12 @@ object PqOps {
   }
 
   private[graft] def trainPqOn(ptsIn: DataFrame): PqModel = {
-    val pts = ptsIn.localCheckpoint(eager = false)
+    // fan the corpus out first: the fixture parquet is ONE split, and
+    // without this every Lloyd assignment job runs its 8 × 16-centroid
+    // in-row scans single-threaded while the other cores idle (at real
+    // scale parquet splits provide the parallelism and fanOut no-ops
+    // past its size gate)
+    val pts = Tables.fanOut(ptsIn).localCheckpoint(eager = false)
     // Seed: sub-slices of the first PqK NaN-free vec_ids (the ClusterOps
     // seed rule) — PqK rows of metadata to the driver
     val seed = pts.filter(col("vec_id") < PqK)
@@ -208,7 +214,12 @@ object PqOps {
     * scans, with this key carrying the training cost.
     */
   def pqTrain(s: SparkSession, dir: String): DataFrame = {
-    val model = trainedPq(s, dir)
+    // ALWAYS runs the distributed build (never a memo read) — this key's
+    // registered meaning is the training cost — and REFRESHES the memo so
+    // the consumer legs in a fixtureCache session read this build
+    val model = trainPqOn(ClusterOps.quantizedPoints(s, dir))
+    if (s.conf.getOption("spark.graft.fixtureCache").contains("true"))
+      modelCache((s, s"$dir|$SubM|$PqK|$PqIters")) = model
     val rows = for {
       sub <- 0 until SubM
       (cid, cen) <- model.clusters.zip(model.books(sub)).toSeq
@@ -227,22 +238,43 @@ object PqOps {
   def pqStats(s: SparkSession, dir: String): DataFrame = {
     val model = trainedPq(s, dir)
     val idsCol = typedLit(model.clusters.toSeq)
+    def censCol(sub: Int) = typedLit(model.books(sub).map(_.toSeq).toSeq)
+    // project each sub-assignment ONCE: inlining `ci` into both the
+    // cluster lookup and the distance lookup duplicates the 16-centroid
+    // argmin per sub (Generate's input expressions get no subexpression
+    // elimination — the executed plan showed every nearest_centroid
+    // twice), doubling the per-row work
+    val cis = (0 until SubM).map(m =>
+      ClusterOps.nearestCentroid(subSlice(m), censCol(m)).as(s"ci$m"))
     val subStructs = (0 until SubM).map { sub =>
-      val censCol = typedLit(model.books(sub).map(_.toSeq).toSeq)
-      val ci = ClusterOps.nearestCentroid(subSlice(sub), censCol)
+      val ci = col(s"ci$sub")
       struct(lit(sub).as("sub"),
         element_at(idsCol, ci + 1).as("cluster"),
-        ClusterOps.squaredL2(subSlice(sub), element_at(censCol, ci + 1)).as("dist"))
+        ClusterOps.squaredL2(subSlice(sub), element_at(censCol(sub), ci + 1)).as("dist"))
     }
-    ClusterOps.quantizedPoints(s, dir)
+    // fanOut before the in-row assignment: the single-split fixture scan
+    // would otherwise evaluate all eight sub-assignments on one task
+    val assigned = Tables.fanOut(ClusterOps.quantizedPoints(s, dir))
+      .select(col("q") +: cis: _*)
       .select(explode(array(subStructs: _*)).as("s"))
       .select(col("s.sub"), col("s.cluster"), col("s.dist"))
+    // Stage fusion, size-gated (the percentiles fuseSmall pattern): below
+    // the bound, ONE hash((sub, cluster), 1) exchange feeds the final
+    // aggregate AND the presentation sort in the same stage — the generic
+    // resultOrder would add a second (single-reducer) exchange. Past the
+    // gate the default width stays and the ≤ SubM·PqK-row aggregate
+    // scales out.
+    val fuseSmall = Tables.planningSize(assigned) <= (64L << 20)
+    val grouped =
+      if (fuseSmall) assigned.repartition(1, col("sub"), col("cluster")) else assigned
+    val agg = grouped
       .groupBy(col("sub"), col("cluster"))
       .agg(
         count(lit(1)).as("n"),
         floor(sum(col("dist")).cast("double") / count(lit(1))).cast("long").as("mean_dist"),
         max(col("dist")).as("max_dist"))
-      .resultOrder(col("sub"), col("cluster"))
+    if (fuseSmall) agg.sortWithinPartitions(col("sub"), col("cluster"))
+    else agg.resultOrder(col("sub"), col("cluster"))
   }
 
   // ---------------------------------------------------------------- oracle

@@ -622,7 +622,19 @@ class PlanSpec extends SparkSuite {
     val p = plan("q_pq_stats")
     assert(p.contains("squared_l2"), "native distance not in plan:\n" + p)
     assert("HashAggregate".r.findAllIn(p).size / 2 >= 2, "no map-side combine:\n" + p)
-    assert("hashpartitioning\\(".r.findAllIn(p).size == 1,
+    // each sub's 16-centroid argmin is PROJECTED once, not inlined twice
+    // (Generate input expressions get no subexpression elimination).
+    // Counted on the UNTRUNCATED plan string — FormattedMode elides long
+    // expression lines
+    val full = SparkEntry.queries("q_pq_stats")(spark, SfDir)
+      .queryExecution.executedPlan.toString
+    assert("nearest_centroid".r.findAllIn(full).size == PqOps.SubM,
+      s"sub-assignments duplicated or missing:\n$full")
+    // exchanges: the fixture-scale fanOut round-robin (gated away at real
+    // scale) + ONE exchange for the ≤ SubM·PqK-row aggregate — which under
+    // the fuseSmall gate is SinglePartition feeding agg AND sort in one
+    // stage; no hash exchange may shuffle the scored corpus
+    assert("hashpartitioning\\(".r.findAllIn(p).size <= 1,
       s"stats shuffled more than the SubM·PqK-row aggregate:\n$p")
   }
 
