@@ -587,6 +587,50 @@ object StreamingOps {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(stateAggFlatMap)
   }
 
+  case class FunnelState(firsts: Seq[Long])
+  case class StageAdvance(user_id: Long, stage: Int, event_type: String, at: Timestamp)
+
+  /** Streaming twin of the ordered-sequence funnel
+    * (SessionOps.funnelOn): per user the state is the K-vector of first
+    * qualifying stage times (Long.MinValue = unreached — the batch
+    * fold's null slots), and a [[StageAdvance]] row emits the moment a
+    * user advances a stage. The sequential per-user fold is the batch
+    * operator's verbatim (stage k advances iff unreached and strictly
+    * after stage k−1's first time), so the streamed advances ARE the
+    * batch counts: per stage, batch `n_users` equals the advance rows —
+    * StreamingSpec reconciles across random batch splits. `metric`
+    * carries the event_type; same in-order arrival convention as
+    * [[counterIncFlatMap]]; state is O(K) per user.
+    */
+  def funnelFlatMap(stages: Seq[String])(
+      userId: Long,
+      rows: Iterator[MetricEvent],
+      state: GroupState[FunnelState]
+  ): Iterator[StageAdvance] = {
+    val out = scala.collection.mutable.ListBuffer.empty[StageAdvance]
+    val firsts = state.getOption.map(_.firsts.toArray)
+      .getOrElse(Array.fill(stages.size)(Long.MinValue))
+    rows.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id)).foreach { e =>
+      val idx = stages.indexOf(e.metric)
+      if (idx >= 0 && firsts(idx) == Long.MinValue &&
+          (idx == 0 || (firsts(idx - 1) != Long.MinValue && tsMicros(e.ts) > firsts(idx - 1)))) {
+        firsts(idx) = tsMicros(e.ts)
+        out += StageAdvance(userId, idx + 1, stages(idx), tsFromMicros(firsts(idx)))
+      }
+    }
+    state.update(FunnelState(firsts.toSeq))
+    out.iterator
+  }
+
+  def funnelStream(events: Dataset[MetricEvent],
+      stages: Seq[String] = graft.ops.SessionOps.FunnelStages): Dataset[StageAdvance] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        funnelFlatMap(stages))
+  }
+
   case class DistinctState(users: Seq[Long])
   case class DistinctRow(metric: String, n_users: Long)
 

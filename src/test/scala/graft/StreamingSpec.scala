@@ -1011,6 +1011,77 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("funnel stream == batch under random in-order micro-batch splits") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // seeded random event walk over the three funnel stages + noise types,
+    // split at random batch boundaries; the streamed stage advances must
+    // equal the batch operator's per-stage user counts, and same-instant
+    // events must not advance (strict >)
+    val stages = graft.ops.SessionOps.FunnelStages
+    val types = stages ++ Seq("view", "error")
+    val rnd = new scala.util.Random(53)
+    var id = 0L
+    val samples = (1 to 40).flatMap { u =>
+      var tUs = Timestamp.valueOf("2024-01-01 00:00:00").getTime * 1000
+      (0 until 15).map { _ =>
+        tUs += rnd.nextInt(3) * 500000L // 0 steps make same-instant ties
+        id += 1
+        (id, tUs, u.toLong, types(rnd.nextInt(types.length)))
+      }
+    }
+    def tsOf(us: Long): Timestamp = {
+      val t = new Timestamp(java.lang.Math.floorDiv(us, 1000L))
+      t.setNanos((java.lang.Math.floorMod(us, 1000000L) * 1000L).toInt)
+      t
+    }
+    def ev(t: (Long, Long, Long, String)) =
+      StreamingOps.MetricEvent(t._1, tsOf(t._2), t._3, t._4, 1.0)
+    val mem = MemoryStream[StreamingOps.MetricEvent]
+    val q = StreamingOps.funnelStream(mem.toDS())
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode("append").start()
+    try {
+      var rest = samples.groupBy(_._3).values.toSeq.map(_.toList)
+      while (rest.exists(_.nonEmpty)) {
+        val ks = rest.map(s => math.min(s.length, 1 + rnd.nextInt(8)))
+        val batch = rest.zip(ks).flatMap { case (s, k) => s.take(k) }
+        rest = rest.zip(ks).map { case (s, k) => s.drop(k) }
+        if (batch.nonEmpty) { mem.addData(batch.map(ev): _*); q.processAllAvailable() }
+      }
+      val adv = spark.table("funnel_out").as[StreamingOps.StageAdvance].collect()
+      // a user advances each stage at most once
+      assert(adv.groupBy(a => (a.user_id, a.stage)).forall(_._2.length == 1))
+      // independent plain-Scala recompute of the strict-order chain
+      val expect = samples.groupBy(_._3).map { case (u, evs) =>
+        val firsts = Array.fill(stages.size)(Long.MinValue)
+        evs.sortBy(e => (e._2, e._1)).foreach { e =>
+          val i = stages.indexOf(e._4)
+          if (i >= 0 && firsts(i) == Long.MinValue &&
+              (i == 0 || (firsts(i - 1) != Long.MinValue && e._2 > firsts(i - 1))))
+            firsts(i) = e._2
+        }
+        u -> firsts.toSeq
+      }
+      val gotFirsts = adv.groupBy(_.user_id).map { case (u, as) =>
+        u -> stages.indices.map(i => as.find(_.stage == i + 1)
+          .map(a => a.at.getTime * 1000 + a.at.getNanos / 1000 % 1000)
+          .getOrElse(Long.MinValue))
+      }
+      expect.foreach { case (u, fs) =>
+        assert(gotFirsts.getOrElse(u, stages.map(_ => Long.MinValue)) === fs, s"user $u")
+      }
+      // and the registered batch operator's counts equal the advance counts
+      val batchCounts = graft.ops.SessionOps.funnelOn(
+        samples.toDF("event_id", "ts_us", "user_id", "event_type")
+          .withColumn("ts", expr("timestamp_micros(ts_us)")).drop("ts_us"),
+        stages).collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+      stages.indices.foreach { i =>
+        assert(adv.count(_.stage == i + 1).toLong === batchCounts(i + 1), s"stage ${i + 1}")
+      }
+    } finally q.stop()
+  }
+
   test("distinct stream: running per-metric cardinality, emits only on growth") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -35,8 +35,20 @@ def main(sf_dir: str, out_dir: str, reps: int = 2) -> None:
         return time.monotonic() - t0
 
     times = {}
+    errors = {}
     for name, sql in sorted(oracle.items()):
-        times[name] = min(run_once(sql) for _ in range(reps))
+        # a single oracle OOM-ing at a scaled fixture must not lose the
+        # whole run: record the error, disclose it in the JSON, move on
+        try:
+            times[name] = min(run_once(sql) for _ in range(reps))
+        except Exception as e:  # noqa: BLE001 — any engine failure
+            errors[name] = f"{type(e).__name__}: {e}"
+            print(f"[oracle] {name} FAILED {errors[name]}", file=sys.stderr, flush=True)
+            continue
+        # progress to stderr (stdout stays the one JSON line): at scaled
+        # fixtures a single oracle can run for minutes or OOM the process —
+        # the last line printed names the culprit
+        print(f"[oracle] {name} {times[name]:.3f}s", file=sys.stderr, flush=True)
 
     # IDENTICAL cross-query outlier retry to graft.Bench (median + 6*MAD,
     # 0.4 s absolute floor, min kept, disclosed): the Spark side grants
@@ -56,7 +68,7 @@ def main(sf_dir: str, out_dir: str, reps: int = 2) -> None:
 
     times = {k: round(v, 4) for k, v in times.items()}
     print(json.dumps({"total": round(sum(times.values()), 3),
-                      "queries": times, "retried": retried,
+                      "queries": times, "retried": retried, "errors": errors,
                       "reps": reps, "sf": sf_dir}))
 
 
