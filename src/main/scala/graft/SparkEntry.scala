@@ -87,6 +87,8 @@ object SparkEntry {
     "q_dedup_ngram" -> (DedupOps.dedupNgram _),
     "q_dedup_clusters" -> (DedupOps.dedupClusters _),
     "q_dup_weights" -> (DedupOps.dupWeights _),
+    // source-pair exact shingle-Jaccard overlap matrix (cross-dedup planning)
+    "q_source_overlap" -> (DedupOps.sourceOverlap _),
     "q_dedup_embed" -> (SimilarityOps.dedupEmbed _),
     "q_sim_topk" -> (SimilarityOps.simTopK _),
     // ANN variants: both hash-checked — the sign-bucket LSH and the decimal
@@ -101,6 +103,9 @@ object SparkEntry {
     "q_sim_topk_pq" -> (PqOps.simTopKPq _),
     "q_pq_train" -> (PqOps.pqTrain _),
     "q_pq_stats" -> (PqOps.pqStats _),
+    // scalar (int8) quantization: the per-dim affine quantizer + exact
+    // reconstruction-error artifact
+    "q_embed_quantize" -> (PqOps.embedQuantize _),
     "q_sessionize" -> (SessionOps.sessionize _),
     "q_approx_distinct" -> (SessionOps.approxDistinct _),
     "q_funnel" -> (SessionOps.funnel _),

@@ -277,6 +277,76 @@ object PqOps {
     else agg.resultOrder(col("sub"), col("cluster"))
   }
 
+  /** Int8 SCALAR quantization (SQ8) of the embedding corpus — the
+    * per-dimension affine quantizer a serving tier uses when PQ's
+    * codebook granularity isn't warranted: per dimension,
+    * code = round((x − vmin)·255 / (vmax − vmin)), 64 floats → 64 bytes.
+    * The registered artifact is the quantizer itself plus its measured
+    * distortion: one row per dimension with the grid-domain (vmin, vmax)
+    * range and the exact max / floor-mean / Σ² reconstruction error.
+    *
+    * Two distributed jobs by construction — the quantizer must exist
+    * before coding (the counter-rate carry shape, not the q_pq_stats
+    * training-in-query mistake: pass 1 IS part of this key's registered
+    * meaning, a single min/max aggregate, not an iterative build):
+    *   1. per-dim min/max: posexplode + map-side-combined aggregate —
+    *      ≤ dim rows per partition reach the wire, dim rows reach the
+    *      driver (the ClusterOps/PQ driver-metadata pattern);
+    *   2. the quantizer folds back as LITERAL arrays (never a join: a
+    *      (dim)-keyed join after the explode would shuffle the
+    *      dim×corpus stream on a 64-value key — the low-cardinality
+    *      hazard q_uptime's gate exists for), codes and errors computed
+    *      in exact BIGINT, then the same ≤ dim-row combine.
+    * The corpus is scanned twice and never shuffled (both exchanges
+    * carry ≤ dim·partitions rows).
+    *
+    * Determinism: ClusterOps conventions — the 1e5 integer grid, code
+    * round-half-up as ((v·510 + span) div (2·span)) and dequantization
+    * as vmin + ((2·code·span + 255) div 510), all BIGINT floor division
+    * on non-negative numerators (identical to DuckDB `//`), so the
+    * oracle hash-matches exactly, no tolerance.
+    */
+  def embedQuantize(s: SparkSession, dir: String): DataFrame =
+    embedQuantizeOn(ClusterOps.quantizedPoints(s, dir))
+
+  private[graft] def embedQuantizeOn(ptsIn: DataFrame): DataFrame = {
+    // NO fanOut, unlike the Lloyd trainers: per element this is three
+    // integer ops, so a single row-group-bound task still finishes in
+    // milliseconds at fixture scale and parquet splits provide the
+    // parallelism at corpus scale — the rebalance exchange spreads
+    // nothing worth spreading (measured: dropping it + fusing the
+    // presentation sort left the isolated sf0.1 run FLAT at 0.58 s —
+    // the absolute is the two-job scheduling floor, not stage count —
+    // but both cuts remove real exchanges, which is what survives scale)
+    val pts = ptsIn.select(col("q"))
+    val dims = pts.select(posexplode(col("q")).as(Seq("d", "x")))
+    val mm = dims.groupBy(col("d"))
+      .agg(min(col("x")).as("vmin"), max(col("x")).as("vmax"))
+      .collect().sortBy(_.getInt(0))
+    val vmins = mm.map(_.getLong(1)).toSeq
+    val spans = mm.map(r => r.getLong(2) - r.getLong(1)).toSeq
+    val coded = dims
+      .withColumn("vmin", element_at(typedLit(vmins), col("d") + 1))
+      .withColumn("span", element_at(typedLit(spans), col("d") + 1))
+      .withColumn("code", expr(
+        "CASE WHEN span = 0 THEN CAST(0 AS BIGINT) ELSE ((x - vmin) * 510 + span) div (2 * span) END"))
+      .withColumn("err", abs(col("x") - col("vmin") - expr("(2 * code * span + 255) div 510")))
+    // stage fusion, size-gated (the pqStats fuseSmall pattern): below the
+    // bound ONE hash(d, 1) exchange feeds the final aggregate AND the
+    // presentation sort; past it the default width scales out
+    val fuseSmall = Tables.planningSize(coded) <= (64L << 20)
+    val grouped = if (fuseSmall) coded.repartition(1, col("d")) else coded
+    val agg = grouped.groupBy(col("d"))
+      .agg(
+        min(col("vmin")).as("vmin"),
+        (min(col("vmin")) + min(col("span"))).as("vmax"),
+        count(lit(1)).as("n_vecs"),
+        max(col("err")).as("max_abs_err"),
+        floor(sum(col("err")).cast("double") / count(lit(1))).cast("long").as("mean_abs_err"),
+        sum(col("err") * col("err")).as("sum_sq_err"))
+    if (fuseSmall) agg.sortWithinPartitions(col("d")) else agg.resultOrder(col("d"))
+  }
+
   // ---------------------------------------------------------------- oracle
 
   private def dotSql(a: String, b: String): String =
@@ -375,6 +445,26 @@ object PqOps {
          |${(0 until SubM).map(subEncodeSql).mkString(",\n")}
          |${stats.mkString("\nUNION ALL\n")}
          |ORDER BY sub, cluster""".stripMargin
-    }
+    },
+    "q_embed_quantize" ->
+      s"""WITH pts AS (
+         |  SELECT list_transform(embedding,
+         |      x -> CAST(floor(CAST(x AS DOUBLE) * ${ClusterOps.Scale}.0 + 0.5) AS BIGINT)) AS q
+         |  FROM embeddings
+         |  WHERE len(list_filter(embedding, x -> isnan(CAST(x AS DOUBLE)))) = 0),
+         |e AS (SELECT CAST(generate_subscripts(q, 1) - 1 AS INTEGER) AS d, unnest(q) AS x FROM pts),
+         |mm AS (SELECT d, min(x) AS vmin, max(x) AS vmax, max(x) - min(x) AS span FROM e GROUP BY d),
+         |c AS (
+         |  SELECT e.d, e.x, mm.vmin, mm.vmax, mm.span,
+         |         CASE WHEN mm.span = 0 THEN CAST(0 AS BIGINT)
+         |              ELSE ((e.x - mm.vmin) * 510 + mm.span) // (2 * mm.span) END AS code
+         |  FROM e JOIN mm USING (d)),
+         |r AS (SELECT d, x, vmin, vmax, abs(x - vmin - (2 * code * span + 255) // 510) AS err FROM c)
+         |SELECT d, min(vmin) AS vmin, min(vmax) AS vmax,
+         |       CAST(count(*) AS BIGINT) AS n_vecs,
+         |       CAST(max(err) AS BIGINT) AS max_abs_err,
+         |       CAST(floor(CAST(sum(err) AS DOUBLE) / count(*)) AS BIGINT) AS mean_abs_err,
+         |       CAST(sum(err * err) AS BIGINT) AS sum_sq_err
+         |FROM r GROUP BY d ORDER BY d""".stripMargin
   )
 }

@@ -62,6 +62,38 @@ class ExtensionOpsSpec extends SparkSuite {
     assert(got.exceptAll(exact).count() == 0 && exact.exceptAll(got).count() == 0)
   }
 
+  test("source overlap equals an independent string-shingle recompute") {
+    // exact distinct (source, shingle-STRING) stream built from split/
+    // slice SQL — no shared expression with the native hash-set operator
+    val sh = Tables.documents(spark, SfDir)
+      .withColumn("toks", split(trim(col("text")), "\\s+"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("source"), explode(expr(
+        "transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', slice(toks, i, 3)))"
+      )).as("s"))
+      .distinct()
+    val sizes = sh.groupBy("source").agg(count(lit(1)).as("n"))
+    val exact = sh.as("a")
+      .join(sh.as("b"), col("a.s") === col("b.s") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_i"), col("b.source").as("src_j"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("source").as("src_i"), col("n").as("n_i")), "src_i")
+      .join(sizes.select(col("source").as("src_j"), col("n").as("n_j")), "src_j")
+      .select("src_i", "src_j", "inter", "n_i", "n_j")
+    val full = DedupOps.sourceOverlap(spark, SfDir).cache()
+    val got = full.select("src_i", "src_j", "inter", "n_i", "n_j")
+    assert(got.count() > 0, "fixture has no overlapping source pairs")
+    assert(got.exceptAll(exact).count() == 0 && exact.exceptAll(got).count() == 0)
+    // jaccard column: plain-Scala round-half-up over the exact integers
+    full.collect().foreach { r =>
+      val (inter, ni, nj) = (r.getAs[Long]("inter"), r.getAs[Long]("n_i"), r.getAs[Long]("n_j"))
+      val expect = math.floor(inter.toDouble / (ni + nj - inter) * 10000 + 0.5) / 10000
+      assert(r.getAs[Double]("jaccard") === expect, s"(${r.get(0)}, ${r.get(1)})")
+      assert(inter <= math.min(ni, nj), "intersection exceeds a set size")
+    }
+    full.unpersist()
+  }
+
   test("word_shingle_hashes/minhash_sig: in-row natives == SQL-composed pipeline") {
     import graft.ops.DedupOps
     import spark.implicits._

@@ -91,6 +91,25 @@ class PlanSpec extends SparkSuite {
     assert(!p.toLowerCase.contains("scalaudf"), p)
   }
 
+  test("q_source_overlap: in-row shingles, one corpus aggregate, no cross join") {
+    // the counted table is checkpointed in the registered query, so the
+    // corpus-side shape is asserted on the unmaterialized accessor
+    val c = graft.ops.DedupOps.sourceOverlapCounted(Tables.documents(spark, SfDir))
+      .queryExecution.explainString(FormattedMode)
+    assert(c.contains("word_shingle_hashes"), "native expression missing:\n" + c)
+    assert(!c.toLowerCase.contains("scalaudf"), c)
+    assert(c.contains("collect_set"), "the single corpus-stream aggregate is gone:\n" + c)
+    val p = plan("q_source_overlap")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_embed_quantize: literal-folded quantizer — no join, no window in pass 2") {
+    val p = plan("q_embed_quantize")
+    assert(!p.contains("Join"), "quantizer joined instead of literal-folded:\n" + p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("Generate"), p) // the posexplode feeding the combine
+  }
+
   test("q_dedup_ngram: gram extraction is the native codegen expression, not a UDF") {
     val g = graft.ops.DedupOps.ngramGramsPlan(Tables.documents(spark, SfDir))
       .queryExecution.explainString(FormattedMode)

@@ -122,4 +122,36 @@ class PqOpsSpec extends SparkSuite {
       rows.foreach(r => assert(r.getAs[Long]("mean_dist") <= r.getAs[Long]("max_dist")))
     }
   }
+
+  test("embedQuantizeOn: SQ8 artifact equals a plain-Scala replay (incl. a constant dim)") {
+    // 30 vectors × 5 dims: dim 0 is CONSTANT (span = 0 — the division
+    // guard), the rest mix negative and positive grid values so codes
+    // span the byte range; three partitions so the combines are real
+    val pts = (0L until 30L).map(i => i -> Seq.tabulate(5) {
+      case 0 => 7L
+      case d => (i * 193 + d * 37) % 1009 - 700L
+    })
+    val got = PqOps.embedQuantizeOn(ptsDf(pts)).collect().map(r =>
+      r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6)))).toMap
+    // sequential replay sharing no Spark expressions: nonneg numerators
+    // make Scala's truncating / identical to both engines' floor division
+    val expect = (0 until 5).map { d =>
+      val xs = pts.map(_._2(d))
+      val vmin = xs.min
+      val span = xs.max - vmin
+      val errs = xs.map { x =>
+        val code = if (span == 0) 0L else ((x - vmin) * 510 + span) / (2 * span)
+        assert(code >= 0 && code <= 255, s"code $code out of byte range")
+        math.abs(x - vmin - (2 * code * span + 255) / 510)
+      }
+      // reconstruction never exceeds half a quantization step (+1 grid
+      // unit of dequant rounding) — the bound that makes SQ8 usable
+      assert(errs.max <= span / 510 + 1, s"dim $d err ${errs.max} > step/2")
+      d -> ((vmin, xs.max, xs.size.toLong, errs.max,
+        math.floor(errs.sum.toDouble / errs.size).toLong,
+        errs.map(e => e * e).sum))
+    }.toMap
+    assert(got === expect)
+  }
 }

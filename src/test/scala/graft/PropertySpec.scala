@@ -229,6 +229,46 @@ class PropertySpec extends SparkSuite {
     assert(recall >= 0.95, s"banding recall $recall; missed ${truth -- got}")
   }
 
+  test("source overlap: randomized corpora equal plain-Scala set algebra") {
+    import graft.ops.DedupOps
+    // random small-vocab docs across 6 sources so pair overlaps are dense;
+    // includes sub-3-token docs (no shingles) and double-space runs. The
+    // reference computes source shingle-sets with plain Scala collections
+    // over the SAME per-doc hash sets (WordShingleHashes is A/B-tested
+    // against the SQL pipeline elsewhere — not circular), then set algebra.
+    val rnd = new scala.util.Random(31)
+    // 8-word vocab keeps the trigram space at 512, so cross-source
+    // shingle collisions are dense enough for every pair to overlap
+    val vocab = Vector.tabulate(8)(i => s"t$i")
+    val docs = (0 until 6).flatMap { s =>
+      (0 until 15).map { d =>
+        val n = 2 + rnd.nextInt(12) // 2 = below the shingle minimum
+        val sep = if (rnd.nextBoolean()) " " else "  "
+        (s * 100L + d, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(sep), s"s$s")
+      }
+    }
+    def xs(text: String): Set[Long] = {
+      val a = graft.functions.WordShingleHashes.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString(text), 3)
+      (0 until a.numElements()).map(a.getLong).toSet
+    }
+    val bySource = docs.groupBy(_._3).view
+      .mapValues(_.map(d => xs(d._2)).reduce(_ ++ _)).toMap
+    val expect = (for {
+      i <- bySource.keys.toSeq.sorted
+      j <- bySource.keys.toSeq.sorted if i < j
+      inter = (bySource(i) & bySource(j)).size.toLong if inter > 0
+      (ni, nj) = (bySource(i).size.toLong, bySource(j).size.toLong)
+    } yield (i, j, inter, ni, nj,
+      math.floor(inter.toDouble / (ni + nj - inter) * 10000 + 0.5) / 10000)).toSet
+    import spark.implicits._
+    val got = DedupOps.sourceOverlapOn(docs.toDF("doc_id", "text", "source"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSet
+    assert(expect.size >= 10, s"fixture degenerate: ${expect.size} overlapping pairs")
+    assert(got === expect)
+  }
+
   test("dedupEmbed sub-bucket bits: ceil-log2 formula, growth with corpus, block bound") {
     import graft.ops.SimilarityOps.{subBucketBits, TargetBlockRows}
     val T = TargetBlockRows
