@@ -89,6 +89,8 @@ object SparkEntry {
     "q_dup_weights" -> (DedupOps.dupWeights _),
     // source-pair exact shingle-Jaccard overlap matrix (cross-dedup planning)
     "q_source_overlap" -> (DedupOps.sourceOverlap _),
+    // incremental-ingest dedup: new sources probed against the base index
+    "q_dedup_incremental" -> (DedupOps.dedupIncremental _),
     "q_dedup_embed" -> (SimilarityOps.dedupEmbed _),
     "q_sim_topk" -> (SimilarityOps.simTopK _),
     // ANN variants: both hash-checked — the sign-bucket LSH and the decimal

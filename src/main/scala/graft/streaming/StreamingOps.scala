@@ -1064,6 +1064,72 @@ object StreamingOps {
       .toDF("doc_id", "n_shared_grams", "n_eval_docs")
   }
 
+  /** Streaming twin of DedupOps.dedupIncremental: documents ARRIVING from
+    * an ingest stream probe a STATIC base index (the already-ingested
+    * training corpus) and emit their single best base match — admission
+    * dedup in front of a training store. The base side is the persisted
+    * signature/band index artifact; here it pins as checkpointed frames
+    * (size-gated broadcast per batch), at 100 TB it is the parquet-backed
+    * index table and the band join is a plain stream-static equi-join on
+    * the same (band, bh) keys. The probe's bands carry (source, xs)
+    * through the explode (a stream cannot self-join its signature table
+    * back), verification is the batch operator's exact arithmetic, and
+    * the best match resolves in flatMapGroupsWithState keyed on the
+    * probe doc_id: a doc's candidates all arrive in its own micro-batch
+    * (its bands are generated there), the state is one emitted-flag per
+    * matched doc, so source redelivery is emit-once idempotent — the
+    * [[decontaminateStream]] contract.
+    */
+  def dedupIncrementalStream(docs: DataFrame, baseDocs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import graft.ops.DedupOps
+    // the index pins as CHECKPOINTED frames, not driver collects: a base
+    // training corpus is not MB-by-construction like the eval-set pins
+    // (decontaminateStream's justified collect), so it must never ride
+    // through the driver. Checkpointing computes the signatures exactly
+    // once; each trigger then runs a plain stream-static equi-join, with
+    // the broadcast hint size-gated so a fixture-scale index broadcasts
+    // and a corpus-scale index falls back to the planner's shuffle join.
+    val baseSig = baseDocs
+      .select(col("doc_id"), DedupOps.shingleHashSet(col("text")).as("xs"))
+      .filter(size(col("xs")) > 0)
+      .withColumn("sig", DedupOps.minhashSigCol(col("xs")))
+      .localCheckpoint(eager = true)
+    val baseBands = DedupOps.bandedDocIds(baseSig)
+      .select(col("band"), col("bh"), col("doc_id").as("base_id"))
+      .localCheckpoint(eager = true)
+    val baseXs = baseSig.select(col("doc_id").as("base_id"), col("xs").as("xs_b"))
+    val probe = docs
+      .select(col("doc_id"), col("source"), DedupOps.shingleHashSet(col("text")).as("xs"))
+      .filter(size(col("xs")) > 0)
+      .withColumn("sig", DedupOps.minhashSigCol(col("xs")))
+    DedupOps.bandedDocIds(probe, Seq("source", "xs"))
+      .join(graft.Tables.broadcastIfSmall(baseBands), Seq("band", "bh"))
+      .join(graft.Tables.broadcastIfSmall(baseXs), "base_id")
+      .withColumn("inter", size(array_intersect(col("xs"), col("xs_b"))).cast("long"))
+      .withColumn("jac",
+        col("inter").cast("double") /
+          (size(col("xs")).cast("long") + size(col("xs_b")) - col("inter")))
+      .filter(col("jac") >= DedupOps.JaccardThreshold)
+      .select(col("doc_id"), col("source"), col("base_id"), col("inter"), col("jac"))
+      .as[(Long, String, Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, (Long, String, Long, Long, Double)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (id: Long, rows: Iterator[(Long, String, Long, Long, Double)], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            // batch tie-break verbatim: jaccard DESC, then base_id ASC
+            val best = rows.toSeq.minBy(r => (-r._5, r._3))
+            Iterator((best._1, best._2, best._3, best._4,
+              math.floor(best._5 * 10000 + 0.5) / 10000))
+          }
+      }
+      .toDF("doc_id", "src", "base_id", "inter", "jaccard")
+  }
+
   /** Streaming cleanse: quality-gate each arriving document and chunk the
     * survivors — the online form of q_quality_filter → q_chunk_docs, run
     * as admission control in front of a training-data store. Both stages

@@ -62,6 +62,46 @@ class ExtensionOpsSpec extends SparkSuite {
     assert(got.exceptAll(exact).count() == 0 && exact.exceptAll(got).count() == 0)
   }
 
+  test("incremental dedup: best base match equals a brute-force cross recompute") {
+    // exact cross-side pairs over string shingles (no shared expressions),
+    // then a plain-Scala argmax per probe with the (jaccard DESC, base_id
+    // ASC) tie-break
+    val base = DedupOps.IncrementalBaseSource
+    val sh = Tables.documents(spark, SfDir)
+      .withColumn("toks", split(trim(col("text")), "\\s+"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), col("source"), explode(expr(
+        "transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', slice(toks, i, 3)))"
+      )).as("s"))
+      .distinct()
+    val sizes = sh.select("doc_id", "s").distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cross = sh.as("a")
+      .join(sh.as("b"), col("a.s") === col("b.s") &&
+        col("a.source") =!= lit(base) && col("b.source") === lit(base))
+      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .agg(count(lit(1)).as("inter"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expect = cross
+      .map { case (i, j, inter) =>
+        (i, j, inter, inter.toDouble / (sizes(i) + sizes(j) - inter))
+      }
+      .filter(_._4 >= DedupOps.JaccardThreshold)
+      .groupBy(_._1).map { case (i, cands) =>
+        val best = cands.minBy { case (_, j, _, jac) => (-jac, j) }
+        i -> ((best._2, best._3,
+          math.floor(best._4 * 10000 + 0.5) / 10000))
+      }
+    val got = DedupOps.dedupIncremental(spark, SfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got.nonEmpty, "fixture has no cross-source near-dups vs the base")
+    assert(got === expect)
+    // no probe doc from the base source, ever
+    DedupOps.dedupIncremental(spark, SfDir).collect()
+      .foreach(r => assert(r.getString(1) != base, "base doc emitted as probe"))
+  }
+
   test("source overlap equals an independent string-shingle recompute") {
     // exact distinct (source, shingle-STRING) stream built from split/
     // slice SQL — no shared expression with the native hash-set operator

@@ -103,6 +103,13 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q_dedup_incremental: banded cross join only, rank-1 via WindowGroupLimit") {
+    val p = plan("q_dedup_incremental")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("WindowGroupLimit"),
+      "best-match rank filter not pushed into WindowGroupLimit:\n" + p)
+  }
+
   test("q_embed_quantize: literal-folded quantizer — no join, no window in pass 2") {
     val p = plan("q_embed_quantize")
     assert(!p.contains("Join"), "quantizer joined instead of literal-folded:\n" + p)

@@ -212,6 +212,49 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("incremental dedup stream == batch best matches under random micro-batch splits") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // base = the fixture's src0 docs (the static index); stream = every
+    // other source's docs in random order and random micro-batch splits,
+    // plus a redelivered slice. The streamed best matches must equal the
+    // batch operator's rows exactly (same natives, same buckets, same
+    // tie-break).
+    val base = graft.ops.DedupOps.IncrementalBaseSource
+    val all = Tables.documents(spark, SfDir)
+      .select("doc_id", "text", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val baseDocs = all.filter(_._3 == base).map(d => (d._1, d._2)).toSeq.toDF("doc_id", "text")
+    val rnd = new scala.util.Random(43)
+    val probes = rnd.shuffle(all.filterNot(_._3 == base).toSeq)
+    val mem = MemoryStream[(Long, String, String)]
+    val q = StreamingOps.dedupIncrementalStream(
+        mem.toDF().toDF("doc_id", "text", "source"), baseDocs)
+      .writeStream.format("memory").queryName("incdedup_out")
+      .outputMode("append").start()
+    try {
+      var rest = probes
+      while (rest.nonEmpty) {
+        val (batch, tail) = rest.splitAt(1 + rnd.nextInt(150))
+        mem.addData(batch: _*)
+        rest = tail
+      }
+      mem.addData(probes.take(25): _*) // at-least-once redelivery
+      q.processAllAvailable()
+      val streamed = spark.table("incdedup_out").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      // emit-once even under redelivery
+      assert(streamed.map(_._1).distinct.length == streamed.length, "doc emitted twice")
+      val batchRows = graft.ops.DedupOps.dedupIncrementalOn(
+          all.toSeq.toDF("doc_id", "text", "source"), base).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      assert(batchRows.nonEmpty, "fixture has no cross-source near-dups — vacuous test")
+      assert(streamed.toSet === batchRows.toSet,
+        s"only-streamed=${(streamed.toSet -- batchRows.toSet).take(3)} " +
+          s"only-batch=${(batchRows.toSet -- streamed.toSet).take(3)}")
+    } finally q.stop()
+  }
+
   test("decontamination stream: flags equal the batch operator under micro-batch splits") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
