@@ -833,13 +833,21 @@ object RelationalOps {
     // metric-cardinality table once; both joins then broadcast the
     // materialized rows. The single-phase form consumes stats exactly
     // once, so the checkpoint job would be a pure extra stage there.
+    // Σc and Σc² accumulate in decimal(38,0) and the variance numerator
+    // n·Σc² − (Σc)² multiplies in decimal: BIGINT versions were exact at
+    // ≤ sf1 but the 30× scale run overflowed n·q (ANSI abort) — DuckDB's
+    // sum() is HUGEINT, so its side was already 128-bit. Both engines now
+    // compute the same exact integers (≤ 38 digits ≈ HUGEINT's range)
+    // and cast to double once, so the hash still matches.
     val statsBase = v.groupBy(col("metric"))
-      .agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
-        sum(col("c") * col("c")).as("q"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("c").cast("decimal(38,0)")).as("s"),
+        sum((col("c") * col("c")).cast("decimal(38,0)")).as("q"))
       .select(col("metric"),
         (col("s").cast("double") / col("n").cast("double")).as("mean_c"),
-        sqrt((col("n") * col("q") - col("s") * col("s")).cast("double") /
-          (col("n") * (col("n") - 1)).cast("double")).as("sd_c"))
+        sqrt((col("n").cast("decimal(38,0)") * col("q") -
+            col("s") * col("s")).cast("double") /
+          (col("n").cast("decimal(38,0)") * (col("n") - 1)).cast("double")).as("sd_c"))
     val stats = if (twoPhase) statsBase.localCheckpoint(eager = true) else statsBase
     val sided0 = v.join(Tables.broadcastIfSmall(stats), "metric")
       .withColumn("above", col("c").cast("double") > col("mean_c"))

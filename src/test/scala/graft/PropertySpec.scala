@@ -229,6 +229,55 @@ class PropertySpec extends SparkSuite {
     assert(recall >= 0.95, s"banding recall $recall; missed ${truth -- got}")
   }
 
+  test("incremental dedup: randomized probes find their exact best base match") {
+    import graft.ops.DedupOps
+    // base corpus + probe twins with mutation rates straddling the 0.6
+    // threshold; some probes mutate two DIFFERENT base docs' prefixes so
+    // the best-match tie-break (jaccard DESC, base_id ASC) is exercised.
+    // Ground truth: plain-Scala argmax over exact shingle-hash Jaccard
+    // (WordShingleHashes is A/B-tested against SQL elsewhere).
+    val rnd = new scala.util.Random(59)
+    val vocab = Vector.tabulate(400)(i => s"w$i")
+    val baseDocs = (0 until 60).map { i =>
+      (i.toLong, Seq.fill(25 + rnd.nextInt(40))(vocab(rnd.nextInt(vocab.size))))
+    }
+    val probes = (0 until 80).map { k =>
+      val (bid, toks) = baseDocs(rnd.nextInt(baseDocs.size))
+      val rate = 0.02 + 0.35 * rnd.nextDouble()
+      (2000L + k,
+        toks.map(t => if (rnd.nextDouble() < rate) vocab(rnd.nextInt(vocab.size)) else t))
+    }
+    val all = baseDocs.map { case (id, t) => (id, t.mkString(" "), "src0") } ++
+      probes.map { case (id, t) => (id, t.mkString(" "), "srcNew") }
+    def xs(text: String): Set[Long] = {
+      val a = graft.functions.WordShingleHashes.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString(text), 3)
+      (0 until a.numElements()).map(a.getLong).toSet
+    }
+    val baseSets = baseDocs.map { case (id, t) => id -> xs(t.mkString(" ")) }
+    val expect = probes.flatMap { case (pid, t) =>
+      val ps = xs(t.mkString(" "))
+      val cands = baseSets.flatMap { case (bid, bs) =>
+        val inter = (ps & bs).size
+        val jac = inter.toDouble / (ps.size + bs.size - inter)
+        if (jac >= DedupOps.JaccardThreshold) Some((bid, inter.toLong, jac)) else None
+      }
+      if (cands.isEmpty) None
+      else {
+        val best = cands.minBy { case (bid, _, jac) => (-jac, bid) }
+        Some(pid -> ((best._1, best._2, math.floor(best._3 * 10000 + 0.5) / 10000)))
+      }
+    }.toMap
+    assert(expect.size >= 20 && expect.size < probes.size,
+      s"fixture degenerate: ${expect.size} of ${probes.size} probes match")
+    import spark.implicits._
+    val got = DedupOps.dedupIncrementalOn(all.toDF("doc_id", "text", "source"), "src0")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // banding misses a qualifying pair with odds (1-J^2)^64 <= 4e-13 —
+    // equality, not recall, is the assertion
+    assert(got === expect)
+  }
+
   test("source overlap: randomized corpora equal plain-Scala set algebra") {
     import graft.ops.DedupOps
     // random small-vocab docs across 6 sources so pair overlaps are dense;
