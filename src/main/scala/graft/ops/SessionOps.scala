@@ -149,13 +149,19 @@ object SessionOps {
     * minutes; a longer silence is an interruption. */
   val UptimeTimeoutMin = 5
 
-  /** Single-phase bound for [[uptime]]'s gate — the counter-rate family's
-    * generous default ([[RelationalOps.CounterSinglePhaseMaxBytes]]
-    * rationale: one window sort, so the per-metric sort ceiling is the
-    * only limit), overridable through the same
-    * `spark.graft.singlePhaseMaxBytes` conf the A/B probes use.
+  /** Single-phase bound for [[uptime]]'s gate, overridable through the
+    * same `spark.graft.singlePhaseMaxBytes` conf the A/B probes use.
+    * Originally the counter-rate family's generous 256 MB; re-sized to
+    * the SPC bound after a measured same-window A/B showed the
+    * two-phase arm winning from factor-10 up (sf1: 0.99 s vs 1.04 s;
+    * sf3: 1.52 s vs 2.11 s — the ≤46-way per-metric sort loses to
+    * (metric, day) parallelism well before 256 MB), while fixture scale
+    * (sf0.1 and below, estimates < 4 MB) keeps the cheaper single
+    * window. Counter-rate itself stays at its 256 MB default: its A/B
+    * still favors single-phase at sf3 (2.59 s vs 2.81 s — its window
+    * work is one lag, lighter than uptime's gap/interruption math).
     */
-  val UptimeSinglePhaseMaxBytes: Long = 256L << 20
+  val UptimeSinglePhaseMaxBytes: Long = RelationalOps.SpcSinglePhaseMaxBytes
 
   /** Heartbeat liveness — the TimescaleDB heartbeat_agg shape over the
     * reference's periodic publishers: each sample covers min(gap to next,
