@@ -35,7 +35,7 @@ object Plans {
       "q_dedup_ngram" -> "inverted-index join on df-capped grams; intersection counted by the same aggregate that groups pairs — no separate verify pass",
       "q_dedup_embed" -> "one shuffle on the (label, sign sub-bucket) blocking key, block-local quadratic loop in flatMapGroups — never all-pairs across blocks",
       "q_dedup_incremental" -> "asymmetric banding: probe bands join base bands on (band, bandHash) — candidate volume |probe∩bucket|·|base∩bucket|, never a bucket square or corpus cross join; one checkpointed signature table feeds bands + both verification lookups; best-match rank-1 runs as WindowGroupLimit on a corpus-cardinality key (probe doc_id)",
-      "q_source_overlap" -> "in-row native shingle sets, ONE corpus-stream exchange keyed on shingle hash (map-side partial collect_set bounded by the source count); set sizes and pair intersections from the SAME ≤S²-row marker/pair aggregate (the dedupNgram generator trick); corpus never self-joined",
+      "q_source_overlap" -> "in-row native shingle sets, ONE corpus-stream exchange keyed on shingle hash; set sizes and pair intersections from the SAME ≤S²-row marker/pair aggregate (the dedupNgram generator trick); corpus never self-joined. Per-h set representation is size-gated: fixture scale shows the probe-free collect_set arm, past the gate ≤64 sources aggregate as one codegen bit_or bitmask (8-byte shuffle payload, −37% at 30×)",
       "q_embed_quantize" -> "two jobs by construction: per-dim min/max combine (≤ dim rows/partition to the wire, dim rows to the driver), then the quantizer folded back as LITERAL arrays — a (dim)-keyed join here would shuffle the exploded corpus on a 64-value key; codes/errors exact BIGINT into the same ≤ dim-row combine",
       "q_dedup_clusters" -> "edges enter as a materialized (localCheckpoint) scan — the CC rounds ran as shrinking hash-aggregate+join stages, no GraphX vertex programs; final plan is the linear cluster table join",
       "q_sim_topk_lsh" -> "codegen'd sign-bucket projection (no UDF); broadcast 9-probe ring joined on bucket — candidate volume N×probes/2^planes, full scan replaced by the bucket equi-join",

@@ -94,11 +94,21 @@ class PlanSpec extends SparkSuite {
   test("q_source_overlap: in-row shingles, one corpus aggregate, no cross join") {
     // the counted table is checkpointed in the registered query, so the
     // corpus-side shape is asserted on the unmaterialized accessor
+    // fixture scale sits under the probe gate: the set arm, probe-free
     val c = graft.ops.DedupOps.sourceOverlapCounted(Tables.documents(spark, SfDir))
       .queryExecution.explainString(FormattedMode)
     assert(c.contains("word_shingle_hashes"), "native expression missing:\n" + c)
     assert(!c.toLowerCase.contains("scalaudf"), c)
     assert(c.contains("collect_set"), "the single corpus-stream aggregate is gone:\n" + c)
+    // past the gate (forced by zeroing it) the ≤64-source BITMASK arm:
+    // the corpus aggregate is a codegen bit_or, no ObjectHashAggregate
+    spark.conf.set("spark.graft.overlapSetMaxBytes", "0")
+    try {
+      val m = graft.ops.DedupOps.sourceOverlapCounted(Tables.documents(spark, SfDir))
+        .queryExecution.explainString(FormattedMode)
+      assert(m.contains("bit_or"), "the bitmask corpus aggregate is gone:\n" + m)
+      assert(!m.contains("collect_set"), "mask arm fell back to the object aggregate:\n" + m)
+    } finally spark.conf.unset("spark.graft.overlapSetMaxBytes")
     val p = plan("q_source_overlap")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }

@@ -311,11 +311,17 @@ class PropertySpec extends SparkSuite {
     } yield (i, j, inter, ni, nj,
       math.floor(inter.toDouble / (ni + nj - inter) * 10000 + 0.5) / 10000)).toSet
     import spark.implicits._
-    val got = DedupOps.sourceOverlapOn(docs.toDF("doc_id", "text", "source"))
+    assert(expect.size >= 10, s"fixture degenerate: ${expect.size} overlapping pairs")
+    // BOTH size-gate arms must equal the reference: the object-set arm
+    // (fixture default) and the ≤64-source bitmask arm (forced by zeroing
+    // the gate — the arm a corpus-scale run takes)
+    def run() = DedupOps.sourceOverlapOn(docs.toDF("doc_id", "text", "source"))
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
         r.getLong(3), r.getLong(4), r.getDouble(5))).toSet
-    assert(expect.size >= 10, s"fixture degenerate: ${expect.size} overlapping pairs")
-    assert(got === expect)
+    assert(run() === expect, "set arm diverged")
+    spark.conf.set("spark.graft.overlapSetMaxBytes", "0")
+    try assert(run() === expect, "bitmask arm diverged")
+    finally spark.conf.unset("spark.graft.overlapSetMaxBytes")
   }
 
   test("dedupEmbed sub-bucket bits: ceil-log2 formula, growth with corpus, block bound") {
