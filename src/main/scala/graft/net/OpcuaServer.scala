@@ -435,7 +435,13 @@ final class OpcuaServer(
         else h match {
           case Some(fn) =>
             try (StatusGood, fn(args))
-            catch { case _: Throwable => (StatusBadMethodInvalid, Seq.empty[Variant]) }
+            // NonFatal only: a handler bug maps to BadMethodInvalid, but
+            // InterruptedException / VM errors must propagate (swallowing
+            // them would clear interrupt status on the connection thread)
+            catch {
+              case scala.util.control.NonFatal(_) =>
+                (StatusBadMethodInvalid, Seq.empty[Variant])
+            }
           case None => (StatusBadMethodInvalid, Seq.empty[Variant])
         }
       }

@@ -836,13 +836,18 @@ object RelationalOps {
     // Σc and Σc² accumulate in decimal(38,0) and the variance numerator
     // n·Σc² − (Σc)² multiplies in decimal: BIGINT versions were exact at
     // ≤ sf1 but the 30× scale run overflowed n·q (ANSI abort) — DuckDB's
-    // sum() is HUGEINT, so its side was already 128-bit. Both engines now
-    // compute the same exact integers (≤ 38 digits ≈ HUGEINT's range)
-    // and cast to double once, so the hash still matches.
+    // sum() is HUGEINT, so its side was already 128-bit. The per-row
+    // square widens EACH FACTOR first (decimal × decimal, never a BIGINT
+    // intermediate): c*c in 64-bit overflows at |c| ≥ ~3.04e9, i.e.
+    // |value| ≥ ~3.04e7 — the oracle mirrors with CAST(c AS HUGEINT)
+    // per factor. Both engines compute the same exact integers (≤ 38
+    // digits ≈ HUGEINT's range) and cast to double once, so the hash
+    // still matches.
+    val cDec = col("c").cast("decimal(38,0)")
     val statsBase = v.groupBy(col("metric"))
       .agg(count(lit(1)).as("n"),
-        sum(col("c").cast("decimal(38,0)")).as("s"),
-        sum((col("c") * col("c")).cast("decimal(38,0)")).as("q"))
+        sum(cDec).as("s"),
+        sum(cDec * cDec).as("q"))
       .select(col("metric"),
         (col("s").cast("double") / col("n").cast("double")).as("mean_c"),
         sqrt((col("n").cast("decimal(38,0)") * col("q") -
@@ -938,7 +943,7 @@ object RelationalOps {
          |st AS (
          |  SELECT metric,
          |    CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_c,
-         |    sqrt(CAST(count(*) * sum(c * c) - sum(c) * sum(c) AS DOUBLE)
+         |    sqrt(CAST(count(*) * sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) - sum(c) * sum(c) AS DOUBLE)
          |         / CAST(count(*) * (count(*) - 1) AS DOUBLE)) AS sd_c
          |  FROM v GROUP BY 1),
          |sided AS (

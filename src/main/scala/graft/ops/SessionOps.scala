@@ -67,31 +67,69 @@ object SessionOps {
     * order and the strict `>` makes same-instant events unable to
     * advance under ANY tie order. Stage counts are then one global
     * aggregate over the K slots; no driver-side action anywhere.
+    *
+    * Skew: the collect_list fold concentrates a user's whole stage
+    * history in ONE aggregation buffer — fine for human-scale keys, an
+    * OOM exposure for a bot/service account with millions of funnel
+    * events. Past a planning-size gate the operator switches to a
+    * bounded-state arm: the SAME one hash(user_id) exchange, but Spark's
+    * EXTERNAL sort orders each group (spilling, never buffering a key in
+    * memory) and `flatMapSortedGroups` streams the events through an
+    * O(K) left-to-right fold — the identical advance rule, so both arms
+    * are pointwise equal (PropertySpec). Below the gate the in-row
+    * codegen fold wins on per-stage floor.
     */
-  def funnel(s: SparkSession, dir: String): DataFrame =
-    funnelOn(Tables.events(s, dir), FunnelStages)
+  val FunnelFoldMaxBytes: Long = RelationalOps.SpcSinglePhaseMaxBytes
 
-  def funnelOn(events: DataFrame, stages: Seq[String]): DataFrame = {
+  def funnel(s: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(s, dir)
+    funnelOn(events, FunnelStages,
+      skewSafe = Tables.planningSize(
+          events.select(col("user_id"), col("ts"), col("event_type"))) >
+        RelationalOps.singlePhaseBound(s, FunnelFoldMaxBytes))
+  }
+
+  def funnelOn(events: DataFrame, stages: Seq[String],
+      skewSafe: Boolean = false): DataFrame = {
     require(stages.nonEmpty)
     val k = stages.size
     val pts = events.filter(col("event_type").isin(stages: _*))
       .select(col("user_id"), unix_micros(col("ts")).as("x"),
         array_position(typedLit(stages), col("event_type")).cast("int").as("stg"))
     val nulls = Seq.fill(k)("CAST(NULL AS BIGINT)").mkString(", ")
-    val folded = pts
-      .groupBy(col("user_id"))
-      .agg(sort_array(collect_list(struct(col("x"), col("stg")))).as("evs"))
-      // branch ORDER is load-bearing: `acc[e.stg - 2]` is acc[-1] for a
-      // stage-1 event, and ANSI mode throws on negative indices — the
-      // `e.stg = 1` WHEN must win first (CASE branches evaluate lazily,
-      // unlike OR operands)
-      .select(expr(
-        s"""aggregate(evs, array($nulls), (acc, e) ->
-           |  transform(acc, (v, i) -> CASE
-           |    WHEN i != e.stg - 1 OR v IS NOT NULL THEN v
-           |    WHEN e.stg = 1 THEN e.x
-           |    WHEN acc[e.stg - 2] IS NOT NULL AND e.x > acc[e.stg - 2] THEN e.x
-           |    ELSE v END))""".stripMargin).as("firsts"))
+    val folded =
+      if (skewSafe) {
+        import events.sparkSession.implicits._
+        pts.select(col("user_id").cast("long"), col("x"), col("stg"))
+          .as[(Long, Long, Int)]
+          .groupByKey(_._1)
+          .flatMapSortedGroups(col("x"), col("stg")) {
+            (_: Long, it: Iterator[(Long, Long, Int)]) =>
+              // the CASE fold, one event at a time: slot i advances iff
+              // still null and the previous slot is strictly earlier
+              val acc = Array.fill[Option[Long]](k)(None)
+              it.foreach { case (_, x, stg) =>
+                val i = stg - 1
+                if (acc(i).isEmpty &&
+                    (i == 0 || acc(i - 1).exists(_ < x))) acc(i) = Some(x)
+              }
+              Iterator.single(acc.toSeq)
+          }
+          .toDF("firsts")
+      } else pts
+        .groupBy(col("user_id"))
+        .agg(sort_array(collect_list(struct(col("x"), col("stg")))).as("evs"))
+        // branch ORDER is load-bearing: `acc[e.stg - 2]` is acc[-1] for a
+        // stage-1 event, and ANSI mode throws on negative indices — the
+        // `e.stg = 1` WHEN must win first (CASE branches evaluate lazily,
+        // unlike OR operands)
+        .select(expr(
+          s"""aggregate(evs, array($nulls), (acc, e) ->
+             |  transform(acc, (v, i) -> CASE
+             |    WHEN i != e.stg - 1 OR v IS NOT NULL THEN v
+             |    WHEN e.stg = 1 THEN e.x
+             |    WHEN acc[e.stg - 2] IS NOT NULL AND e.x > acc[e.stg - 2] THEN e.x
+             |    ELSE v END))""".stripMargin).as("firsts"))
     val totals = folded.agg(
       count(col("firsts")(0)).as("n0"),
       (1 until k).map(i => count(col("firsts")(i)).as(s"n$i")): _*)

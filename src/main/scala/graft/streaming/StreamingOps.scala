@@ -1106,6 +1106,13 @@ object StreamingOps {
       .withColumn("sig", DedupOps.minhashSigCol(col("xs")))
     DedupOps.bandedDocIds(probe, Seq("source", "xs"))
       .join(graft.Tables.broadcastIfSmall(baseBands), Seq("band", "bh"))
+      // the batch twin's cand.distinct(): a pair agreeing in several
+      // bands must verify (array_intersect over the shingle sets) ONCE,
+      // not once per matching band. A doc's bands all live in its own
+      // micro-batch, so per-batch dedup state is complete and the
+      // downstream emit-once flag is untouched. (source, xs) ride along
+      // deterministically — they are functions of doc_id.
+      .dropDuplicates("doc_id", "base_id")
       .join(graft.Tables.broadcastIfSmall(baseXs), "base_id")
       .withColumn("inter", size(array_intersect(col("xs"), col("xs_b"))).cast("long"))
       .withColumn("jac",

@@ -545,6 +545,19 @@ class ExtensionOpsSpec extends SparkSuite {
       (1, "click", 5L, 1000L),
       (2, "signup", 1L, 200L),
       (3, "purchase", 1L, 200L)), got.mkString(","))
+    // skew-safe arm (external-sorted streaming fold) is pointwise equal
+    val safe = SessionOps.funnelOn(df, SessionOps.FunnelStages, skewSafe = true)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(safe === got, s"skew-safe arm diverged: $safe vs $got")
+  }
+
+  test("funnel: skew-safe arm equals the in-row fold on the sf0.001 fixture") {
+    val a = SessionOps.funnelOn(Tables.events(spark, SfDir), SessionOps.FunnelStages,
+      skewSafe = false).collect().map(_.toSeq).toSeq
+    val b = SessionOps.funnelOn(Tables.events(spark, SfDir), SessionOps.FunnelStages,
+      skewSafe = true).collect().map(_.toSeq).toSeq
+    assert(a === b)
   }
 
   test("retention cohorts: first-seen week anchors, multi-activity weeks count once") {
