@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimilarity, MinHashSig, NearestCentroid, NGramHashes, SimHashSig, SquaredL2, TermCounts, TermFreqStats, WordShingleHashes}
+import graft.functions.{CosineSimilarity, MinHashSig, NearestCentroid, NGramHashes, SimHashSig, SquaredL2, TermCounts, TermFreqStats, WordShingleHashes, WordWindowHashes}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 
 /** SparkSessionExtensions injector for the engine's native functions.
@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((CosineSimilarity.identifier, CosineSimilarity.info, CosineSimilarity.builder))
     ext.injectFunction((NGramHashes.identifier, NGramHashes.info, NGramHashes.builder))
     ext.injectFunction((WordShingleHashes.identifier, WordShingleHashes.info, WordShingleHashes.builder))
+    ext.injectFunction((WordWindowHashes.identifier, WordWindowHashes.info, WordWindowHashes.builder))
     ext.injectFunction((MinHashSig.identifier, MinHashSig.info, MinHashSig.builder))
     ext.injectFunction((SimHashSig.identifier, SimHashSig.info, SimHashSig.builder))
     ext.injectFunction((TermFreqStats.identifier, TermFreqStats.info, TermFreqStats.builder))
@@ -34,6 +35,7 @@ object GraftExtensions {
     CosineSimilarity.register(spark.sessionState.functionRegistry)
     NGramHashes.register(spark.sessionState.functionRegistry)
     WordShingleHashes.register(spark.sessionState.functionRegistry)
+    WordWindowHashes.register(spark.sessionState.functionRegistry)
     MinHashSig.register(spark.sessionState.functionRegistry)
     SimHashSig.register(spark.sessionState.functionRegistry)
     TermFreqStats.register(spark.sessionState.functionRegistry)

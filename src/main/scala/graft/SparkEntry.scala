@@ -91,6 +91,7 @@ object SparkEntry {
     "q_source_overlap" -> (DedupOps.sourceOverlap _),
     // incremental-ingest dedup: new sources probed against the base index
     "q_dedup_incremental" -> (DedupOps.dedupIncremental _),
+    "q_dedup_substring" -> (DedupOps.dedupSubstring _),
     "q_dedup_embed" -> (SimilarityOps.dedupEmbed _),
     "q_sim_topk" -> (SimilarityOps.simTopK _),
     // ANN variants: both hash-checked — the sign-bucket LSH and the decimal

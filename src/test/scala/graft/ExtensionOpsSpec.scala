@@ -102,6 +102,62 @@ class ExtensionOpsSpec extends SparkSuite {
       .foreach(r => assert(r.getString(1) != base, "base doc emitted as probe"))
   }
 
+  test("substring dedup: spans equal a plain-Scala string-window recompute") {
+    val W = DedupOps.SubstrWindow
+    val rows = Tables.documents(spark, SfDir).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    // brute force over literal window STRINGS (no shared hash code):
+    // global keeper = min (doc_id, p) per distinct window text
+    val occ = rows.flatMap { case (id, text) =>
+      val toks = text.trim.split("\\s+")
+      if (toks.length < W) Nil
+      else (0 to toks.length - W).map(i => (id, i + 1L, toks.slice(i, i + W).mkString(" ")))
+    }
+    val keeper = occ.groupBy(_._3).map { case (g, os) =>
+      g -> os.map(o => (o._1, o._2)).min
+    }
+    val cuts = occ.filter { case (id, p, g) => keeper(g) != ((id, p)) }
+      .map { case (id, p, _) => (id, p) }
+    val expect = cuts.groupBy(_._1).toSeq.flatMap { case (id, ps) =>
+      val sorted = ps.map(_._2).sorted
+      val spans = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      sorted.foreach { p =>
+        if (spans.nonEmpty && p - (spans.last._2) <= W) {
+          val (s0, _) = spans.remove(spans.length - 1); spans += ((s0, p))
+        } else spans += ((p, p))
+      }
+      spans.map { case (s0, pMax) => (id, s0, pMax + W - s0) }
+    }.sortBy(t => (t._1, t._2))
+    val got = DedupOps.dedupSubstring(spark, SfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got.nonEmpty, "fixture has no duplicated substrings")
+    assert(got === expect)
+  }
+
+  test("substring dedup: keep-first, within-doc repeats, and short docs") {
+    import spark.implicits._
+    val W = DedupOps.SubstrWindow
+    val span = (1 to W).map(i => s"t$i").mkString(" ")     // exactly W tokens
+    val docs = Seq(
+      (1L, span + " uniq1 uniq2"),                         // owner (smallest id)
+      (2L, "pre1 pre2 " + span),                           // cut at p=3
+      (3L, span + " mid " + span),                         // two cuts incl. within-doc
+      (4L, (1 to W - 1).map(i => s"t$i").mkString(" ")),   // too short: no windows
+      (5L, "zz1 zz2 zz3")                                  // short and unrelated
+    ).toDF("doc_id", "text")
+    val got = DedupOps.dedupSubstringOn(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // doc 2: the span's window matches doc 1's p=1 occurrence → cut [3, W+2]
+    // doc 3: cut windows at p=1 and p=W+2 (both copies owned by doc 1);
+    //        the gap of W+1 > W keeps them separate spans; the 'mid'-
+    //        crossing windows are unique so they are never cut
+    assert(got.filter(_._1 == 2L) === Seq((2L, 3L, W.toLong)), got.toString)
+    assert(got.filter(_._1 == 3L) ===
+      Seq((3L, 1L, W.toLong), (3L, W + 2L, W.toLong)), got.toString)
+    assert(!got.exists(_._1 == 1L) && !got.exists(_._1 == 4L) && !got.exists(_._1 == 5L),
+      got.toString)
+  }
+
   test("source overlap equals an independent string-shingle recompute") {
     // exact distinct (source, shingle-STRING) stream built from split/
     // slice SQL — no shared expression with the native hash-set operator

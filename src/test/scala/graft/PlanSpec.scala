@@ -603,6 +603,19 @@ class PlanSpec extends SparkSuite {
       s"funnel shuffles the corpus more than once:\n$p")
   }
 
+  test("q_dedup_substring: no self-join; fingerprint + doc exchanges only; pruned scan") {
+    val p = plan("q_dedup_substring")
+    assert(!p.contains("Join"), s"substring dedup must never self-join the corpus:\n$p")
+    // exchange 1: hash(h) for the keeper window; exchange 2: hash(doc_id)
+    // for the island window — the (doc_id, island) span aggregate reuses
+    // it via subset-key clustering; the presentation sort is the
+    // single-reducer repartition, not a hash one
+    assert("hashpartitioning\\(".r.findAllIn(p).size == 2,
+      s"expected exactly 2 hash exchanges:\n$p")
+    assert(!p.contains("source") && !p.contains("props"),
+      "scan reads columns beyond (doc_id, text):\n" + p)
+  }
+
   test("q_uptime: fixture scale takes the single-phase path — one metric exchange") {
     val p = plan("q_uptime")
     // window partitioning == group key → ONE corpus exchange feeds both;
