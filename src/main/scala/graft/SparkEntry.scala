@@ -92,6 +92,8 @@ object SparkEntry {
     // incremental-ingest dedup: new sources probed against the base index
     "q_dedup_incremental" -> (DedupOps.dedupIncremental _),
     "q_dedup_substring" -> (DedupOps.dedupSubstring _),
+    "q_url_dedup" -> (CurationOps.urlDedup _),
+    "q_domain_mix" -> (CurationOps.domainMix _),
     "q_dedup_embed" -> (SimilarityOps.dedupEmbed _),
     "q_sim_topk" -> (SimilarityOps.simTopK _),
     // ANN variants: both hash-checked — the sign-bucket LSH and the decimal

@@ -280,12 +280,214 @@ object CurationOps {
       .resultOrder(col("doc_id"))
   }
 
+  // ─────────────────────── URL / domain curation ───────────────────────
+
+  /** Deterministic synthetic `url` column over the documents fixture —
+    * the driver data carries no URL, so the pair below derives one as a
+    * pure function of doc_id (disclosed in TESTDATA.md): md5 buckets pick
+    * PRESENTATION variants (scheme, www/WWW/blog subdomains, mixed-case
+    * host, default ports, trailing slash, tracking params, fragments —
+    * everything canonicalization must collapse), small moduli pick the
+    * IDENTITY (site number, path, query id) so distinct doc_ids collide
+    * on the canonical form at every scale. Both engines build
+    * bit-identical strings (md5 + integer arithmetic only).
+    */
+  private[graft] def docUrl: org.apache.spark.sql.Column = {
+    def hb(off: Int) =
+      conv(substring(md5(col("doc_id").cast("string")), off, 6), 16, 10).cast("long")
+    val a = hb(1) % 4   // subdomain/case variant
+    val b = hb(7) % 3   // trailing slash
+    val q = hb(13) % 4  // query variant
+    val d = hb(19)      // scheme + port
+    val e = hb(25) % 5  // fragment
+    val hostNum = col("doc_id") % 11
+    val qid = (col("doc_id") % 3).cast("string")
+    concat(
+      when(d % 2 === 0, "https").otherwise("http"), lit("://"),
+      when(a === 1, "www.").when(a === 2, "WWW.").when(a === 3, "blog.").otherwise(""),
+      when(a === 2, "Site").otherwise("site"),
+      hostNum.cast("string"),
+      when(hostNum % 4 === 0, ".com").when(hostNum % 4 === 1, ".org")
+        .when(hostNum % 4 === 2, ".co.uk").otherwise(".net"),
+      when(d % 2 === 0 && d % 5 === 0, ":443")
+        .when(d % 2 === 1 && d % 5 === 1, ":80").otherwise(""),
+      lit("/p/"), (col("doc_id") % 5).cast("string"),
+      when(b === 0, "/").otherwise(""),
+      when(q === 1, concat(lit("?id="), qid))
+        .when(q === 2, concat(lit("?id="), qid, lit("&utm_source=feed")))
+        .when(q === 3, "?utm_campaign=x").otherwise(""),
+      when(e === 0, concat(lit("#s"), (col("doc_id") % 3).cast("string"))).otherwise(""))
+  }
+
+  /** URL canonicalization, the C4/RefinedWeb normalization stage: strip
+    * fragment, drop tracking query params (utm_ prefix, fbclid, gclid)
+    * plus any dangling separator, fold http→https, lowercase the host,
+    * strip a leading `www.` and a default port, and collapse the
+    * trailing path slash. Pure in-row string work — zero shuffle at any
+    * scale.
+    */
+  private[graft] def canonicalParts(url: org.apache.spark.sql.Column)
+      : (org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
+    val u = regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(url, "#.*", ""),
+          "(utm_[a-z]+|fbclid|gclid)=[^&]*&?", ""),
+        "[?&]$", ""),
+      "^http://", "https://")
+    // host spans position 9 (after 'https://') up to the first '/'
+    val slash = locate("/", u, 9)
+    val hostRaw = when(slash > 0, u.substr(lit(9), slash - 9))
+      .otherwise(u.substr(lit(9), length(u)))
+    val rest = when(slash > 0, u.substr(slash, length(u))).otherwise(lit(""))
+    val lh = lower(hostRaw)
+    val host = regexp_replace(
+      when(lh.like("www.%"), lh.substr(lit(5), length(lh))).otherwise(lh),
+      ":(443|80)$", "")
+    (host, regexp_replace(rest, "/(\\?|$)", "$1"))
+  }
+
+  private[graft] def canonicalUrl(url: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val (host, rest) = canonicalParts(url)
+    concat(lit("https://"), host, rest)
+  }
+
+  /** Registrable domain (public-suffix-lite: the common two-part
+    * suffixes; everything else takes the last two labels — a full
+    * public-suffix-list lookup is a broadcast-join swap-in).
+    */
+  private[graft] val TwoPartSuffixes = Seq("co.uk", "com.au", "ac.uk")
+
+  private[graft] def registrableDomain(host: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(TwoPartSuffixes.map(sfx => host.endsWith("." + sfx) || host === sfx)
+        .reduce(_ || _),
+      regexp_extract(host, "([^.]+\\.[^.]+\\.[^.]+)$", 1))
+      .otherwise(regexp_extract(host, "([^.]+\\.[^.]+)$", 1))
+
+  /** Exact-URL dedup keep-first — the C4/RefinedWeb URL-level pass that
+    * runs BEFORE any content dedup: canonicalize in-row, group by the
+    * canonical form, keep the smallest doc_id. One corpus exchange on
+    * the (high-cardinality) canonical URL, map-side combined; no skew
+    * concern because a canonical URL's copy count is bounded by refetch
+    * policy, not corpus size.
+    */
+  def urlDedup(s: SparkSession, dir: String): DataFrame =
+    urlDedupOn(Tables.documents(s, dir))
+
+  private[graft] def urlDedupOn(documents: DataFrame): DataFrame =
+    Tables.fanOut(documents.select(col("doc_id")))
+      .select(col("doc_id"), canonicalUrl(docUrl).as("url"))
+      .groupBy(col("url"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select(col("doc_id"), col("url"), col("n_copies"))
+      .resultOrder(col("doc_id"))
+
+  /** Per-domain cap for [[domainMix]]. */
+  val DomainDocCap = 15
+
+  /** Per-domain corpus mix with deterministic caps — the C4/RefinedWeb
+    * domain-balancing stage: registrable domain in-row, per-domain doc
+    * counts, and a cap of [[DomainDocCap]] docs per domain where the
+    * kept set is chosen by content-hash rank (md5 of doc_id, doc_id
+    * tie-break — the [[sampleStratified]] determinism idiom), reported
+    * as (domain, n_docs, n_kept, kept_chars, share_permille).
+    *
+    * Scale shape: the corpus is scanned twice but never exchanged —
+    * the totals branch is a map-side-combined domain aggregate (tiny),
+    * and the kept branch's rank-filter plans as WindowGroupLimit, which
+    * prunes to ≤ cap rows per domain on BOTH sides of the exchange, so
+    * the low-cardinality domain sort only ever sees cap × maps rows.
+    * A fused single-window form would scan once but rank the WHOLE
+    * corpus through ≤ |domains| sort tasks — the funnel this codebase
+    * size-gates everywhere else; two pruned streams beat one corpus
+    * sort at every scale past a laptop.
+    */
+  def domainMix(s: SparkSession, dir: String): DataFrame =
+    domainMixOn(Tables.documents(s, dir))
+
+  private[graft] def domainMixOn(documents: DataFrame): DataFrame = {
+    val docs = Tables.fanOut(documents.select(col("doc_id"), col("n_chars")))
+      .select(col("doc_id"), col("n_chars"),
+        registrableDomain(canonicalParts(docUrl)._1).as("domain"),
+        substring(md5(col("doc_id").cast("string")), 1, 6).as("hk"))
+    val kept = docs
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("domain")).orderBy(col("hk"), col("doc_id"))))
+      .filter(col("rn") <= DomainDocCap)
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("kept_chars"))
+    val totals = docs.groupBy(col("domain")).agg(count(lit(1)).as("n_docs"))
+    totals.join(Tables.broadcastIfSmall(kept), Seq("domain"))
+      .withColumn("total", sum(col("n_docs")).over(Window.partitionBy()))
+      .select(col("domain"), col("n_docs"), col("n_kept"), col("kept_chars"),
+        expr("(n_docs * 1000) div total").as("share_permille"))
+      .resultOrder(col("domain"))
+  }
+
   private val ratesCaseSql: String =
     SampleRatesPerMille
       .map { case (lang, r) => s"WHEN lang = '$lang' THEN $r" }
       .mkString("CASE ", " ", " ELSE 0 END")
 
+  /** DuckDB twin of [[docUrl]] + [[canonicalParts]]: same md5 buckets,
+    * same component CASEs, same canonicalization steps (RE2's `\\1`
+    * backref vs Java's `$1` is the only dialect difference).
+    */
+  private def hbSql(off: Int): String =
+    s"CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), $off, 6)) AS BIGINT)"
+
+  private lazy val urlCanonCteSql: String = {
+    val url = s"""concat(
+      |  CASE WHEN ${hbSql(19)} % 2 = 0 THEN 'https' ELSE 'http' END, '://',
+      |  CASE ${hbSql(1)} % 4 WHEN 1 THEN 'www.' WHEN 2 THEN 'WWW.' WHEN 3 THEN 'blog.' ELSE '' END,
+      |  CASE WHEN ${hbSql(1)} % 4 = 2 THEN 'Site' ELSE 'site' END,
+      |  CAST(doc_id % 11 AS VARCHAR),
+      |  CASE (doc_id % 11) % 4 WHEN 0 THEN '.com' WHEN 1 THEN '.org' WHEN 2 THEN '.co.uk' ELSE '.net' END,
+      |  CASE WHEN ${hbSql(19)} % 2 = 0 AND ${hbSql(19)} % 5 = 0 THEN ':443'
+      |       WHEN ${hbSql(19)} % 2 = 1 AND ${hbSql(19)} % 5 = 1 THEN ':80' ELSE '' END,
+      |  '/p/', CAST(doc_id % 5 AS VARCHAR),
+      |  CASE WHEN ${hbSql(7)} % 3 = 0 THEN '/' ELSE '' END,
+      |  CASE ${hbSql(13)} % 4 WHEN 1 THEN concat('?id=', CAST(doc_id % 3 AS VARCHAR))
+      |       WHEN 2 THEN concat('?id=', CAST(doc_id % 3 AS VARCHAR), '&utm_source=feed')
+      |       WHEN 3 THEN '?utm_campaign=x' ELSE '' END,
+      |  CASE WHEN ${hbSql(25)} % 5 = 0 THEN concat('#s', CAST(doc_id % 3 AS VARCHAR)) ELSE '' END)""".stripMargin
+    raw"""u0 AS (SELECT doc_id, n_chars, $url AS raw FROM documents),
+      |c1 AS (SELECT doc_id, n_chars, regexp_replace(regexp_replace(regexp_replace(regexp_replace(raw,
+      |         '#.*', '', 'g'), '(utm_[a-z]+|fbclid|gclid)=[^&]*&?', '', 'g'), '[?&]$$', '', 'g'),
+      |         '^http://', 'https://') AS u FROM u0),
+      |c2 AS (SELECT *,
+      |  CASE WHEN instr(substr(u, 9), '/') > 0
+      |       THEN substr(u, 9, instr(substr(u, 9), '/') - 1) ELSE substr(u, 9) END AS hostraw,
+      |  CASE WHEN instr(substr(u, 9), '/') > 0
+      |       THEN substr(u, 8 + instr(substr(u, 9), '/')) ELSE '' END AS rest FROM c1),
+      |c3 AS (SELECT *,
+      |  regexp_replace(CASE WHEN lower(hostraw) LIKE 'www.%' THEN substr(lower(hostraw), 5)
+      |                      ELSE lower(hostraw) END, ':(443|80)$$', '') AS host,
+      |  regexp_replace(rest, '/(\?|$$)', '\1', 'g') AS restc FROM c2)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_url_dedup" ->
+      s"""WITH $urlCanonCteSql
+         |SELECT min(doc_id) AS doc_id, concat('https://', host, restc) AS url,
+         |       CAST(count(*) AS BIGINT) AS n_copies
+         |FROM c3 GROUP BY url ORDER BY doc_id""".stripMargin,
+    "q_domain_mix" ->
+      raw"""WITH $urlCanonCteSql,
+         |dom AS (SELECT doc_id, n_chars,
+         |  CASE WHEN host LIKE '%.co.uk' OR host LIKE '%.com.au' OR host LIKE '%.ac.uk'
+         |       THEN regexp_extract(host, '([^.]+\.[^.]+\.[^.]+)$$', 1)
+         |       ELSE regexp_extract(host, '([^.]+\.[^.]+)$$', 1) END AS domain FROM c3),
+         |ranked AS (SELECT doc_id, n_chars, domain,
+         |  row_number() OVER (PARTITION BY domain
+         |    ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 6), doc_id) AS rn FROM dom),
+         |k AS (SELECT domain, CAST(count(*) AS BIGINT) AS n_kept,
+         |             CAST(sum(n_chars) AS BIGINT) AS kept_chars
+         |      FROM ranked WHERE rn <= $DomainDocCap GROUP BY domain),
+         |t AS (SELECT domain, CAST(count(*) AS BIGINT) AS n_docs FROM dom GROUP BY domain)
+         |SELECT t.domain, t.n_docs, k.n_kept, k.kept_chars,
+         |       CAST((t.n_docs * 1000) // (sum(t.n_docs) OVER ()) AS BIGINT) AS share_permille
+         |FROM t JOIN k USING (domain) ORDER BY t.domain""".stripMargin,
     "q_pack_sequences" ->
       s"""WITH t AS (
          |  SELECT doc_id,

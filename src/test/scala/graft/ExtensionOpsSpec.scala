@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{DedupOps, SessionOps, SimilarityOps, TextOps}
+import graft.ops.{CurationOps, DedupOps, SessionOps, SimilarityOps, TextOps}
 import org.apache.spark.sql.functions._
 
 /** §2E invariants (SURVEY §5.2.3): dedup idempotence, top-k ⊆ full-sort
@@ -156,6 +156,41 @@ class ExtensionOpsSpec extends SparkSuite {
       Seq((3L, 1L, W.toLong), (3L, W + 2L, W.toLong)), got.toString)
     assert(!got.exists(_._1 == 1L) && !got.exists(_._1 == 4L) && !got.exists(_._1 == 5L),
       got.toString)
+  }
+
+  test("url canonicalization collapses presentation variants, keeps identity") {
+    import spark.implicits._
+    val urls = Seq(
+      "http://WWW.Site3.net:80/p/1/?id=2&utm_source=feed#frag",
+      "https://www.site3.net:443/p/1?id=2",
+      "https://site3.net/p/1/?utm_campaign=x&utm_source=a",
+      "https://blog.site3.net/p/1",
+      "http://site9.co.uk/p/2?id=1"
+    ).toDF("u")
+    val got = urls.select(CurationOps.canonicalUrl(col("u"))).as[String].collect().toSeq
+    assert(got === Seq(
+      "https://site3.net/p/1?id=2",   // every variant collapsed
+      "https://site3.net/p/1?id=2",
+      "https://site3.net/p/1",        // tracking-only query removed
+      "https://blog.site3.net/p/1",   // blog is NOT www: identity kept
+      "https://site9.co.uk/p/2?id=1"), got.toString)
+    val doms = urls.select(CurationOps.registrableDomain(
+      CurationOps.canonicalParts(col("u"))._1)).as[String].collect().toSeq
+    assert(doms === Seq("site3.net", "site3.net", "site3.net",
+      "site3.net",                    // registrable domain strips blog.
+      "site9.co.uk"), doms.toString)  // two-part public suffix keeps 3 labels
+  }
+
+  test("domain mix: caps bind, kept set is the md5-rank prefix") {
+    val got = CurationOps.domainMix(spark, SfDir).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (nd, nk) = (r.getAs[Long]("n_docs"), r.getAs[Long]("n_kept"))
+      assert(nk == math.min(nd, CurationOps.DomainDocCap.toLong), r.toString)
+    }
+    // determinism: a second run is byte-identical
+    val again = CurationOps.domainMix(spark, SfDir).collect()
+    assert(got.map(_.toString).toSeq === again.map(_.toString).toSeq)
   }
 
   test("source overlap equals an independent string-shingle recompute") {

@@ -616,6 +616,26 @@ class PlanSpec extends SparkSuite {
       "scan reads columns beyond (doc_id, text):\n" + p)
   }
 
+  test("q_url_dedup: in-row canonicalization, one corpus exchange, no joins") {
+    val p = plan("q_url_dedup")
+    assert(!p.contains("Join"), s"url dedup must not join:\n$p")
+    // one hash exchange on the canonical url for the keep-first aggregate;
+    // fanOut is RoundRobin and the presentation sort is single-reducer
+    assert("hashpartitioning\\(".r.findAllIn(p).size == 1,
+      s"expected exactly 1 hash exchange:\n$p")
+    assert(p.contains("partial_min") || p.contains("partial_count") ||
+      p.contains("HashAggregate"), s"keep-first aggregate missing map-side combine:\n$p")
+  }
+
+  test("q_domain_mix: cap rank plans as WindowGroupLimit on both exchange sides") {
+    val p = plan("q_domain_mix")
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2,
+      s"rank-filter must prune to cap per domain on BOTH sides of the exchange:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"domain-cardinality kept/totals join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no corpus-scale join exists here:\n$p")
+  }
+
   test("q_uptime: fixture scale takes the single-phase path — one metric exchange") {
     val p = plan("q_uptime")
     // window partitioning == group key → ONE corpus exchange feeds both;
