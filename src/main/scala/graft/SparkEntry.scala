@@ -77,6 +77,7 @@ object SparkEntry {
     "q_top_terms" -> (TextOps.topTerms _),
     // BPE-style pair statistics + corpus-frequency quality proxy
     "q_top_bigrams" -> (TextOps.topBigrams _),
+    "q_bpe_train" -> (TextOps.bpeTrain _),
     "q_lm_score" -> (TextOps.lmScore _),
     "q_top_terms_approx" -> (TextOps.topTermsApprox _),
     "q_dedup_rate_by_source" -> (TextOps.dedupRateBySource _),

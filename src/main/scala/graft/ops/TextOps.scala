@@ -276,6 +276,90 @@ object TextOps {
       .orderBy(col("cnt").desc, col("bigram"))
       .limit(k)
 
+  // ───────────────────────── BPE merge training ─────────────────────────
+
+  /** Number of merge iterations [[bpeTrain]] runs. */
+  val BpeMerges = 6
+
+  /** Unit-separator token delimiter for the BPE symbol encoding. */
+  private[graft] val BpeSep = "\u001f"
+
+  /** BPE merge TRAINING — the other half of the tokenizer arc
+    * ([[topBigrams]] is the one-shot pair statistic; this runs the
+    * Sennrich et al. 2016 loop): start from the corpus word-frequency
+    * table with words split into character symbols, then K times (a)
+    * count adjacent symbol pairs weighted by word frequency (overlaps
+    * counted, as in the reference implementation), (b) take the most
+    * frequent pair — ties broken (count DESC, left ASC, right ASC) so
+    * both engines pick identically — and (c) merge it greedily
+    * left-to-right in every word. Emits (it, l, r, merged, pair_count).
+    *
+    * The merge step is the trick that keeps BOTH engines exact and
+    * identical: a word's symbol sequence is encoded as one string,
+    * `␟␟sym␟␟sym␟␟`, so applying a merge is a plain non-overlapping
+    * left-to-right `replace` of `␟L␟␟R␟` with `␟LR␟` — replace()
+    * semantics (Java and DuckDB alike) ARE the BPE greedy merge, and
+    * the doubled separator means adjacent matches never share
+    * characters ([a,a,a,a] → [aa,aa], not [aa,a,a]). No per-row fold,
+    * no UDF.
+    *
+    * Scale shape (the [[graft.ops.ClusterOps]] kmeans / PqOps train
+    * idiom): ONE corpus exchange builds the word-frequency table —
+    * everything after runs on the VOCABULARY-scale checkpointed table
+    * (|vocab| rows regardless of corpus size). Each iteration is a
+    * pair-count aggregate over that table plus a 1-row driver argmax
+    * collect (the merge decision IS metadata); the chosen pair folds
+    * back as literals. K is config-scale, the training loop never
+    * touches the corpus again. Astral-plane caveat: character splitting
+    * uses `(.)`, a UTF-16 unit in Spark and a codepoint in DuckDB —
+    * identical on the fixture's (and most corpora's) BMP text.
+    */
+  def bpeTrain(s: SparkSession, dir: String): DataFrame =
+    bpeTrainOn(Tables.documents(s, dir), BpeMerges)
+
+  private[graft] def bpeTrainOn(documents: DataFrame, k: Int): DataFrame = {
+    val spark = documents.sparkSession
+    val S = BpeSep
+    var enc = Tables.fanOut(documents.select(col("text")))
+      .select(explode(split(trim(col("text")), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .select(concat(lit(S + S),
+        regexp_replace(col("word"), "(.)", "$1" + S + S)).as("enc"), col("freq"))
+      .localCheckpoint(eager = true)
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, String, Long)]()
+    var it = 1
+    var done = false
+    while (it <= k && !done) {
+      val top = enc
+        .select(filter(split(col("enc"), S + S), x => x =!= "").as("s"), col("freq"))
+        .filter(size(col("s")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(s) - 1), " +
+            "i -> struct(element_at(s, i) AS l, element_at(s, i + 1) AS r))")).as("p"),
+          col("freq"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((it, l, r, l + r, c))
+        // checkpoint per round: each job stays one stage deep instead of
+        // dragging a growing replace() chain (vocab-scale, cheap)
+        enc = enc.select(
+          replace(col("enc"), lit(S + l + S + S + r + S), lit(S + l + r + S)).as("enc"),
+          col("freq"))
+          .localCheckpoint(eager = true)
+      }
+      it += 1
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("it", "l", "r", "merged", "pair_count")
+      .resultOrder(col("it"))
+  }
+
   /** Corpus-frequency document scoring — the KenLM/Gopher-style quality
     * proxy in exact integer arithmetic: a document's bigrams are scored
     * by their corpus frequency (boilerplate-typical text scores high,
@@ -388,7 +472,38 @@ object TextOps {
       .resultOrder(col("doc_id"), col("rk"))
   }
 
+  /** DuckDB twin of [[bpeTrainOn]]: the K merge iterations unrolled as
+    * CTE triplets (pair counts → LIMIT-1 argmax → replace()-applied
+    * merge), exact integer counts, same tie-break, same separator
+    * encoding — so the hash compare proves the two training loops pick
+    * identical merges.
+    */
+  private lazy val bpeOracleSql: String = {
+    val S = BpeSep
+    val SS = S + S
+    val head =
+      raw"""w0 AS (SELECT tok AS word, CAST(count(*) AS BIGINT) AS freq
+        |  FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents)
+        |  WHERE tok <> '' GROUP BY 1),
+        |e0 AS (SELECT '$SS' || regexp_replace(word, '(.)', '\1$SS', 'g') AS enc, freq FROM w0)""".stripMargin
+    val iters = (1 to BpeMerges).map { i =>
+      raw"""s$i AS (SELECT list_filter(string_split(enc, '$SS'), x -> x <> '') AS s, freq FROM e${i - 1}),
+        |p$i AS (SELECT s[i] AS l, s[i+1] AS r, CAST(sum(freq) AS BIGINT) AS cnt
+        |  FROM (SELECT s, freq, unnest(generate_series(1, len(s) - 1)) AS i FROM s$i WHERE len(s) >= 2)
+        |  GROUP BY 1, 2),
+        |m$i AS (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
+        |e$i AS (SELECT replace(e${i - 1}.enc, '$S' || m.l || '$SS' || m.r || '$S',
+        |                       '$S' || m.l || m.r || '$S') AS enc, freq FROM e${i - 1}, m$i m)""".stripMargin
+    }
+    val union = (1 to BpeMerges)
+      .map(i => s"SELECT $i AS it, l, r, l || r AS merged, cnt AS pair_count FROM m$i")
+      .mkString("\nUNION ALL\n")
+    "WITH " + (head +: iters).mkString(",\n") +
+      s"\nSELECT * FROM (\n$union\n) ORDER BY it"
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_bpe_train" -> bpeOracleSql,
     "q_top_bigrams" ->
       """WITH t AS (
         |  SELECT string_split_regex(trim(text), '\s+') AS t FROM documents),

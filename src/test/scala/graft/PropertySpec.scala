@@ -507,6 +507,68 @@ class PropertySpec extends SparkSuite {
       "sub-capacity sketch must equal the exact top-terms")
   }
 
+  test("bpeTrain == plain-Scala Sennrich reference (randomized corpora + fixture)") {
+    import spark.implicits._
+    // direct transliteration of the Sennrich et al. 2016 learn_bpe loop:
+    // get_stats counts overlapping adjacent pairs weighted by word freq,
+    // the argmax ties break (count DESC, l ASC, r ASC), merges apply
+    // greedily left-to-right
+    def scalaBpe(words: Map[String, Long], k: Int): Seq[(Int, String, String, String, Long)] = {
+      var cur: Seq[(Vector[String], Long)] =
+        words.toSeq.map { case (w, f) => (w.map(_.toString).toVector, f) }
+      val out = scala.collection.mutable.ArrayBuffer[(Int, String, String, String, Long)]()
+      var it = 1
+      var stop = false
+      while (it <= k && !stop) {
+        val counts = scala.collection.mutable.Map[(String, String), Long]().withDefaultValue(0L)
+        cur.foreach { case (s, f) =>
+          var i = 0
+          while (i < s.length - 1) { counts((s(i), s(i + 1))) += f; i += 1 }
+        }
+        if (counts.isEmpty) stop = true
+        else {
+          val ((l, r), c) = counts.toSeq.minBy { case ((l, r), c) => (-c, l, r) }
+          out += ((it, l, r, l + r, c))
+          cur = cur.map { case (s, f) =>
+            val b = Vector.newBuilder[String]
+            var i = 0
+            while (i < s.length) {
+              if (i + 1 < s.length && s(i) == l && s(i + 1) == r) { b += l + r; i += 2 }
+              else { b += s(i); i += 1 }
+            }
+            (b.result(), f)
+          }
+        }
+        it += 1
+      }
+      out.toSeq
+    }
+    def wordFreqs(docs: Seq[String]): Map[String, Long] =
+      docs.flatMap(_.trim.split("\\s+")).filter(_.nonEmpty)
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val rnd = new scala.util.Random(42)
+    // adversarial shapes: runs of a repeated char (overlap counting +
+    // greedy non-overlap merges), single chars, shared prefixes
+    val corpora = Seq(
+      Seq("aaaa aaa aa a", "aaaa aaaa"),
+      Seq("abab ababab ab", "ba ab ba"),
+      (1 to 40).map(_ => Seq("low", "lower", "lowest", "newest", "widest",
+        "aa", "aaa")(rnd.nextInt(7))).mkString(" ") :: Nil
+    )
+    corpora.zipWithIndex.foreach { case (docs, ci) =>
+      val got = TextOps.bpeTrainOn(docs.toDF("text"), 5).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+        .toSeq
+      assert(got === scalaBpe(wordFreqs(docs), 5), s"corpus $ci: $docs")
+    }
+    // the fixture run agrees too (k = BpeMerges, the registered query)
+    val fixtureDocs = Tables.documents(spark, SfDir).select("text").as[String].collect().toSeq
+    val got = TextOps.bpeTrain(spark, SfDir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+      .toSeq
+    assert(got === scalaBpe(wordFreqs(fixtureDocs), TextOps.BpeMerges))
+  }
+
   test("agent JSON escaping: every adversarial payload parses back exactly through the shared envelope schema") {
     // the OPC-UA→MQTT agent hand-assembles its wire JSON (jsonStr /
     // jsonScalar); this property drives the writer with quotes,
