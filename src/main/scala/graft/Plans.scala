@@ -71,7 +71,11 @@ object Plans {
       "q_lm_score" -> "corpus-frequency scoring: the vocabulary-bounded bigram count table broadcasts back onto the in-row pair stream (size-gated — degrades to a shuffle join past the bound); two corpus exchanges total",
       "q_uptime" -> "heartbeat liveness, size-gated like counter-rate: below the bound one metric-key exchange serves lead window and aggregate; past it the window partitions on bounded (metric, day) keys with the next-present-day carry broadcast back — the <=46-way per-metric corpus sort never happens at scale",
       "q_funnel" -> "ONE corpus scan (pushed stage-set IN filter), one user_id exchange, per-user in-row sorted fold (aggregate over collect_list) computing the strict-order stage chain; stage counts are a single global aggregate — no joins, no per-stage re-scan",
-      "q_retention_cohorts" -> "first-seen table broadcast back; (cohort, week, user) dedup is a distinct that map-side combines — never a count-distinct Expand; the retention matrix aggregate is weeks×cohorts-sized"
+      "q_retention_cohorts" -> "first-seen table broadcast back; (cohort, week, user) dedup is a distinct that map-side combines — never a count-distinct Expand; the retention matrix aggregate is weeks×cohorts-sized",
+      "q_dedup_substring" -> "verbatim-span dedup with NO corpus self-join and no suffix sort: in-row positional word_window_hashes fingerprints, ONE fingerprint-keyed exchange for the frameless keeper window, then the (small) cut stream's doc_id exchange shared by the island window and the span aggregate via subset-key clustering",
+      "q_bpe_train" -> "one corpus exchange builds the word-frequency table; every merge iteration runs on the vocabulary-scale checkpointed table (pair-count partial+final aggregate + a 1-row TakeOrderedAndProject argmax collect); merges apply as literal replace() projections — the corpus is never touched after the vocab build",
+      "q_url_dedup" -> "in-row URL derivation + canonicalization (pure codegen string ops, zero shuffle), then ONE map-side-combined exchange on the canonical url for the keep-first aggregate — no joins at any scale",
+      "q_domain_mix" -> "corpus scanned twice but never exchanged raw: totals branch is a map-side-combined domain aggregate; the cap branch's rank-filter plans as WindowGroupLimit on BOTH sides of its exchange (<= cap rows per domain per map task), so the low-cardinality domain key never funnels the corpus; domain-level join broadcasts"
     )
 
     val sb = new StringBuilder

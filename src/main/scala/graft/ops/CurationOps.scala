@@ -319,6 +319,70 @@ object CurationOps {
       when(e === 0, concat(lit("#s"), (col("doc_id") % 3).cast("string"))).otherwise(""))
   }
 
+  /** (doc_id …) → + `host`, `restc` (canonical parts) — the PROJECTION
+    * form the operators consume. The single-Column [[docUrl]] →
+    * [[canonicalParts]] composition inlines the md5/conv subtrees once
+    * per REFERENCE; at whole-stage codegen that multiplied into a
+    * >64 KB generated method and janino refused it (caught by the
+    * factor-100 sf10 sweep — Spark fell back to interpreted mode, so
+    * results stayed correct while every row paid ~20 redundant md5
+    * evaluations). Staged withColumn projections keep each non-cheap
+    * subexpression (md5, conv buckets, the regexp canon chain) as ONE
+    * named column: CollapseProject never merges a projection that would
+    * duplicate a non-cheap expression, so codegen evaluates each once
+    * into a local and the method stays small.
+    */
+  private[graft] def withCanonicalParts(df: DataFrame): DataFrame = {
+    val hb = (off: Int) =>
+      conv(substring(col("_uh"), off, 6), 16, 10).cast("long")
+    val hostNum = col("doc_id") % 11
+    val qid = (col("doc_id") % 3).cast("string")
+    df
+      .withColumn("_uh", md5(col("doc_id").cast("string")))
+      .withColumn("_ua", hb(1) % 4)
+      .withColumn("_ub", hb(7) % 3)
+      .withColumn("_uq", hb(13) % 4)
+      .withColumn("_ud", hb(19))
+      .withColumn("_ue", hb(25) % 5)
+      .withColumn("_url", concat(
+        when(col("_ud") % 2 === 0, "https").otherwise("http"), lit("://"),
+        when(col("_ua") === 1, "www.").when(col("_ua") === 2, "WWW.")
+          .when(col("_ua") === 3, "blog.").otherwise(""),
+        when(col("_ua") === 2, "Site").otherwise("site"),
+        hostNum.cast("string"),
+        when(hostNum % 4 === 0, ".com").when(hostNum % 4 === 1, ".org")
+          .when(hostNum % 4 === 2, ".co.uk").otherwise(".net"),
+        when(col("_ud") % 2 === 0 && col("_ud") % 5 === 0, ":443")
+          .when(col("_ud") % 2 === 1 && col("_ud") % 5 === 1, ":80").otherwise(""),
+        lit("/p/"), (col("doc_id") % 5).cast("string"),
+        when(col("_ub") === 0, "/").otherwise(""),
+        when(col("_uq") === 1, concat(lit("?id="), qid))
+          .when(col("_uq") === 2, concat(lit("?id="), qid, lit("&utm_source=feed")))
+          .when(col("_uq") === 3, "?utm_campaign=x").otherwise(""),
+        when(col("_ue") === 0, concat(lit("#s"), (col("doc_id") % 3).cast("string")))
+          .otherwise("")))
+      .withColumn("_u", regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("_url"), "#.*", ""),
+            "(utm_[a-z]+|fbclid|gclid)=[^&]*&?", ""),
+          "[?&]$", ""),
+        "^http://", "https://"))
+      .withColumn("_sl", locate("/", col("_u"), 9))
+      .withColumn("_hostraw", when(col("_sl") > 0, col("_u").substr(lit(9), col("_sl") - 9))
+        .otherwise(col("_u").substr(lit(9), length(col("_u")))))
+      .withColumn("_rest", when(col("_sl") > 0, col("_u").substr(col("_sl"), length(col("_u"))))
+        .otherwise(lit("")))
+      .withColumn("_lh", lower(col("_hostraw")))
+      .withColumn("host", regexp_replace(
+        when(col("_lh").like("www.%"), col("_lh").substr(lit(5), length(col("_lh"))))
+          .otherwise(col("_lh")),
+        ":(443|80)$", ""))
+      .withColumn("restc", regexp_replace(col("_rest"), "/(\\?|$)", "$1"))
+      .drop("_uh", "_ua", "_ub", "_uq", "_ud", "_ue", "_url", "_u", "_sl",
+        "_hostraw", "_rest", "_lh")
+  }
+
   /** URL canonicalization, the C4/RefinedWeb normalization stage: strip
     * fragment, drop tracking query params (utm_ prefix, fbclid, gclid)
     * plus any dangling separator, fold http→https, lowercase the host,
@@ -375,8 +439,9 @@ object CurationOps {
     urlDedupOn(Tables.documents(s, dir))
 
   private[graft] def urlDedupOn(documents: DataFrame): DataFrame =
-    Tables.fanOut(documents.select(col("doc_id")))
-      .select(col("doc_id"), canonicalUrl(docUrl).as("url"))
+    withCanonicalParts(Tables.fanOut(documents.select(col("doc_id"))))
+      .select(col("doc_id"),
+        concat(lit("https://"), col("host"), col("restc")).as("url"))
       .groupBy(col("url"))
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
       .select(col("doc_id"), col("url"), col("n_copies"))
@@ -406,9 +471,16 @@ object CurationOps {
     domainMixOn(Tables.documents(s, dir))
 
   private[graft] def domainMixOn(documents: DataFrame): DataFrame = {
-    val docs = Tables.fanOut(documents.select(col("doc_id"), col("n_chars")))
+    // coalesce makes `domain` provably NON-NULLABLE: without it the
+    // totals⋈kept inner join infers isnotnull(domain), and predicate
+    // pushdown re-inlines the ENTIRE url+canon expression tree into a
+    // scan filter — the second way the sf10 sweep's >64 KB codegen
+    // blowup came back after the projection staging (value unchanged:
+    // regexp_extract never returns null on non-null input)
+    val docs = withCanonicalParts(
+        Tables.fanOut(documents.select(col("doc_id"), col("n_chars"))))
       .select(col("doc_id"), col("n_chars"),
-        registrableDomain(canonicalParts(docUrl)._1).as("domain"),
+        coalesce(registrableDomain(col("host")), lit("")).as("domain"),
         substring(md5(col("doc_id").cast("string")), 1, 6).as("hk"))
     val kept = docs
       .withColumn("rn", row_number().over(

@@ -1137,6 +1137,72 @@ object StreamingOps {
       .toDF("doc_id", "src", "base_id", "inter", "jaccard")
   }
 
+  /** Streaming URL dedup: first-arrival survivor per canonical URL — the
+    * admission-control form of CurationOps.urlDedup (batch keeps the
+    * smallest doc_id; a stream has arrival order instead, the
+    * [[dedupExactStream]] convention). Canonicalization is the same
+    * in-row projection; state is one canonical URL per distinct page on
+    * the state store, which also makes source redelivery idempotent.
+    */
+  def urlDedupStream(docs: DataFrame): DataFrame = {
+    import graft.ops.CurationOps
+    CurationOps.withCanonicalParts(docs.select(col("doc_id")))
+      .select(col("doc_id"),
+        concat(lit("https://"), col("host"), col("restc")).as("url"))
+      .dropDuplicates("url")
+  }
+
+  /** Streaming twin of DedupOps.dedupSubstring in the asymmetric
+    * admission shape ([[dedupIncrementalStream]]'s contract): ARRIVING
+    * documents' rolling window fingerprints probe a STATIC base corpus
+    * index, and every span of an arriving doc that appears verbatim in
+    * the base is emitted as a cut (doc_id, span_start, span_len) — the
+    * base owns every window it contains, so there is no keep-first rank
+    * among probes. The base index pins as a checkpointed DISTINCT
+    * fingerprint table (at 100 TB: the persisted artifact of the batch
+    * pass); the probe side joins it per batch (size-gated broadcast),
+    * and the island merge runs per-doc in flatMapGroupsWithState — a
+    * doc's matched windows all arrive in its own micro-batch, positions
+    * are bounded by the doc's own length, and the one-boolean state
+    * makes redelivery emit-once. (The batch operator's windows can't
+    * run on a stream; the per-group sorted merge is the same gaps-and-
+    * islands arithmetic in-memory.)
+    */
+  def dedupSubstringStream(docs: DataFrame, baseDocs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    import graft.ops.DedupOps
+    val w = DedupOps.SubstrWindow
+    val baseIdx = baseDocs
+      .select(explode(DedupOps.windowHashes(col("text"))).as("h"))
+      .distinct()
+      .localCheckpoint(eager = true)
+    docs
+      .select(col("doc_id"), posexplode(DedupOps.windowHashes(col("text"))))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("p"), col("col").as("h"))
+      .join(graft.Tables.broadcastIfSmall(baseIdx), "h")
+      .select(col("doc_id"), col("p")).as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, (Long, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (id: Long, rows: Iterator[(Long, Long)], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            val ps = rows.map(_._2).toArray.sorted
+            val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+            var s0 = ps(0)
+            var last = ps(0)
+            ps.iterator.drop(1).foreach { p =>
+              if (p - last > w) { out += ((id, s0, last + w - s0)); s0 = p }
+              last = p
+            }
+            out += ((id, s0, last + w - s0))
+            out.iterator
+          }
+      }
+      .toDF("doc_id", "span_start", "span_len")
+  }
+
   /** Streaming cleanse: quality-gate each arriving document and chunk the
     * survivors — the online form of q_quality_filter → q_chunk_docs, run
     * as admission control in front of a training-data store. Both stages

@@ -1,6 +1,6 @@
 package graft
 
-import graft.pipeline.{IdempotentSink, MvRefreshJob, PartitionedWriter}
+import graft.pipeline.{IdempotentSink, MvRefreshJob, PartitionedWriter, RetentionRefreshJob}
 import graft.streaming.KafkaBridge
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
@@ -129,6 +129,37 @@ class PipelineSpec extends SparkSuite {
         "spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
     }
+  }
+
+  test("retention refresh job: kill/restart recompute snapshots equal the batch matrix") {
+    val atRest = tmp("ret_rest")
+    val out = tmp("ret_out")
+    val ckpt = tmp("ret_ckpt")
+    val total = Tables.events(spark, SfDir).count().toInt
+    // phase 1: "crash" after roughly half the stream
+    val q1 = RetentionRefreshJob.start(spark, RetentionRefreshJob.Config(
+      eventsPath, atRest, out, ckpt, trigger = Trigger.AvailableNow(),
+      rowsPerBatch = 2000, maxRows = Some(total / 2)))
+    assert(q1.awaitTermination(120000), "q1 did not drain within 120 s")
+    val mid = RetentionRefreshJob.read(spark, out)
+    assert(mid.count() > 0, "no committed snapshot after phase 1")
+    // phase 2: restart from the checkpoint, full stream
+    val q2 = RetentionRefreshJob.start(spark, RetentionRefreshJob.Config(
+      eventsPath, atRest, out, ckpt, trigger = Trigger.AvailableNow(),
+      rowsPerBatch = 2000, maxRows = None))
+    assert(q2.awaitTermination(120000), "q2 did not drain within 120 s")
+    // at-rest events: exactly-once across the restart
+    val rest = spark.read.parquet(atRest)
+    assert(rest.count() == total && rest.select("event_id").distinct().count() == total,
+      "at-rest table duplicated or dropped events across the restart")
+    // latest snapshot == the batch operator over the full fixture
+    val cols = Seq("cohort_week", "weeks_since", "n_active", "retained_permille")
+    val got = RetentionRefreshJob.read(spark, out).select(cols.map(col): _*)
+    val expected = graft.ops.SessionOps.retentionCohortsOn(
+      Tables.events(spark, SfDir).select(col("user_id"), col("ts")))
+      .select(cols.map(col): _*)
+    assert(got.exceptAll(expected).count() == 0, "snapshot has spurious matrix rows")
+    assert(expected.exceptAll(got).count() == 0, "snapshot is missing matrix rows")
   }
 
   test("ingest job with retention: at-rest fact table keeps exactly the last N days") {

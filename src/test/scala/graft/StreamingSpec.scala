@@ -255,6 +255,100 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("url dedup stream: one survivor per canonical URL under splits + redelivery") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ids = Tables.documents(spark, SfDir).select("doc_id").collect().map(_.getLong(0))
+    val rnd = new scala.util.Random(44)
+    val order = rnd.shuffle(ids.toSeq)
+    val mem = MemoryStream[Long]
+    val q = StreamingOps.urlDedupStream(mem.toDF().toDF("doc_id"))
+      .writeStream.format("memory").queryName("urldedup_out")
+      .outputMode("append").start()
+    try {
+      var rest = order
+      while (rest.nonEmpty) {
+        val (batch, tail) = rest.splitAt(1 + rnd.nextInt(150))
+        mem.addData(batch: _*)
+        rest = tail
+      }
+      mem.addData(order.take(30): _*) // at-least-once redelivery
+      q.processAllAvailable()
+      val streamed = spark.table("urldedup_out").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      // emit-once per canonical URL, even under redelivery
+      assert(streamed.map(_._2).distinct.length == streamed.length, "url emitted twice")
+      // survivor set covers exactly the batch operator's canonical URLs
+      val batchUrls = graft.ops.CurationOps.urlDedup(spark, SfDir).collect()
+        .map(_.getString(1)).toSet
+      assert(streamed.map(_._2).toSet === batchUrls)
+      // each survivor is a doc that actually maps to that URL (arrival
+      // order decides WHICH one, so membership is the invariant)
+      val urlOf = Tables.documents(spark, SfDir).select(col("doc_id"),
+          graft.ops.CurationOps.canonicalUrl(graft.ops.CurationOps.docUrl).as("url"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      streamed.foreach { case (id, url) => assert(urlOf(id) == url, s"doc $id") }
+    } finally q.stop()
+  }
+
+  test("substring dedup stream == asymmetric batch cut spans under splits + redelivery") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = graft.ops.DedupOps.IncrementalBaseSource
+    val all = Tables.documents(spark, SfDir)
+      .select("doc_id", "text", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val baseDocs = all.filter(_._3 == base).map(d => (d._1, d._2)).toSeq.toDF("doc_id", "text")
+    val rnd = new scala.util.Random(45)
+    val probes = rnd.shuffle(all.filterNot(_._3 == base).map(d => (d._1, d._2)).toSeq)
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingOps.dedupSubstringStream(
+        mem.toDF().toDF("doc_id", "text"), baseDocs)
+      .writeStream.format("memory").queryName("subdedup_out")
+      .outputMode("append").start()
+    try {
+      var rest = probes
+      while (rest.nonEmpty) {
+        val (batch, tail) = rest.splitAt(1 + rnd.nextInt(150))
+        mem.addData(batch: _*)
+        rest = tail
+      }
+      mem.addData(probes.take(25): _*) // at-least-once redelivery
+      q.processAllAvailable()
+      val streamed = spark.table("subdedup_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      // emit-once under redelivery: no duplicate span rows
+      assert(streamed.length == streamed.distinct.length, "span emitted twice")
+      // batch reference with the SAME asymmetric semantics: every probe
+      // window whose fingerprint appears anywhere in the base is a cut;
+      // islands merged in plain Scala
+      val w = graft.ops.DedupOps.SubstrWindow
+      val baseH = baseDocs
+        .select(explode(graft.ops.DedupOps.windowHashes(col("text"))).as("h"))
+        .distinct().as[Long].collect().toSet
+      val probeOcc = probes.toDF("doc_id", "text")
+        .select(col("doc_id"), posexplode(graft.ops.DedupOps.windowHashes(col("text"))))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("p"), col("col").as("h"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val expect = probeOcc.filter(t => baseH(t._3)).groupBy(_._1).toSeq.flatMap {
+        case (id, rows) =>
+          val ps = rows.map(_._2).sorted
+          val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+          var s0 = ps(0); var last = ps(0)
+          ps.iterator.drop(1).foreach { p =>
+            if (p - last > w) { out += ((id, s0, last + w - s0)); s0 = p }
+            last = p
+          }
+          out += ((id, s0, last + w - s0))
+          out.toSeq
+      }
+      assert(expect.nonEmpty, "fixture has no cross-source verbatim spans — vacuous test")
+      assert(streamed.toSet === expect.toSet,
+        s"only-streamed=${(streamed.toSet -- expect.toSet).take(3)} " +
+          s"only-batch=${(expect.toSet -- streamed.toSet).take(3)}")
+    } finally q.stop()
+  }
+
   test("decontamination stream: flags equal the batch operator under micro-batch splits") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
