@@ -486,9 +486,14 @@ object RelationalOps {
     * the data's size statistic, never on the caller.
     *
     * The bounds are PER OPERATOR and empirical (same-window A/B): counter's
-    * single-phase plan has ONE window sort, and it won both scales (0.33
-    * vs 0.58 s at sf0.1; 0.90 vs 1.16 s at sf1) — its bound is generous,
-    * the sort ceiling is the only limit. SPC's single-phase plan re-sorts
+    * single-phase plan has ONE window sort, and it won every scale up to
+    * factor 30 (0.33 vs 0.58 s at sf0.1; 0.90 vs 1.16 s at sf1; 2.59 vs
+    * 2.81 s at sf3) — but the round-11 factor-100 A/B found the cross:
+    * at sf10 (planning size 119 MB) two-phase wins 8.8 s vs 23.1 s
+    * (min-of-2 each, same window). The crossover sits between sf3's
+    * 37 MB and sf10's 119 MB planning estimates; the bound is 64 MB —
+    * biased LOW because the mis-pick costs are asymmetric (two-phase at
+    * sf3 loses 8%, single-phase at sf10 loses 2.6×). SPC's single-phase plan re-sorts
     * the corpus THREE times (grp ranks + run ranks), and the forms cross
     * between the two fixtures (0.68 vs 0.66 s at sf0.1 — parity;
     * 3.11 vs 1.28 s at sf1 — two-phase wins 2.4×), so its bound sits
@@ -500,7 +505,7 @@ object RelationalOps {
     * single-phase form at exactly the scale two-phase was built for —
     * caught by an isolated sf1 re-measure, 3.45 s vs the A/B's 1.28 s).
     */
-  val CounterSinglePhaseMaxBytes: Long = 256L << 20
+  val CounterSinglePhaseMaxBytes: Long = 64L << 20
   val SpcSinglePhaseMaxBytes: Long = 4L << 20
 
   /** The effective gate bound — `spark.graft.singlePhaseMaxBytes`
