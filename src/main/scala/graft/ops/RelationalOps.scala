@@ -349,21 +349,44 @@ object RelationalOps {
     * observation), so locf_value is never null — deterministic without a
     * lookback horizon.
     */
-  def gapfillLocf(s: SparkSession, dir: String): DataFrame =
-    gapfillLocfOn(ev(s, dir).select(
-      col("event_type").as("metric"), col("ts"), col("value")))
+  /** Single-phase bound for the gap-fill pair's lead window — the SPC
+    * class: the observed-bucket lead partitions on bare `metric`, and
+    * the fixture's VALUE-BEARING metric count is 5, so past this bound
+    * the whole observed-minute table (8M rows at factor 100) sorts and
+    * gap-expands through five tasks — the factor-100 sweep measured the
+    * superlinear wall (63 s at sf10 vs 10.5 s at sf3 for 3.3× data).
+    */
+  // literal, not `= SpcSinglePhaseMaxBytes`: that val is declared LATER
+  // in this object, and a forward val reference silently initializes to
+  // 0 — which made the gate pick two-phase at every scale (caught by the
+  // existing join-free PlanSpec pin). Same 4 MB class as the SPC bound.
+  val GapfillSinglePhaseMaxBytes: Long = 4L << 20
+
+  def gapfillLocf(s: SparkSession, dir: String): DataFrame = {
+    val rows = ev(s, dir).select(
+      col("event_type").as("metric"), col("ts"), col("value"))
+    gapfillLocfOn(rows, twoPhase =
+      Tables.planningSize(rows) > singlePhaseBound(s, GapfillSinglePhaseMaxBytes))
+  }
 
   /** [[gapfillLocf]] over any (metric, ts, value) frame — the form the
     * streaming twin's spec recomputes batch-side.
     */
-  def gapfillLocfOn(events: DataFrame): DataFrame =
-    gapfillExpandedOn(events)
+  def gapfillLocfOn(events: DataFrame, twoPhase: Boolean = false): DataFrame =
+    gapfillExpandedOn(events, twoPhase)
       .select(col("metric"), col("g.b").as("bucket"),
         when(!col("g.gap"), col("avg_value")).as("avg_value"),
         col("avg_value").as("locf_value"),
         col("g.gap").as("is_gap"),
         when(col("g.gap"), lit(0L)).otherwise(col("sample_count")).as("sample_count"))
-      .resultOrder(col("metric"), col("bucket"))
+      // explicit range sort, NOT resultOrder: the single-reducer gate
+      // keys on the planning-size estimate, and Generate propagates its
+      // CHILD's (post-aggregate, tiny) estimate — the dense spine is
+      // gap-expansion times larger than the plan thinks (sf10: 21.6M
+      // rows through one sort task, 63 s; the whole suite's one
+      // superlinear row). A gap-filled export is spine-sized by
+      // construction, so the parallel range sort is always right here.
+      .orderBy(col("metric"), col("bucket"))
 
   /** The segment-expanded dense series shared by the locf and interpolate
     * fill policies: per-minute observed aggregates, each row extended with
@@ -387,16 +410,53 @@ object RelationalOps {
     gapfillExpandedOn(ev(s, dir).select(
       col("event_type").as("metric"), col("ts"), col("value")))
 
-  private def gapfillExpandedOn(events: DataFrame): DataFrame = {
+  /** Two-phase arm (the counter-rate/uptime template): the successor
+    * observation is computed with a (metric, DAY)-partitioned lead —
+    * bounded keys × unbounded history becomes days × metrics tasks —
+    * and the day-boundary gap is repaired by a carry: each (metric,
+    * day)'s FIRST observation, lead() over the tiny day-level table to
+    * give "next PRESENT day's first", joined back size-gate-broadcast.
+    * The in-day window output is eagerly checkpointed because BOTH the
+    * main stream and the firsts branch consume it (the spcRulesOn
+    * materialization rule); it is observed-bucket cardinality — bounded
+    * by metrics × minutes of history, never by corpus rows. The Generate
+    * expansion then inherits the (metric, day) partitioning, so gap
+    * rows materialize across days instead of through ≤|metrics| tasks.
+    */
+  private def gapfillExpandedOn(events: DataFrame, twoPhase: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val wobs = Window.partitionBy(col("metric")).orderBy(col("bucket"))
-    events.filter(col("value").isNotNull)
+    val obs = events.filter(col("value").isNotNull)
       .groupBy(col("metric"),
         date_trunc("minute", col("ts")).as("bucket"))
       .agg(Model.exactAvg4("value").as("avg_value"),
         count(col("value")).as("sample_count"))
-      .withColumn("next_b", lead(col("bucket"), 1).over(wobs))
-      .withColumn("next_v", lead(col("avg_value"), 1).over(wobs))
+    val withNext =
+      if (!twoPhase) {
+        val wobs = Window.partitionBy(col("metric")).orderBy(col("bucket"))
+        obs
+          .withColumn("next_b", lead(col("bucket"), 1).over(wobs))
+          .withColumn("next_v", lead(col("avg_value"), 1).over(wobs))
+      } else {
+        val wDay = Window.partitionBy(col("metric"), col("day")).orderBy(col("bucket"))
+        val inDay = obs
+          .withColumn("day", date_trunc("day", col("bucket")))
+          .withColumn("next_b", lead(col("bucket"), 1).over(wDay))
+          .withColumn("next_v", lead(col("avg_value"), 1).over(wDay))
+          .withColumn("rn", row_number().over(wDay))
+          .localCheckpoint(eager = true)
+        val wMetric = Window.partitionBy(col("metric")).orderBy(col("day"))
+        val carry = inDay.filter(col("rn") === 1)
+          .select(col("metric"), col("day"),
+            col("bucket").as("fb"), col("avg_value").as("fv"))
+          .withColumn("nfb", lead(col("fb"), 1).over(wMetric))
+          .withColumn("nfv", lead(col("fv"), 1).over(wMetric))
+          .select(col("metric"), col("day"), col("nfb"), col("nfv"))
+        inDay.join(Tables.broadcastIfSmall(carry), Seq("metric", "day"))
+          .withColumn("next_b", coalesce(col("next_b"), col("nfb")))
+          .withColumn("next_v", coalesce(col("next_v"), col("nfv")))
+          .drop("day", "rn", "nfb", "nfv")
+      }
+    withNext
       .select(col("metric"), col("bucket"), col("avg_value"),
         col("sample_count"), col("next_b"), col("next_v"),
         explode(expr(
@@ -424,18 +484,21 @@ object RelationalOps {
     * identical operation sequence in the oracle, so results are
     * bit-equal cross-engine.
     */
-  def gapfillInterp(s: SparkSession, dir: String): DataFrame =
-    gapfillInterpOn(ev(s, dir).select(
-      col("event_type").as("metric"), col("ts"), col("value")))
+  def gapfillInterp(s: SparkSession, dir: String): DataFrame = {
+    val rows = ev(s, dir).select(
+      col("event_type").as("metric"), col("ts"), col("value"))
+    gapfillInterpOn(rows, twoPhase =
+      Tables.planningSize(rows) > singlePhaseBound(s, GapfillSinglePhaseMaxBytes))
+  }
 
   /** [[gapfillInterp]] over any (metric, ts, value) frame — the form the
     * streaming twin's spec recomputes batch-side.
     */
-  def gapfillInterpOn(events: DataFrame): DataFrame = {
+  def gapfillInterpOn(events: DataFrame, twoPhase: Boolean = false): DataFrame = {
     val ratio =
       (unix_timestamp(col("g.b")) - unix_timestamp(col("bucket"))).cast("double") /
         (unix_timestamp(col("next_b")) - unix_timestamp(col("bucket"))).cast("double")
-    gapfillExpandedOn(events)
+    gapfillExpandedOn(events, twoPhase)
       .select(col("metric"), col("g.b").as("bucket"),
         when(!col("g.gap"), col("avg_value")).as("avg_value"),
         Model.roundN(
@@ -444,7 +507,9 @@ object RelationalOps {
               col("avg_value") + (col("next_v") - col("avg_value")) * ratio),
           4).as("interp_value"),
         col("g.gap").as("is_gap"))
-      .resultOrder(col("metric"), col("bucket"))
+      // explicit range sort — same Generate-underestimate reasoning as
+      // the locf twin above
+      .orderBy(col("metric"), col("bucket"))
   }
 
   /** Counter increase per hour with reset detection — TimescaleDB

@@ -278,6 +278,29 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("gap-fill two-phase arm: (metric, day) lead windows, broadcast day carry") {
+    import graft.ops.RelationalOps
+    import org.apache.spark.sql.functions.col
+    val rows = Tables.events(spark, SfDir).select(
+      col("event_type").as("metric"), col("ts"), col("value"))
+    Seq[org.apache.spark.sql.DataFrame => String](
+      df => RelationalOps.gapfillLocfOn(df, twoPhase = true)
+        .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode),
+      df => RelationalOps.gapfillInterpOn(df, twoPhase = true)
+        .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    ).foreach { mk =>
+      val p = mk(rows)
+      // the successor window partitions on (metric, day) — days × metrics
+      // tasks, never |metrics| tasks over the whole observed history
+      assert("windowspecdefinition\\(metric#\\d+, day#\\d+".r.findFirstIn(p).isDefined,
+        s"two-phase arm lost its day-bucketed window:\n$p")
+      // the day-boundary carry joins back broadcast (day-level table)
+      assert(p.contains("BroadcastHashJoin"),
+        s"day carry must broadcast, not shuffle:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"carry join went corpus-scale:\n$p")
+    }
+  }
+
   test("q_percentiles: value-counting rank — windows over distinct values, no join, one corpus exchange") {
     val p = plan("q_percentiles")
     // value counting collapses the corpus to distinct (metric, value)

@@ -276,6 +276,21 @@ class RelationalOpsSpec extends SparkSuite {
       "both SPC rules must fire on the fixture")
   }
 
+  test("gap-fill: two-phase (metric, day) arm equals the single-phase fold pointwise") {
+    import org.apache.spark.sql.functions.col
+    val rows = Tables.events(spark, SfDir).select(
+      col("event_type").as("metric"), col("ts"), col("value"))
+    Seq(
+      (RelationalOps.gapfillLocfOn(rows, twoPhase = false),
+        RelationalOps.gapfillLocfOn(rows, twoPhase = true)),
+      (RelationalOps.gapfillInterpOn(rows, twoPhase = false),
+        RelationalOps.gapfillInterpOn(rows, twoPhase = true))
+    ).foreach { case (a, b) =>
+      assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
+        "gap-fill arms diverged")
+    }
+  }
+
   test("q_gapfill_interp: values sit on the segment between neighbors; trailing gaps null") {
     val rows = RelationalOps.gapfillInterp(spark, SfDir).collect()
     rows.groupBy(_.getString(0)).foreach { case (m, rs) =>
