@@ -100,11 +100,17 @@ object SessionOps {
     val folded =
       if (skewSafe) {
         import events.sparkSession.implicits._
-        pts.select(col("user_id").cast("long"), col("x"), col("stg"))
-          .as[(Long, Long, Int)]
+        // key on the RAW user_id rendered as a string — a long cast here
+        // threw under ANSI for non-numeric ids and collided "1"/"01",
+        // silently diverging from the in-row arm's raw-column grouping
+        // whenever the size gate flipped. String rendering is injective
+        // per distinct value, so both arms group identically (nulls
+        // group together in both, as groupBy and groupByKey both do).
+        pts.select(col("user_id").cast("string"), col("x"), col("stg"))
+          .as[(String, Long, Int)]
           .groupByKey(_._1)
           .flatMapSortedGroups(col("x"), col("stg")) {
-            (_: Long, it: Iterator[(Long, Long, Int)]) =>
+            (_: String, it: Iterator[(String, Long, Int)]) =>
               // the CASE fold, one event at a time: slot i advances iff
               // still null and the previous slot is strictly earlier
               val acc = Array.fill[Option[Long]](k)(None)

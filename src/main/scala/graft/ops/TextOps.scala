@@ -312,7 +312,11 @@ object TextOps {
     * back as literals. K is config-scale, the training loop never
     * touches the corpus again. Astral-plane caveat: character splitting
     * uses `(.)`, a UTF-16 unit in Spark and a codepoint in DuckDB —
-    * identical on the fixture's (and most corpora's) BMP text.
+    * identical on the fixture's (and most corpora's) BMP text. Tokens
+    * containing the U+001F separator itself are excluded from the
+    * vocabulary by contract (both engines apply the same filter): they
+    * would corrupt the encoding identically on both sides, which the
+    * cross-engine hash could never catch.
     */
   def bpeTrain(s: SparkSession, dir: String): DataFrame =
     bpeTrainOn(Tables.documents(s, dir), BpeMerges)
@@ -322,7 +326,11 @@ object TextOps {
     val S = BpeSep
     var enc = Tables.fanOut(documents.select(col("text")))
       .select(explode(split(trim(col("text")), "\\s+")).as("word"))
-      .filter(col("word") =!= "")
+      // a corpus token CONTAINING the U+001F separator would corrupt the
+      // symbol encoding silently (the oracle encodes identically, so the
+      // hash check cannot catch it) — excluded from the vocabulary by
+      // contract, on both engines
+      .filter(col("word") =!= "" && !col("word").contains(BpeSep))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
       .select(concat(lit(S + S),
         regexp_replace(col("word"), "(.)", "$1" + S + S)).as("enc"), col("freq"))
@@ -484,7 +492,7 @@ object TextOps {
     val head =
       raw"""w0 AS (SELECT tok AS word, CAST(count(*) AS BIGINT) AS freq
         |  FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents)
-        |  WHERE tok <> '' GROUP BY 1),
+        |  WHERE tok <> '' AND tok NOT LIKE '%$S%' GROUP BY 1),
         |e0 AS (SELECT '$SS' || regexp_replace(word, '(.)', '\1$SS', 'g') AS enc, freq FROM w0)""".stripMargin
     val iters = (1 to BpeMerges).map { i =>
       raw"""s$i AS (SELECT list_filter(string_split(enc, '$SS'), x -> x <> '') AS s, freq FROM e${i - 1}),

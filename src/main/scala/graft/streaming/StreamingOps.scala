@@ -1106,32 +1106,45 @@ object StreamingOps {
       .withColumn("sig", DedupOps.minhashSigCol(col("xs")))
     DedupOps.bandedDocIds(probe, Seq("source", "xs"))
       .join(graft.Tables.broadcastIfSmall(baseBands), Seq("band", "bh"))
-      // the batch twin's cand.distinct(): a pair agreeing in several
-      // bands must verify (array_intersect over the shingle sets) ONCE,
-      // not once per matching band. A doc's bands all live in its own
-      // micro-batch, so per-batch dedup state is complete and the
-      // downstream emit-once flag is untouched. (source, xs) ride along
-      // deterministically — they are functions of doc_id.
-      .dropDuplicates("doc_id", "base_id")
       .join(graft.Tables.broadcastIfSmall(baseXs), "base_id")
-      .withColumn("inter", size(array_intersect(col("xs"), col("xs_b"))).cast("long"))
-      .withColumn("jac",
-        col("inter").cast("double") /
-          (size(col("xs")).cast("long") + size(col("xs_b")) - col("inter")))
-      .filter(col("jac") >= DedupOps.JaccardThreshold)
-      .select(col("doc_id"), col("source"), col("base_id"), col("inter"), col("jac"))
-      .as[(Long, String, Long, Long, Double)]
+      .select(col("doc_id"), col("source"), col("xs"), col("base_id"), col("xs_b"))
+      .as[(Long, String, Seq[Long], Long, Seq[Long])]
       .groupByKey(_._1)
+      // the batch twin's cand.distinct() + verification, moved INSIDE the
+      // per-doc fold: a pair agreeing in several bands must verify ONCE,
+      // and a streaming dropDuplicates(doc_id, base_id) upstream would
+      // pin every candidate pair on the state store FOREVER (no watermark
+      // to expire it) even though dedup is only needed within a doc's own
+      // micro-batch. Here the only state is the existing one-boolean
+      // emit-once flag per doc; band-duplicate rows carry identical
+      // payloads (xs/xs_b are functions of the ids) and collapse in the
+      // per-base-id map below before the exact-Jaccard verification.
       .flatMapGroupsWithState[Boolean, (Long, String, Long, Long, Double)](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (id: Long, rows: Iterator[(Long, String, Long, Long, Double)], state: GroupState[Boolean]) =>
+        (id: Long, rows: Iterator[(Long, String, Seq[Long], Long, Seq[Long])],
+            state: GroupState[Boolean]) =>
           if (state.exists) Iterator.empty
           else {
             state.update(true)
-            // batch tie-break verbatim: jaccard DESC, then base_id ASC
-            val best = rows.toSeq.minBy(r => (-r._5, r._3))
-            Iterator((best._1, best._2, best._3, best._4,
-              math.floor(best._5 * 10000 + 0.5) / 10000))
+            val seen = scala.collection.mutable.LinkedHashMap
+              .empty[Long, (String, Seq[Long], Seq[Long])]
+            rows.foreach { case (_, src, xs, baseId, xsB) =>
+              if (!seen.contains(baseId)) seen(baseId) = (src, xs, xsB)
+            }
+            // batch arithmetic verbatim: exact Jaccard over the shingle
+            // sets, threshold, then tie-break jaccard DESC, base_id ASC
+            val verified = seen.iterator.map { case (baseId, (src, xs, xsB)) =>
+              val a = xs.toSet
+              val inter = xsB.count(a.contains).toLong
+              val jac = inter.toDouble / (xs.size.toLong + xsB.size - inter)
+              (src, baseId, inter, jac)
+            }.filter(_._4 >= DedupOps.JaccardThreshold).toSeq
+            if (verified.isEmpty) Iterator.empty
+            else {
+              val best = verified.minBy(r => (-r._4, r._2))
+              Iterator((id, best._1, best._2, best._3,
+                math.floor(best._4 * 10000 + 0.5) / 10000))
+            }
           }
       }
       .toDF("doc_id", "src", "base_id", "inter", "jaccard")
