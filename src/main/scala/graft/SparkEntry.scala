@@ -78,6 +78,8 @@ object SparkEntry {
     // BPE-style pair statistics + corpus-frequency quality proxy
     "q_top_bigrams" -> (TextOps.topBigrams _),
     "q_bpe_train" -> (TextOps.bpeTrain _),
+    // tokenizer-true subword counts under the trained merges
+    "q_bpe_apply" -> (TextOps.bpeApply _),
     "q_lm_score" -> (TextOps.lmScore _),
     "q_top_terms_approx" -> (TextOps.topTermsApprox _),
     "q_dedup_rate_by_source" -> (TextOps.dedupRateBySource _),

@@ -193,10 +193,18 @@ object CurationOps {
   def packSequences(s: SparkSession, dir: String): DataFrame =
     packSequencesOn(Tables.documents(s, dir))
 
-  private[graft] def packSequencesOn(documents: DataFrame): DataFrame = {
+  /** The registered (whitespace-token) packing; the token rule is
+    * pluggable so a pipeline can pack under the TRAINED tokenizer instead
+    * ([[TextOps.bpeApply]]'s count — CurationOpsSpec exercises that arm).
+    * The token column is a pure in-row expression either way, so the plan
+    * shape (two-phase bucket prefix sum) is identical.
+    */
+  private[graft] def packSequencesOn(
+      documents: DataFrame,
+      nTokens: org.apache.spark.sql.Column =
+        size(split(trim(col("text")), "\\s+")).cast("long")): DataFrame = {
     val docs = Tables.fanOut(documents)
-      .select(col("doc_id"),
-        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+      .select(col("doc_id"), nTokens.as("n_tokens"))
       .withColumn("bucket", expr(s"doc_id div $PackBucket"))
     val local = docs.withColumn("local_end",
       sum(col("n_tokens")).over(

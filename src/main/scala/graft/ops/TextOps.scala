@@ -318,11 +318,46 @@ object TextOps {
     * would corrupt the encoding identically on both sides, which the
     * cross-engine hash could never catch.
     */
-  def bpeTrain(s: SparkSession, dir: String): DataFrame =
-    bpeTrainOn(Tables.documents(s, dir), BpeMerges)
+  def bpeTrain(s: SparkSession, dir: String): DataFrame = {
+    // ALWAYS trains (this key's registered meaning is the training cost —
+    // the PqOps.pqTrain convention) and refreshes the memo so the apply
+    // leg in a fixtureCache session consumes this build
+    val merges = bpeTrainedMerges(Tables.documents(s, dir), BpeMerges)
+    if (s.conf.getOption("spark.graft.fixtureCache").contains("true"))
+      mergeCache((s, s"$dir|$BpeMerges")) = merges
+    mergesDf(s, merges)
+  }
 
-  private[graft] def bpeTrainOn(documents: DataFrame, k: Int): DataFrame = {
-    val spark = documents.sparkSession
+  private[graft] def bpeTrainOn(documents: DataFrame, k: Int): DataFrame =
+    mergesDf(documents.sparkSession, bpeTrainedMerges(documents, k))
+
+  private def mergesDf(
+      spark: SparkSession, merges: Seq[(Int, String, String, String, Long)]): DataFrame = {
+    import spark.implicits._
+    merges.toDF("it", "l", "r", "merged", "pair_count")
+      .resultOrder(col("it"))
+  }
+
+  // Trained-merge memo, OPT-IN via spark.graft.fixtureCache — the
+  // ClusterOps/PqOps model-cache pattern: Bench/Verify own one session and
+  // run both q_bpe_train and q_bpe_apply, which share this training; a
+  // library session retrains per call. The value is ≤ K tuples of strings.
+  private val mergeCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Seq[(Int, String, String, String, Long)]]
+
+  private[graft] def trainedMerges(
+      s: SparkSession, dir: String): Seq[(Int, String, String, String, Long)] = {
+    def train = bpeTrainedMerges(Tables.documents(s, dir), BpeMerges)
+    if (s.conf.getOption("spark.graft.fixtureCache").contains("true"))
+      mergeCache.getOrElseUpdate((s, s"$dir|$BpeMerges"), train)
+    else train
+  }
+
+  /** The Sennrich training loop itself, returning the merge table as
+    * driver metadata (≤ k rows — the merge decision IS metadata, see the
+    * [[bpeTrain]] scaladoc for the scale argument). */
+  private[graft] def bpeTrainedMerges(
+      documents: DataFrame, k: Int): Seq[(Int, String, String, String, Long)] = {
     val S = BpeSep
     var enc = Tables.fanOut(documents.select(col("text")))
       .select(explode(split(trim(col("text")), "\\s+")).as("word"))
@@ -363,10 +398,70 @@ object TextOps {
       }
       it += 1
     }
-    import spark.implicits._
-    merges.toSeq.toDF("it", "l", "r", "merged", "pair_count")
-      .resultOrder(col("it"))
+    merges.toSeq
   }
+
+  /** BPE APPLY — tokenize the corpus with the TRAINED merges, making the
+    * token-accounting family tokenizer-true ([[tokenCount]]'s `[a-z]{1,4}`
+    * chunks are the cheap proxy; this is the real subword count under
+    * [[bpeTrain]]'s vocabulary). Per document: whitespace token count,
+    * base symbol count (non-whitespace chars = pre-merge symbols), the
+    * BPE token count under the K merges, and merges_applied (= base −
+    * bpe; each applied merge occurrence absorbs exactly one symbol).
+    *
+    * The whole document encodes as ONE string — per-word encodings
+    * (`␟␟c␟␟` per char) concatenated, which leaves ≥4 separators between
+    * words — and the K merges apply as literal `replace()` calls exactly
+    * as in training. No cross-word merge can ever fire: the pattern
+    * `␟L␟␟R␟` needs exactly two separators between non-empty symbols,
+    * word boundaries carry four, and symbols never contain `␟` (the
+    * vocabulary filter in [[bpeTrainedMerges]]). So the leftmost
+    * non-overlapping `replace` over the doc string IS the per-word greedy
+    * merge, in both engines.
+    *
+    * Scale shape: the merge table is driver metadata (≤ K rows) folded in
+    * as literals — the [[ClusterOps]] trained-model idiom — so apply is a
+    * pure in-row projection chain: one corpus scan, ZERO data-dependent
+    * shuffles at any scale (fanOut/resultOrder are the size-gated fixture
+    * aids). The training cost is carried by the q_bpe_train key; in a
+    * fixtureCache session apply reuses the memoized merges (disclosed in
+    * PERF.md, the PqOps convention).
+    */
+  def bpeApply(s: SparkSession, dir: String): DataFrame = {
+    val merges = trainedMerges(s, dir)
+    Tables.fanOut(Tables.documents(s, dir).select(col("doc_id"), col("text")))
+      .withColumn("_enc", bpeEncodeCol(col("text"), merges))
+      .withColumn("n_base_symbols",
+        length(regexp_replace(col("text"), "\\s", "")).cast("long"))
+      .withColumn("n_bpe_tokens", bpeCountCol(col("_enc")))
+      .select(
+        col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_ws_tokens"),
+        col("n_base_symbols"),
+        col("n_bpe_tokens"),
+        (col("n_base_symbols") - col("n_bpe_tokens")).as("merges_applied"))
+      .resultOrder(col("doc_id"))
+  }
+
+  /** Whole-document symbol encoding with the trained merges applied —
+    * shared by [[bpeApply]] and the tokenizer-true packing arm. */
+  private[graft] def bpeEncodeCol(
+      text: org.apache.spark.sql.Column,
+      merges: Seq[(Int, String, String, String, Long)]): org.apache.spark.sql.Column = {
+    val S = BpeSep
+    val SS = S + S
+    // each non-space char → char + ␟␟, each whitespace run → ␟␟, prefix ␟␟:
+    // exactly the concatenation of the per-word training encodings
+    val enc0 = concat(lit(SS),
+      regexp_replace(regexp_replace(trim(text), "(\\S)", "$1" + SS), "\\s+", SS))
+    merges.foldLeft(enc0) { case (e, (_, l, r, _, _)) =>
+      replace(e, lit(S + l + SS + r + S), lit(S + l + r + S))
+    }
+  }
+
+  /** Symbol count of an encoded doc: non-empty segments between separators. */
+  private[graft] def bpeCountCol(enc: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    size(filter(split(enc, BpeSep), x => x =!= "")).cast("long")
 
   /** Corpus-frequency document scoring — the KenLM/Gopher-style quality
     * proxy in exact integer arithmetic: a document's bigrams are scored
@@ -486,7 +581,10 @@ object TextOps {
     * encoding — so the hash compare proves the two training loops pick
     * identical merges.
     */
-  private lazy val bpeOracleSql: String = {
+  /** The shared training CTE chain (w0, e0, s/p/m/e per iteration — the
+    * final merge rows live in m1..m{BpeMerges}) — embedded by the train
+    * AND apply oracles so both provably consume the SAME training. */
+  private lazy val bpeTrainCtesSql: String = {
     val S = BpeSep
     val SS = S + S
     val head =
@@ -503,15 +601,48 @@ object TextOps {
         |e$i AS (SELECT replace(e${i - 1}.enc, '$S' || m.l || '$SS' || m.r || '$S',
         |                       '$S' || m.l || m.r || '$S') AS enc, freq FROM e${i - 1}, m$i m)""".stripMargin
     }
+    (head +: iters).mkString(",\n")
+  }
+
+  private lazy val bpeOracleSql: String = {
     val union = (1 to BpeMerges)
       .map(i => s"SELECT $i AS it, l, r, l || r AS merged, cnt AS pair_count FROM m$i")
       .mkString("\nUNION ALL\n")
-    "WITH " + (head +: iters).mkString(",\n") +
-      s"\nSELECT * FROM (\n$union\n) ORDER BY it"
+    s"WITH $bpeTrainCtesSql\nSELECT * FROM (\n$union\n) ORDER BY it"
+  }
+
+  /** DuckDB twin of [[bpeApply]]: the training chain, then the identical
+    * whole-document encoding (RE2 `\1` backref vs Java `$1` is the only
+    * dialect difference) and the same K replace() merges unrolled. */
+  private lazy val bpeApplyOracleSql: String = {
+    val S = BpeSep
+    val SS = S + S
+    val enc0 =
+      raw"""d0 AS (SELECT doc_id,
+        |  '$SS' || regexp_replace(regexp_replace(trim(text), '(\S)', '\1$SS', 'g'),
+        |                          '\s+', '$SS', 'g') AS enc
+        |  FROM documents)""".stripMargin
+    val applies = (1 to BpeMerges).map { i =>
+      s"""d$i AS (SELECT doc_id, replace(d${i - 1}.enc, '$S' || m.l || '$SS' || m.r || '$S',
+         |  '$S' || m.l || m.r || '$S') AS enc FROM d${i - 1}, m$i m)""".stripMargin
+    }
+    raw"""WITH $bpeTrainCtesSql,
+      |${(enc0 +: applies).mkString(",\n")},
+      |base AS (SELECT doc_id,
+      |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_ws_tokens,
+      |  CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS n_base_symbols
+      |  FROM documents)
+      |SELECT b.doc_id, b.n_ws_tokens, b.n_base_symbols,
+      |  CAST(len(list_filter(string_split(d.enc, '$S'), x -> x <> '')) AS BIGINT) AS n_bpe_tokens,
+      |  b.n_base_symbols
+      |    - len(list_filter(string_split(d.enc, '$S'), x -> x <> '')) AS merges_applied
+      |FROM d$BpeMerges d JOIN base b USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
   }
 
   val oracles: Map[String, String] = Map(
     "q_bpe_train" -> bpeOracleSql,
+    "q_bpe_apply" -> bpeApplyOracleSql,
     "q_top_bigrams" ->
       """WITH t AS (
         |  SELECT string_split_regex(trim(text), '\s+') AS t FROM documents),

@@ -110,6 +110,23 @@ class CurationOpsSpec extends SparkSuite {
     assert(sorted.last.getLong(2) + sorted.last.getLong(1) == total)
   }
 
+  test("pack_sequences tokenizer-true arm: packing under the trained BPE counts") {
+    // the pluggable token column lets the packer lay the corpus out in
+    // TRAINED-tokenizer units; placement must equal the sequential scan
+    // over q_bpe_apply's per-doc counts
+    val merges = graft.ops.TextOps.trainedMerges(spark, SfDir)
+    val bpeCol = graft.ops.TextOps.bpeCountCol(
+      graft.ops.TextOps.bpeEncodeCol(col("text"), merges))
+    val got = graft.ops.CurationOps.packSequencesOn(
+        Tables.documents(spark, SfDir), bpeCol)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val counts = graft.ops.TextOps.bpeApply(spark, SfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).sortBy(_._1)
+    var cum = 0L
+    val expect = counts.map { case (id, n) => val s = cum; cum += n; (id, n, s) }
+    assert(got.toSeq == expect.toSeq)
+  }
+
   test("q_contam_coverage: verbatim eval copy is fully contaminated, disjoint doc is clean") {
     val evalText = "the quick brown fox jumps over the lazy dog again and again"
     val d = docs(

@@ -569,6 +569,57 @@ class PropertySpec extends SparkSuite {
     assert(got === scalaBpe(wordFreqs(fixtureDocs), TextOps.BpeMerges))
   }
 
+  test("bpeApply == plain-Scala greedy-merge tokenizer (randomized corpora + fixture)") {
+    import spark.implicits._
+    // the Sennrich apply loop: per word, split to chars, apply each merge
+    // greedily left-to-right in training order, count surviving symbols
+    def applyCount(merges: Seq[(String, String)], text: String): Long =
+      text.trim.split("\\s+").filter(_.nonEmpty).map { w =>
+        var syms: Vector[String] = w.map(_.toString).toVector
+        merges.foreach { case (l, r) =>
+          val b = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) { b += l + r; i += 2 }
+            else { b += syms(i); i += 1 }
+          }
+          syms = b.result()
+        }
+        syms.length.toLong
+      }.sum
+    val rnd = new scala.util.Random(7)
+    val corpora = Seq(
+      Seq("aaaa aaa aa a", "aaaa aaaa"),          // overlap runs: greedy non-overlap
+      Seq("abab ababab ab", "ba ab ba"),          // chained merges across iterations
+      (1 to 40).map(_ => Seq("low", "lower", "lowest", "newest", "widest",
+        "aa", "aaa")(rnd.nextInt(7))).mkString(" ") :: Nil
+    )
+    corpora.zipWithIndex.foreach { case (docs, ci) =>
+      val merges = TextOps.bpeTrainedMerges(docs.toDF("text"), 5)
+      val got = docs.toDF("text")
+        .select(TextOps.bpeCountCol(TextOps.bpeEncodeCol(col("text"), merges)))
+        .as[Long].collect().toSeq
+      val want = docs.map(applyCount(merges.map(m => (m._2, m._3)), _))
+      assert(got === want, s"corpus $ci: $docs")
+    }
+    // the registered fixture query agrees per doc, and its arithmetic
+    // invariant holds: merges_applied = n_base_symbols - n_bpe_tokens
+    val merges = TextOps.trainedMerges(spark, SfDir).map(m => (m._2, m._3))
+    val byDoc = Tables.documents(spark, SfDir)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toMap
+    val out = TextOps.bpeApply(spark, SfDir).collect()
+    assert(out.length == byDoc.size)
+    out.foreach { r =>
+      val (id, nWs, nBase, nBpe, applied) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      val text = byDoc(id)
+      assert(nBpe == applyCount(merges, text), s"doc $id subword count")
+      assert(nBase == text.replaceAll("\\s", "").length.toLong, s"doc $id base symbols")
+      assert(applied == nBase - nBpe, s"doc $id merges_applied")
+      assert(nWs == text.trim.split("\\s+").length.toLong, s"doc $id ws tokens")
+    }
+  }
+
   test("agent JSON escaping: every adversarial payload parses back exactly through the shared envelope schema") {
     // the OPC-UA→MQTT agent hand-assembles its wire JSON (jsonStr /
     // jsonScalar); this property drives the writer with quotes,
