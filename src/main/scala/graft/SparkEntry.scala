@@ -109,6 +109,8 @@ object SparkEntry {
     "q_sim_topk_batch" -> ((s: SparkSession, dir: String) => SimilarityOps.simTopKBatch(s, dir)),
     // product quantization: compressed-domain ADC ranking + distortion stats
     "q_sim_topk_pq" -> (PqOps.simTopKPq _),
+    // IVF-PQ composition: trained coarse probes + compressed-domain ADC
+    "q_sim_topk_ivfpq" -> (PqOps.simTopKIvfPq _),
     "q_pq_train" -> (PqOps.pqTrain _),
     "q_pq_stats" -> (PqOps.pqStats _),
     // scalar (int8) quantization: the per-dim affine quantizer + exact

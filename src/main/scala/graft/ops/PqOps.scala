@@ -200,6 +200,77 @@ object PqOps {
       .limit(PqTopK)
   }
 
+  /** Probes for the composed IVF-PQ serving query. */
+  val IvfPqProbes = 2
+
+  /** IVF-PQ composed serving — the canonical billion-vector index shape
+    * (Jégou et al. 2011 §V: IVFADC): the TRAINED coarse quantizer
+    * ([[ClusterOps]] k-means) selects the [[IvfPqProbes]] nearest probe
+    * clusters, and the PQ asymmetric-distance lookup table ranks ONLY the
+    * vectors assigned to probed clusters — the two pruning axes
+    * (`q_sim_topk_ivf_trained`: probe selection with exact rescore;
+    * `q_sim_topk_pq`: full-corpus ADC) composed the way production serves.
+    * PQ codes here quantize the RAW vectors, not IVF residuals — the
+    * residual refinement changes the codebook input, not the plan shape —
+    * and there is no exact-rescore tail (the IVF operators demonstrate
+    * that; this query IS the compressed-domain ranking behind a probe
+    * filter).
+    *
+    * Plan shape at 100 TB: both trained models are driver metadata folded
+    * in as literals, so serving is ONE scan — in-row coarse assignment
+    * (`nearest_centroid` codegen), the probe `isin` filter drops
+    * (1 − probes/k) of the corpus BEFORE the 8 sub-assignments run, ADC
+    * is eight in-row LUT reads + seven adds, and the top-k plans as
+    * TakeOrderedAndProject. Zero data-dependent exchanges. In production
+    * the coarse assignment is precomputed at write time (partition by
+    * cluster id), so probing prunes whole partitions at the scan.
+    *
+    * Determinism: probe selection, coarse + sub assignment, and ADC all
+    * run in the exact quantized-integer domain with the shared argmin
+    * tie-break; the oracle embeds BOTH training CTE chains (k-means and
+    * all eight sub-codebooks), so an engine/oracle divergence in either
+    * training fails the hash.
+    */
+  def simTopKIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val km = ClusterOps.trainedModel(s, dir)
+    val pq = trainedPq(s, dir)
+    val qVec = ClusterOps.quantizedPoints(s, dir)
+      .filter(col("vec_id") === 0).select("q")
+      .collect().headOption.map(_.getSeq[Long](0).toArray)
+    if (qVec.isEmpty)
+      return s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("vec_id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("cluster", org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("adc_dist", org.apache.spark.sql.types.LongType))))
+    val probed = km.nearest(qVec.get, IvfPqProbes)
+    val lut: Seq[Seq[Long]] = (0 until SubM).map { m =>
+      val qs = qVec.get.slice(m * SubDim, (m + 1) * SubDim)
+      pq.books(m).toSeq.map { cen =>
+        var dist = 0L
+        var d = 0
+        while (d < SubDim) { val df = qs(d) - cen(d); dist += df * df; d += 1 }
+        dist
+      }
+    }
+    val lutCol = typedLit(lut)
+    val adc = (0 until SubM).map { m =>
+      val censCol = typedLit(pq.books(m).map(_.toSeq).toSeq)
+      element_at(element_at(lutCol, m + 1),
+        ClusterOps.nearestCentroid(subSlice(m), censCol) + 1)
+    }.reduce(_ + _)
+    val kmCens = typedLit(km.cens.map(_.toSeq).toSeq)
+    val kmIds = typedLit(km.clusters.toSeq)
+    ClusterOps.quantizedPoints(s, dir)
+      .filter(col("vec_id") =!= 0)
+      .withColumn("cluster",
+        element_at(kmIds, ClusterOps.nearestCentroid(col("q"), kmCens) + 1))
+      .filter(col("cluster").isin(probed.map(Int.box): _*))
+      .select(col("vec_id"), col("cluster"), adc.as("adc_dist"))
+      .orderBy(col("adc_dist"), col("vec_id"))
+      .limit(PqTopK)
+  }
+
   /** The PQ codebook BUILD as its own registered artifact — the offline
     * index-construction leg, priced separately from the serving/evaluate
     * legs exactly as a deployment prices them (index build amortized,
@@ -383,6 +454,16 @@ object PqOps {
        |${iters.mkString(",\n")}""".stripMargin
   }
 
+  /** Per-sub ADC distance of every encoded point against the query's
+    * sub-vector: ||q_sub − assigned centroid||² — the LUT read, unrolled.
+    * Shared by the full-corpus PQ oracle and the IVF-PQ composition. */
+  private def subAdcSql(m: Int): String =
+    s"""s${m}d AS (
+       |  SELECT e.vec_id,
+       |    CAST(${sqL2Sql("qq.sq", "c.cen")} AS BIGINT) AS dist
+       |  FROM s${m}e e JOIN s${m}c$PqIters c USING (cluster)
+       |  CROSS JOIN (SELECT sq FROM s${m}p WHERE vec_id = 0) qq)""".stripMargin
+
   /** Final per-point sub-assignment: min(dist·PqK + cluster) encodes both
     * the assigned cluster (% PqK) and its distortion (// PqK). */
   private def subEncodeSql(m: Int): String =
@@ -414,23 +495,42 @@ object PqOps {
          |ORDER BY sub, cluster, d""".stripMargin
     },
     "q_sim_topk_pq" -> {
-      val adcs = (0 until SubM).map { m =>
-        s"""s${m}d AS (
-           |  SELECT e.vec_id,
-           |    CAST(${sqL2Sql("qq.sq", "c.cen")} AS BIGINT) AS dist
-           |  FROM s${m}e e JOIN s${m}c$PqIters c USING (cluster)
-           |  CROSS JOIN (SELECT sq FROM s${m}p WHERE vec_id = 0) qq)""".stripMargin
-      }
       s"""WITH $PtsSql,
          |${(0 until SubM).map(subTrainSql).mkString(",\n")},
          |${(0 until SubM).map(subEncodeSql).mkString(",\n")},
-         |${adcs.mkString(",\n")},
+         |${(0 until SubM).map(subAdcSql).mkString(",\n")},
          |alld AS (${(0 until SubM).map(m => s"SELECT * FROM s${m}d").mkString(" UNION ALL ")})
          |SELECT p.vec_id, any_value(p.label) AS label,
          |  CAST(sum(d.dist) AS BIGINT) AS adc_dist
          |FROM pts p JOIN alld d USING (vec_id)
          |WHERE p.vec_id <> 0
          |GROUP BY p.vec_id
+         |ORDER BY adc_dist, vec_id LIMIT $PqTopK""".stripMargin
+    },
+    "q_sim_topk_ivfpq" -> {
+      val k = ClusterOps.K
+      s"""WITH ${ClusterOps.kmeansCtesSql},
+         |${(0 until SubM).map(subTrainSql).mkString(",\n")},
+         |${(0 until SubM).map(subEncodeSql).mkString(",\n")},
+         |${(0 until SubM).map(subAdcSql).mkString(",\n")},
+         |alld AS (${(0 until SubM).map(m => s"SELECT * FROM s${m}d").mkString(" UNION ALL ")}),
+         |qq AS (SELECT q FROM pts WHERE vec_id = 0),
+         |probe AS (
+         |  SELECT c.cluster
+         |  FROM ${ClusterOps.FinalCenCte} c, qq
+         |  ORDER BY CAST(${sqL2Sql("qq.q", "c.cen")} AS BIGINT), c.cluster
+         |  LIMIT $IvfPqProbes),
+         |assigned AS (
+         |  SELECT p.vec_id,
+         |    CAST(min(CAST(${sqL2Sql("p.q", "c.cen")} AS BIGINT) * $k + c.cluster)
+         |         % $k AS INTEGER) AS cluster
+         |  FROM pts p CROSS JOIN ${ClusterOps.FinalCenCte} c GROUP BY p.vec_id)
+         |SELECT a.vec_id, a.cluster, CAST(sum(d.dist) AS BIGINT) AS adc_dist
+         |FROM assigned a
+         |JOIN alld d USING (vec_id)
+         |JOIN probe USING (cluster)
+         |WHERE a.vec_id <> 0
+         |GROUP BY a.vec_id, a.cluster
          |ORDER BY adc_dist, vec_id LIMIT $PqTopK""".stripMargin
     },
     "q_pq_stats" -> {

@@ -539,6 +539,18 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Exchange hashpartitioning"),
       "serving path should have no hash exchange at all:\n" + p)
   }
+  test("q_sim_topk_ivfpq: one scan — in-row coarse assignment, probe filter, zero exchanges, top-k heap") {
+    val p = plan("q_sim_topk_ivfpq")
+    assert(p.contains("nearest_centroid"),
+      "assignment not the native in-row expression:\n" + p)
+    assert(p.contains("cluster#") && p.contains(" IN "),
+      "probe filter missing — the corpus is ranked unpruned:\n" + p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Join"), "serving path joins something:\n" + p)
+    assert(!p.contains("Exchange hashpartitioning"),
+      "serving path should have no hash exchange at all:\n" + p)
+  }
+
   test("q_cluster_stats: in-row assignment + distance — one k-sized exchange, no join") {
     val p = plan("q_cluster_stats")
     assert(p.contains("nearest_centroid") && p.contains("squared_l2"),

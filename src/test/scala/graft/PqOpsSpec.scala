@@ -112,6 +112,35 @@ class PqOpsSpec extends SparkSuite {
     assert(adc.forall(_._2 >= 0))
   }
 
+  test("q_sim_topk_ivfpq: equals the plain-Scala probe-filter + ADC recompute") {
+    val km = graft.ops.ClusterOps.trainedModel(spark, SfDir)
+    val model = PqOps.trainedPq(spark, SfDir)
+    val pts = ClusterOps.quantizedPoints(spark, SfDir).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    val q = pts.find(_._1 == 0L).get._2
+    val probed = km.nearest(q, PqOps.IvfPqProbes).toSet
+    val want = pts.filter(_._1 != 0L)
+      .map { case (id, v) => (id, km.nearest(v, 1).head, v) }
+      .filter { case (_, c, _) => probed.contains(c) }
+      .map { case (id, c, v) =>
+        val d = (0 until M).map { m =>
+          val sq = v.slice(m * SD, (m + 1) * SD)
+          val cen = model.books(m)(model.assign(m, sq))
+          val qs = q.slice(m * SD, (m + 1) * SD)
+          qs.zip(cen).map { case (a, b) => (a - b) * (a - b) }.sum
+        }.sum
+        (id, c, d)
+      }.sortBy(t => (t._3, t._1)).take(PqOps.PqTopK).toSeq
+    val got = PqOps.simTopKIvfPq(spark, SfDir).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("cluster"),
+        r.getAs[Long]("adc_dist"))).toSeq
+    assert(got === want)
+    // the probe filter bites: the composed result must differ from (be a
+    // strict restriction of) the full-corpus ADC corpus unless the probes
+    // happen to cover all clusters
+    assert(got.forall(t => probed.contains(t._2)))
+  }
+
   test("q_pq_stats: populations cover the corpus once per subspace") {
     val n = ClusterOps.quantizedPoints(spark, SfDir).count()
     val got = PqOps.pqStats(spark, SfDir).collect()
