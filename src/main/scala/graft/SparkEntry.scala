@@ -95,6 +95,10 @@ object SparkEntry {
     // incremental-ingest dedup: new sources probed against the base index
     "q_dedup_incremental" -> (DedupOps.dedupIncremental _),
     "q_dedup_substring" -> (DedupOps.dedupSubstring _),
+    // curation capstone: all five prune artifacts composed into the
+    // kept-corpus decision + the per-stage attrition ledger
+    "q_dedup_apply" -> (DedupOps.dedupApply _),
+    "q_dedup_ledger" -> (DedupOps.dedupLedger _),
     "q_url_dedup" -> (CurationOps.urlDedup _),
     "q_domain_mix" -> (CurationOps.domainMix _),
     "q_dedup_embed" -> (SimilarityOps.dedupEmbed _),

@@ -516,7 +516,7 @@ object CurationOps {
   private def hbSql(off: Int): String =
     s"CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), $off, 6)) AS BIGINT)"
 
-  private lazy val urlCanonCteSql: String = {
+  private[graft] lazy val urlCanonCteSql: String = {
     val url = s"""concat(
       |  CASE WHEN ${hbSql(19)} % 2 = 0 THEN 'https' ELSE 'http' END, '://',
       |  CASE ${hbSql(1)} % 4 WHEN 1 THEN 'www.' WHEN 2 THEN 'WWW.' WHEN 3 THEN 'blog.' ELSE '' END,

@@ -158,6 +158,96 @@ class ExtensionOpsSpec extends SparkSuite {
       got.toString)
   }
 
+  test("dedup apply: synthetic corpus exercises every stage incl. a span cut on a kept doc") {
+    import spark.implicits._
+    // canonical-URL identity is md5-bucket-dependent; ids 6 and 171 both
+    // canonicalize to https://site6.co.uk/p/1 (verified against the
+    // oracle derivation) and no other pair in this set collides
+    val shared = (1 to 20).map(i => s"sh$i").mkString(" ")          // 20-token verbatim run
+    val near = (1 to 30).map(i => s"nd$i").mkString(" ")
+    val nearMut = ((1 to 29).map(i => s"nd$i") :+ "ndX").mkString(" ")
+    val docs = Seq(
+      (0L, "plain zero doc"),
+      (2L, "identical twin text body"),
+      (3L, "identical twin text body"),                             // exact dup of 2
+      (4L, "semantic keeper stand in"),
+      (5L, "a plain untouched document"),
+      (171L, "url duplicate different words gamma delta"),          // url dup of 6
+      (7L, near),
+      (8L, nearMut),                                                // minhash near-dup of 7
+      (9L, "semantically pruned doc body"),                         // semantic prune (injected)
+      (6L, shared + " " + (1 to 30).map(i => s"kb$i").mkString(" ")),// span keeper (50 toks)
+      (10L, shared + " " + (1 to 40).map(i => s"kc$i").mkString(" ")) // kept, 20-token cut
+    ).toDF("doc_id", "text")
+    val semRm = Seq((9L, 4L)).toDF("doc_id", "keeper_semantic")
+    val got = graft.ops.DedupOps.dedupApplyPerDocOn(docs, semRm)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), Option(r.get(2)).map(_.asInstanceOf[Long]), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got(3L) == (("exact", Some(2L), 4L, 0L)), got(3L).toString)
+    assert(got(171L) == (("url", Some(6L), 6L, 0L)), got(171L).toString)
+    assert(got(8L) == (("minhash", Some(7L), 30L, 0L)), got(8L).toString)
+    assert(got(9L) == (("semantic", Some(4L), 4L, 0L)), got(9L).toString)
+    // doc 10 survives every doc-level stage but loses the 20-token
+    // verbatim span whose first occurrence lives in doc 6
+    assert(got(10L) == (("kept", None, 60L, 40L)), got(10L).toString)
+    // keepers and untouched docs keep their full token mass
+    Seq(0L, 2L, 4L, 5L, 7L, 6L).foreach { id =>
+      assert(got(id)._1 == "kept" && got(id)._4 == got(id)._3, s"$id: ${got(id)}")
+    }
+  }
+
+  test("dedup apply + ledger: fixture stages are consistent with each operator's own output") {
+    val per = graft.ops.DedupOps.dedupApply(spark, SfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3), r.getLong(4)))
+    val nDocs = Tables.documents(spark, SfDir).count()
+    assert(per.length == nDocs, "per-doc output must cover the corpus once")
+    // independent prune sets from the individual (oracle-checked) operators
+    val exactKeep = TextOps.dedupExact(spark, SfDir).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val urlKeep = CurationOps.urlDedup(spark, SfDir).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val mhNonKeep = DedupOps.dedupClusters(spark, SfDir)
+      .filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val semPruned = graft.ops.ClusterOps.semanticDedup(spark, SfDir)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val spanCut = DedupOps.dedupSubstring(spark, SfDir)
+      .groupBy(col("doc_id")).agg(sum("span_len").as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    per.foreach { case (id, stage, n, kept) =>
+      val expect =
+        if (!exactKeep.contains(id)) "exact"
+        else if (!urlKeep.contains(id)) "url"
+        else if (mhNonKeep.contains(id)) "minhash"
+        else if (semPruned.contains(id)) "semantic"
+        else "kept"
+      assert(stage == expect, s"doc $id: $stage != $expect")
+      if (stage == "kept") assert(kept == n - spanCut.getOrElse(id, 0L), s"doc $id kept tokens")
+      else assert(kept == 0L, s"doc $id removed but kept tokens")
+    }
+    // ledger equals the driver-side rollup of the per-doc table
+    val led = graft.ops.DedupOps.dedupLedger(spark, SfDir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    val totD = per.length.toLong
+    val totT = per.map(_._3).sum
+    var cumD = 0L
+    var cumT = 0L
+    val expectLed = Seq("exact", "url", "minhash", "semantic", "substring").zipWithIndex.map {
+      case (st, i) =>
+        val (d, t) =
+          if (st == "substring") (0L, per.filter(_._2 == "kept").map(p => p._3 - p._4).sum)
+          else {
+            val rows = per.filter(_._2 == st)
+            (rows.length.toLong, rows.map(_._3).sum)
+          }
+        cumD += d; cumT += t
+        (i + 1, st, d, t, totD - cumD, totT - cumT)
+    }
+    assert(led.toSeq == expectLed, s"led ${led.toSeq}\nexpect $expectLed")
+  }
+
   test("url canonicalization collapses presentation variants, keeps identity") {
     import spark.implicits._
     val urls = Seq(
