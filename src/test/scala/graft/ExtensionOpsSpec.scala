@@ -158,6 +158,16 @@ class ExtensionOpsSpec extends SparkSuite {
       got.toString)
   }
 
+  test("substring dedup: skew-safe aggregate-keeper arm equals the window arm") {
+    val key = "spark.graft.substrSkewSafe"
+    def run() = DedupOps.dedupSubstring(spark, SfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    spark.conf.set(key, "true") // opt into the aggregate+join skew arm
+    val agg = try run() finally spark.conf.unset(key)
+    val win = run() // default: window arm
+    assert(agg.nonEmpty && agg == win, s"arms diverge: ${agg.take(3)} vs ${win.take(3)}")
+  }
+
   test("dedup apply: synthetic corpus exercises every stage incl. a span cut on a kept doc") {
     import spark.implicits._
     // canonical-URL identity is md5-bucket-dependent; ids 6 and 171 both

@@ -649,6 +649,18 @@ class PlanSpec extends SparkSuite {
       s"expected exactly 2 hash exchanges:\n$p")
     assert(!p.contains("source") && !p.contains("props"),
       "scan reads columns beyond (doc_id, text):\n" + p)
+    // opt-in skew arm: keeper becomes a map-side-combined aggregate
+    // (partial_min collapses a hot fingerprint per map task) hash-joined
+    // back — never a window sort over partitionBy(h)
+    spark.conf.set("spark.graft.substrSkewSafe", "true")
+    val ps = try plan("q_dedup_substring")
+      finally spark.conf.unset("spark.graft.substrSkewSafe")
+    assert(ps.contains("partial_min"),
+      s"skew arm keeper lost its map-side combine:\n$ps")
+    assert(ps.contains("Join"), s"skew arm should join keepers back:\n$ps")
+    assert(!ps.contains("Window partitionBy") &&
+      !"Window \\[min".r.findFirstIn(ps).isDefined,
+      s"skew arm must not compute the keeper in a window:\n$ps")
   }
 
   test("q_url_dedup: in-row canonicalization, one corpus exchange, no joins") {
