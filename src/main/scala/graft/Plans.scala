@@ -65,7 +65,7 @@ object Plans {
       "q_downsample_lttb" -> "two corpus aggregates (bucket averages; per-bucket area argmax via partial max_by) with the tiny anchor table broadcast back — the sequential prev-selection recurrence of classic LTTB is gone, nothing funnels into a per-metric single task",
       "q_sim_topk_batch" -> "broadcast query set (BroadcastNestedLoopJoin of a literal handful of rows); per-query rank window capped by WindowGroupLimit on BOTH sides of the qid exchange — shuffle volume k·queries·partitions, never the scored corpus",
       "q_sim_topk_pq" -> "compressed-domain serving is ONE scan with ZERO exchanges: eight in-row nearest_centroid sub-assignments against literal codebooks, ADC distance as eight lookups into a folded 8×16 literal table, top-k via TakeOrderedAndProject",
-      "q_pq_stats" -> "PQ distortion diagnostics: each sub-assignment PROJECTED once (Generate inputs get no subexpression elimination) + native squared_l2, then one SubM·PqK-row partial+final aggregate — zero corpus shuffle beyond the 128-key exchange (SinglePartition-fused below the size gate); size-gated fanOut spreads the single-split fixture scan",
+      "q_pq_stats" -> "PQ distortion diagnostics: each sub-assignment PROJECTED once (Generate inputs get no subexpression elimination) + native squared_l2, then one SubM·PqK-row partial+final aggregate — the exploded stream NEVER crosses an exchange (map-side partials bound every partition at SubM·PqK rows; the old pre-aggregate SinglePartition fuse was exactly that full-stream exchange, removed round 12); size-gated fanOut spreads the single-split fixture scan",
       "q_pq_train" -> "the offline PQ codebook build as a first-class artifact: per Lloyd iteration ONE distributed job (in-row assignment against all eight literal codebooks, map-side-combined (sub, cluster, d) partial sums — wire volume <= SubM·PqK·SubDim rows per partition); the result DataFrame is 1024 rows of driver metadata",
       "q_top_bigrams" -> "in-row adjacent-pair extraction (codegen transform/sequence, no UDF); the single aggregate's map-side partials bound each partition at the bigram vocabulary; top-k via TakeOrderedAndProject",
       "q_lm_score" -> "corpus-frequency scoring: the vocabulary-bounded bigram count table broadcasts back onto the in-row pair stream (size-gated — degrades to a shuffle join past the bound); two corpus exchanges total",
@@ -75,7 +75,11 @@ object Plans {
       "q_dedup_substring" -> "verbatim-span dedup with NO corpus self-join and no suffix sort: in-row positional word_window_hashes fingerprints, ONE fingerprint-keyed exchange for the frameless keeper window, then the (small) cut stream's doc_id exchange shared by the island window and the span aggregate via subset-key clustering",
       "q_bpe_train" -> "one corpus exchange builds the word-frequency table; every merge iteration runs on the vocabulary-scale checkpointed table (pair-count partial+final aggregate + a 1-row TakeOrderedAndProject argmax collect); merges apply as literal replace() projections — the corpus is never touched after the vocab build",
       "q_url_dedup" -> "in-row URL derivation + canonicalization (pure codegen string ops, zero shuffle), then ONE map-side-combined exchange on the canonical url for the keep-first aggregate — no joins at any scale",
-      "q_domain_mix" -> "corpus scanned twice but never exchanged raw: totals branch is a map-side-combined domain aggregate; the cap branch's rank-filter plans as WindowGroupLimit on BOTH sides of its exchange (<= cap rows per domain per map task), so the low-cardinality domain key never funnels the corpus; domain-level join broadcasts"
+      "q_domain_mix" -> "corpus scanned twice but never exchanged raw: totals branch is a map-side-combined domain aggregate; the cap branch's rank-filter plans as WindowGroupLimit on BOTH sides of its exchange (<= cap rows per domain per map task), so the low-cardinality domain key never funnels the corpus; domain-level join broadcasts",
+      "q_dedup_apply" -> "the capstone composes five prune lists onto the corpus spine by ONE shared doc_id hash key: every list side is a removed-docs-cardinality frame (size-gate broadcast at fixture scale; co-partitioned AQE shuffle joins past it); exact/URL keeper groups aggregate with map-side combine — never a window over the group key; the corpus is never self-joined",
+      "q_dedup_ledger" -> "one localCheckpointed composition feeds all three consumers (per-stage removal counts, substring cut mass, corpus totals); the stage frame is a literal 5-row table, so the running-remainder window orders 5 metadata rows — the corpus never crosses an unpartitioned window",
+      "q_bpe_apply" -> "the trained merge table folds in as driver-literal replace() projections (the training chain's own audited plans produce it); tokenization is ONE corpus scan with zero data-dependent exchanges — per-doc counts are in-row arithmetic over the encoded string, the only exchange is the presentation sort",
+      "q_sim_topk_ivfpq" -> "composed IVFADC serving is ONE scan: in-row nearest_centroid coarse assignment against the literal trained quantizer, probe isin filter drops (1 - probes/k) of the corpus BEFORE the eight sub-assignments, ADC ranks through a driver-literal LUT, top-k via TakeOrderedAndProject — zero data-dependent exchanges"
     )
 
     val sb = new StringBuilder

@@ -23,6 +23,15 @@ import org.apache.spark.sql.functions._
   *    kept the original text verbatim would instead make every doc a
   *    10-way near-dup and the join superlinear (a different experiment).
   *    n_chars is recomputed over the rewritten text.
+  *    The EVAL source ([[graft.ops.CurationOps.EvalSource]]) stays at
+  *    factor 1 — only the identity copy carries it. A benchmark is a
+  *    FIXED-size artifact against a growing corpus; scaling it with the
+  *    corpus made q_decontaminate's gram-match volume quadratic in N
+  *    (word-marker renaming cannot make char 8-grams disjoint — the
+  *    interior windows of ≥8-char words survive renaming, so every
+  *    eval copy matched every training copy), which no deployment
+  *    exhibits. With the eval side fixed, decontamination work scales
+  *    linearly in N like production.
   *  - `embeddings`: vectors unchanged, vec_id and label offset into
   *    disjoint ranges per copy — label-blocked dedup again scales ×N.
   *
@@ -91,7 +100,10 @@ object ScaleFixtures {
         if (k == 0) col("text")
         else array_join(transform(split(col("text"), " "),
           t => concat(lit(f"q$k%03d"), t)), " ")
-      docs.select(
+      val base =
+        if (k == 0) docs
+        else docs.filter(col("source") =!= graft.ops.CurationOps.EvalSource)
+      base.select(
         (col("doc_id") + k * DocIdStride).as("doc_id"),
         text.as("text"), col("lang"), col("source"))
         .withColumn("n_chars", length(col("text")).cast("long"))

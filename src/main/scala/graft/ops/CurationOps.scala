@@ -465,15 +465,18 @@ object CurationOps {
     * tie-break — the [[sampleStratified]] determinism idiom), reported
     * as (domain, n_docs, n_kept, kept_chars, share_permille).
     *
-    * Scale shape: the corpus is scanned twice but never exchanged —
-    * the totals branch is a map-side-combined domain aggregate (tiny),
-    * and the kept branch's rank-filter plans as WindowGroupLimit, which
-    * prunes to ≤ cap rows per domain on BOTH sides of the exchange, so
-    * the low-cardinality domain sort only ever sees cap × maps rows.
-    * A fused single-window form would scan once but rank the WHOLE
-    * corpus through ≤ |domains| sort tasks — the funnel this codebase
-    * size-gates everywhere else; two pruned streams beat one corpus
-    * sort at every scale past a laptop.
+    * Scale shape (round 12, third arm wins): the capped selection is a
+    * MERGEABLE AGGREGATE ([[graft.functions.TopKKeep]] — partial
+    * buffers bounded at cap entries, truncating sorted merge), computed
+    * in the SAME groupBy as the per-domain totals. One scan, one
+    * canonicalization, one map-side-combined exchange carrying ≤ cap
+    * rows per (domain, map task), no ranking window anywhere — bounded
+    * state per task regardless of domain skew. The two rejected arms
+    * stay selectable via `spark.graft.domainMixArm` with their measured
+    * numbers in the match below: `twoscan` (rank-filter WindowGroupLimit
+    * branches — never moves the corpus but canonicalizes twice) and
+    * `window` (single scan whose fused count kills WindowGroupLimit —
+    * the whole corpus funnels through ≤ |domains| sort tasks).
     */
   def domainMix(s: SparkSession, dir: String): DataFrame =
     domainMixOn(Tables.documents(s, dir))
@@ -490,18 +493,70 @@ object CurationOps {
       .select(col("doc_id"), col("n_chars"),
         coalesce(registrableDomain(col("host")), lit("")).as("domain"),
         substring(md5(col("doc_id").cast("string")), 1, 6).as("hk"))
-    val kept = docs
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("domain")).orderBy(col("hk"), col("doc_id"))))
-      .filter(col("rn") <= DomainDocCap)
-      .groupBy(col("domain"))
-      .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("kept_chars"))
-    val totals = docs.groupBy(col("domain")).agg(count(lit(1)).as("n_docs"))
-    totals.join(Tables.broadcastIfSmall(kept), Seq("domain"))
-      .withColumn("total", sum(col("n_docs")).over(Window.partitionBy()))
-      .select(col("domain"), col("n_docs"), col("n_kept"), col("kept_chars"),
-        expr("(n_docs * 1000) div total").as("share_permille"))
-      .resultOrder(col("domain"))
+    docs.sparkSession.conf
+        .getOption("spark.graft.domainMixArm").getOrElse("topk") match {
+      case "twoscan" =>
+        // round-11 shape: two corpus scans, zero corpus exchanges — the
+        // kept branch's rank-filter plans as WindowGroupLimit (≤ cap
+        // rows per domain per map), the totals branch map-side combines.
+        // Loses to both single-scan arms at every measured scale because
+        // the canonicalization projection runs twice (sf1 0.80 vs
+        // 0.59 s fused; sf10 1.55 vs 1.38 s), but never moves the corpus.
+        val kept = docs
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("domain")).orderBy(col("hk"), col("doc_id"))))
+          .filter(col("rn") <= DomainDocCap)
+          .groupBy(col("domain"))
+          .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("kept_chars"))
+        val totals = docs.groupBy(col("domain")).agg(count(lit(1)).as("n_docs"))
+        totals.join(Tables.broadcastIfSmall(kept), Seq("domain"))
+          .withColumn("total", sum(col("n_docs")).over(Window.partitionBy()))
+          .select(col("domain"), col("n_docs"), col("n_kept"), col("kept_chars"),
+            expr("(n_docs * 1000) div total").as("share_permille"))
+          .resultOrder(col("domain"))
+      case "window" =>
+        // single-scan window arm: one canonicalization, but the count
+        // over ALL rows fuses into the rank window, so WindowGroupLimit
+        // cannot fire — the ENTIRE corpus crosses one exchange into
+        // ≤ |domains| sort tasks. Fastest measured fixture arm after
+        // twoscan's double scan (sf10 1.38 s) yet the structural funnel
+        // is real: 11 fixture domains = 11 sort tasks at any scale.
+        docs
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("domain")).orderBy(col("hk"), col("doc_id"))))
+          .groupBy(col("domain"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(when(col("rn") <= DomainDocCap, 1L).otherwise(0L)).as("n_kept"),
+            sum(when(col("rn") <= DomainDocCap, col("n_chars"))).as("kept_chars"))
+          // total via an unpartitioned window over the |domains|-row
+          // aggregate — a scalar-subquery crossJoin would RE-SCAN the
+          // corpus (the aggregate's lineage is not reused across the join)
+          .withColumn("total", sum(col("n_docs")).over(Window.partitionBy()))
+          .select(col("domain"), col("n_docs"), col("n_kept"), col("kept_chars"),
+            expr("(n_docs * 1000) div total").as("share_permille"))
+          .resultOrder(col("domain"))
+      case _ =>
+        // default: ONE scan, ONE map-side-combined exchange, bounded
+        // state — the per-group capped selection runs as the mergeable
+        // TopKKeep aggregate (≤ cap entries per partial buffer), so
+        // each map task ships ≤ cap rows per domain and a domain with
+        // 10⁹ docs costs a task no more memory than one with 16. The
+        // only sort anywhere is the |domains|-row presentation order.
+        val topk = udaf(new graft.functions.TopKKeep(DomainDocCap),
+          org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(String, Long, Long)]())
+        docs.groupBy(col("domain")).agg(
+            count(lit(1)).as("n_docs"),
+            topk(col("hk"), col("doc_id"), col("n_chars")).as("kept"))
+          // total via an unpartitioned window over the |domains|-row
+          // aggregate — a scalar-subquery crossJoin would RE-SCAN the
+          // corpus (the aggregate's lineage is not reused across the join)
+          .withColumn("total", sum(col("n_docs")).over(Window.partitionBy()))
+          .select(col("domain"), col("n_docs"),
+            col("kept._1").as("n_kept"), col("kept._2").as("kept_chars"),
+            expr("(n_docs * 1000) div total").as("share_permille"))
+          .resultOrder(col("domain"))
+    }
   }
 
   private val ratesCaseSql: String =

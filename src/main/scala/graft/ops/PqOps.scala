@@ -329,23 +329,23 @@ object PqOps {
       .select(col("q") +: cis: _*)
       .select(explode(array(subStructs: _*)).as("s"))
       .select(col("s.sub"), col("s.cluster"), col("s.dist"))
-    // Stage fusion, size-gated (the percentiles fuseSmall pattern): below
-    // the bound, ONE hash((sub, cluster), 1) exchange feeds the final
-    // aggregate AND the presentation sort in the same stage — the generic
-    // resultOrder would add a second (single-reducer) exchange. Past the
-    // gate the default width stays and the ≤ SubM·PqK-row aggregate
-    // scales out.
-    val fuseSmall = Tables.planningSize(assigned) <= (64L << 20)
-    val grouped =
-      if (fuseSmall) assigned.repartition(1, col("sub"), col("cluster")) else assigned
-    val agg = grouped
+    // No pre-aggregate fuse (round 12 removed it): the old size-gated
+    // repartition(1, (sub, cluster)) sat BELOW the aggregate, and an
+    // explicit repartition is a barrier partial aggregation cannot be
+    // pushed under — the exchange carried the ENTIRE SubM-exploded
+    // stream (8 rows/vector) into one task. planningSize never saw it
+    // because Generate's size estimate ignores row multiplication, so
+    // the gate stayed "small" at every scale while the measured cost
+    // grew linearly with the corpus (0.40 s sf3 → 1.02 s sf10). The
+    // plain shape exchanges ≤ SubM·PqK rows per map (partial combine)
+    // plus a SubM·PqK-row presentation sort — both corpus-independent.
+    assigned
       .groupBy(col("sub"), col("cluster"))
       .agg(
         count(lit(1)).as("n"),
         floor(sum(col("dist")).cast("double") / count(lit(1))).cast("long").as("mean_dist"),
         max(col("dist")).as("max_dist"))
-    if (fuseSmall) agg.sortWithinPartitions(col("sub"), col("cluster"))
-    else agg.resultOrder(col("sub"), col("cluster"))
+      .resultOrder(col("sub"), col("cluster"))
   }
 
   /** Int8 SCALAR quantization (SQ8) of the embedding corpus — the
@@ -402,12 +402,17 @@ object PqOps {
       .withColumn("code", expr(
         "CASE WHEN span = 0 THEN CAST(0 AS BIGINT) ELSE ((x - vmin) * 510 + span) div (2 * span) END"))
       .withColumn("err", abs(col("x") - col("vmin") - expr("(2 * code * span + 255) div 510")))
-    // stage fusion, size-gated (the pqStats fuseSmall pattern): below the
-    // bound ONE hash(d, 1) exchange feeds the final aggregate AND the
-    // presentation sort; past it the default width scales out
-    val fuseSmall = Tables.planningSize(coded) <= (64L << 20)
-    val grouped = if (fuseSmall) coded.repartition(1, col("d")) else coded
-    val agg = grouped.groupBy(col("d"))
+    // No pre-aggregate fuse (round 12, same defect as pqStats): the old
+    // size-gated repartition(1, d) below the aggregate exchanged the
+    // FULL dim-exploded stream (64 rows/vector) into one task — an
+    // explicit repartition is a barrier partial aggregation cannot be
+    // pushed under, and Generate's planning-size estimate ignores row
+    // multiplication so the 64 MB gate never opened. Measured: the
+    // "flat two-job floor" story broke linearly past toy scale
+    // (0.66 s sf1 → 1.47 s sf3 → 4.55 s sf10 vs DuckDB's 0.5 s).
+    // The plain shape exchanges ≤ dim rows per map twice — both
+    // corpus-independent — and a dim-row presentation sort.
+    coded.groupBy(col("d"))
       .agg(
         min(col("vmin")).as("vmin"),
         (min(col("vmin")) + min(col("span"))).as("vmax"),
@@ -415,7 +420,7 @@ object PqOps {
         max(col("err")).as("max_abs_err"),
         floor(sum(col("err")).cast("double") / count(lit(1))).cast("long").as("mean_abs_err"),
         sum(col("err") * col("err")).as("sum_sq_err"))
-    if (fuseSmall) agg.sortWithinPartitions(col("d")) else agg.resultOrder(col("d"))
+      .resultOrder(col("d"))
   }
 
   // ---------------------------------------------------------------- oracle

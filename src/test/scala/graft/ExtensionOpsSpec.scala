@@ -291,6 +291,15 @@ class ExtensionOpsSpec extends SparkSuite {
     // determinism: a second run is byte-identical
     val again = CurationOps.domainMix(spark, SfDir).collect()
     assert(got.map(_.toString).toSeq === again.map(_.toString).toSeq)
+    // arm equality: the TopKKeep default, the two-scan WindowGroupLimit
+    // arm, and the fused single-window arm select the SAME kept set
+    for (arm <- Seq("twoscan", "window")) {
+      spark.conf.set("spark.graft.domainMixArm", arm)
+      val alt = try CurationOps.domainMix(spark, SfDir).collect()
+        finally spark.conf.unset("spark.graft.domainMixArm")
+      assert(got.map(_.toString).toSeq === alt.map(_.toString).toSeq,
+        s"arm $arm diverges from the TopKKeep default")
+    }
   }
 
   test("source overlap equals an independent string-shingle recompute") {

@@ -674,8 +674,26 @@ class PlanSpec extends SparkSuite {
       p.contains("HashAggregate"), s"keep-first aggregate missing map-side combine:\n$p")
   }
 
-  test("q_domain_mix: cap rank plans as WindowGroupLimit on both exchange sides") {
+  test("q_domain_mix: capped selection is a bounded mergeable aggregate — no window") {
     val p = plan("q_domain_mix")
+    // default (topk) arm: ONE corpus exchange feeds the partial+final
+    // ObjectHashAggregate carrying ≤ cap TopKKeep entries per (domain,
+    // map); no ranking window exists, so no domain-key sort funnel either
+    assert(p.contains("ObjectHashAggregate"),
+      s"TopKKeep aggregate must run as ObjectHashAggregate:\n$p")
+    assert(!p.contains("WindowGroupLimit") && !"Window \\[".r.findFirstIn(p).isDefined,
+      s"default arm must not rank through a window:\n$p")
+    assert("hashpartitioning\\(domain".r.findAllIn(p).size == 1,
+      s"expected exactly 1 domain exchange:\n$p")
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(p).size == 1,
+      s"default arm must canonicalize in ONE corpus scan:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no corpus-scale join exists here:\n$p")
+  }
+
+  test("q_domain_mix twoscan arm: cap rank plans as WindowGroupLimit on both exchange sides") {
+    spark.conf.set("spark.graft.domainMixArm", "twoscan")
+    val p = try plan("q_domain_mix")
+      finally spark.conf.unset("spark.graft.domainMixArm")
     assert("WindowGroupLimit".r.findAllIn(p).size >= 2,
       s"rank-filter must prune to cap per domain on BOTH sides of the exchange:\n$p")
     assert(p.contains("BroadcastHashJoin"),
