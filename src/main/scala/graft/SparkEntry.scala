@@ -115,6 +115,8 @@ object SparkEntry {
     "q_sim_topk_pq" -> (PqOps.simTopKPq _),
     // IVF-PQ composition: trained coarse probes + compressed-domain ADC
     "q_sim_topk_ivfpq" -> (PqOps.simTopKIvfPq _),
+    // ANN quality accounting: recall@k of every arm vs the exact top-k
+    "q_sim_recall" -> (PqOps.simRecall _),
     "q_pq_train" -> (PqOps.pqTrain _),
     "q_pq_stats" -> (PqOps.pqStats _),
     // scalar (int8) quantization: the per-dim affine quantizer + exact
@@ -145,7 +147,9 @@ object SparkEntry {
     "q_chunk_docs" -> (CleanOps.chunkDocs _),
     "q_multimodal_features" -> (MultimodalOps.multimodalFeatures _),
     "q_multimodal_resize" -> (MultimodalOps.multimodalResize _),
-    "q_multimodal_frames" -> (MultimodalOps.multimodalFrames _)
+    "q_multimodal_frames" -> (MultimodalOps.multimodalFrames _),
+    // perceptual-key near-dup over the media corpus (pHash shape)
+    "q_multimodal_dedup" -> (MultimodalOps.multimodalDedup _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -158,6 +158,64 @@ object MultimodalOps {
       .resultOrder(col("doc_id"))
   }
 
+  case class PerceptualKey(doc_id: Long, n_units: Long, pkey: Long)
+
+  /** Quantization levels per histogram bin for the perceptual key
+    * (level = count·levels ∕ n, integer — 0..levels inclusive, 7 bits;
+    * 8 levels collapsed the whole sf0.01 corpus into ONE group — text
+    * histograms concentrate in two bins, so the key needs sub-bin
+    * resolution to separate genuinely different docs while still
+    * colliding the fixture's small-edit near-dup pairs). */
+  val PkeyLevels = 64
+
+  /** STUB perceptual hash: quantize each feature-histogram bin to an
+    * integer level and pack the 8 levels into one 56-bit key — the pHash
+    * shape and width (aHash/dHash quantize decoded pixels the same way; a
+    * real implementation swaps the histogram for DCT coefficients and
+    * changes no plumbing). All arithmetic is integer (counts, not the
+    * normalized doubles), so the key is exactly reproducible cross-engine.
+    */
+  def perceptualKeys(rows: Iterator[MediaRow]): Iterator[PerceptualKey] =
+    rows.map { r =>
+      val text = decodeText(r.payload)
+      val hist = new Array[Long](HistBins)
+      var n = 0L
+      val it = text.codePoints().iterator()
+      while (it.hasNext) {
+        val cp = it.nextInt()
+        hist((cp & 0xFF) >> 5) += 1
+        n += 1
+      }
+      var key = 0L
+      var b = 0
+      while (b < HistBins) {
+        key |= ((hist(b) * PkeyLevels) / math.max(n, 1L)) << (7 * b)
+        b += 1
+      }
+      PerceptualKey(r.doc_id, n, key)
+    }
+
+  /** Perceptual near-dup dedup over the media corpus — the image-pipeline
+    * analog of [[TextOps.dedupExact]]: media whose decoded feature
+    * histograms quantize to the SAME perceptual key are near-duplicates
+    * (re-encodes, crops, small edits move raw bytes but not the coarse
+    * feature distribution); one keeper (lowest doc_id) survives per key.
+    *
+    * Plan shape at 100 TB: the decode/key stage is partition-local
+    * (mapPartitions pipelines with the scan — the expensive decode runs
+    * once per payload, exactly where the bytes are), then ONE map-side-
+    * combined exchange keyed by the 8-byte key carrying ≤ |distinct keys|
+    * rows per map task. No window, no join, no second scan.
+    */
+  def multimodalDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mediaTable(s, dir).as[MediaRow].mapPartitions(perceptualKeys).toDF()
+      .groupBy(col("pkey"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_docs"))
+      .select(col("doc_id"), col("n_docs"), col("pkey"))
+      .resultOrder(col("doc_id"))
+  }
+
   val oracles: Map[String, String] = Map(
     "q_multimodal_resize" ->
       s"""WITH d AS (SELECT doc_id, coalesce(text, '') AS text, length(coalesce(text, '')) AS n FROM documents),
@@ -184,6 +242,27 @@ object MultimodalOps {
          |FROM d LEFT JOIN f USING (doc_id)
          |GROUP BY d.doc_id, d.n
          |ORDER BY d.doc_id""".stripMargin,
+    "q_multimodal_dedup" -> {
+      val counts = (0 until HistBins)
+        .map(b => s"count(CASE WHEN cp.bin = $b THEN 1 END) AS c$b")
+        .mkString(", ")
+      val key = (0 until HistBins)
+        .map(b => s"(c$b * $PkeyLevels // greatest(n, 1)) * ${1L << (7 * b)}")
+        .mkString(" + ")
+      s"""WITH d AS (SELECT doc_id, coalesce(text, '') AS text, length(coalesce(text, '')) AS n FROM documents),
+         |cp AS (
+         |  SELECT doc_id, (ord(substr(text, CAST(i AS INTEGER), 1)) % 256) // 32 AS bin
+         |  FROM d, unnest(range(1, n + 1)) AS u(i)),
+         |hist AS (
+         |  SELECT d.doc_id, d.n, $counts
+         |  FROM d LEFT JOIN cp USING (doc_id)
+         |  GROUP BY d.doc_id, d.n),
+         |keys AS (SELECT doc_id, CAST($key AS BIGINT) AS pkey FROM hist)
+         |SELECT min(doc_id) AS doc_id, count(*) AS n_docs, pkey
+         |FROM keys
+         |GROUP BY pkey
+         |ORDER BY doc_id""".stripMargin
+    },
     "q_multimodal_features" -> {
       val bins = (0 until HistBins)
         .map(b => s"${graft.model.Model.roundNSql(s"CAST(count(CASE WHEN bin = $b THEN 1 END) AS DOUBLE) / greatest(d.n, 1)", 4)} AS f$b")

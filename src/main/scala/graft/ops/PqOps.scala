@@ -271,6 +271,50 @@ object PqOps {
       .limit(PqTopK)
   }
 
+  /** k shared by every ANN arm and the exact baseline (all five serving
+    * queries return top-10; the oracle interpolates the same constant). */
+  val RecallK = 10
+
+  /** Recall@k accounting of every ANN arm against the exact brute-force
+    * top-k — the quality artifact a deployment ships next to its index:
+    * index parameters (probes, planes, codebook size) are chosen from
+    * recall/cost curves, so this intersection join IS the production
+    * evaluation job. Each arm's top-k for the shared anchor query
+    * (vec_id 0) joins the exact cosine top-k ([[SimilarityOps.simTopK]]);
+    * out come per-arm hits and recall@k, zero-hit arms kept by the left
+    * join from the literal arm list (both engines emit all five rows on
+    * any input, including an empty corpus).
+    *
+    * Plan shape at 100 TB: each arm is its own already-audited serving
+    * plan whose OUTPUT is k rows (metadata); the exact set broadcasts as
+    * k rows; the hit count aggregates ≤ arms·k rows. The recall harness
+    * adds nothing corpus-scale on top of the arms it audits — auditing N
+    * arms costs exactly the N serving scans. Determinism: every arm is
+    * individually hash-checked, so the intersection counts are exact in
+    * both engines.
+    */
+  def simRecall(s: SparkSession, dir: String): DataFrame = {
+    val exact = SimilarityOps.simTopK(s, dir).select(col("vec_id").as("evid"))
+    val arms: Seq[(String, DataFrame)] = Seq(
+      "ivf" -> SimilarityOps.simTopKIvf(s, dir),
+      "ivf_trained" -> SimilarityOps.simTopKIvfTrained(s, dir),
+      "ivfpq" -> simTopKIvfPq(s, dir),
+      "lsh" -> SimilarityOps.simTopKLsh(s, dir),
+      "pq" -> simTopKPq(s, dir))
+    val cand = arms
+      .map { case (n, df) => df.select(lit(n).as("arm"), col("vec_id")) }
+      .reduce(_.unionByName(_))
+    val hits = cand.join(broadcast(exact), col("vec_id") === col("evid"))
+      .groupBy(col("arm")).agg(count(lit(1)).as("hits"))
+    import s.implicits._
+    val names = arms.map(_._1).toDF("arm")
+    names.join(hits, Seq("arm"), "left")
+      .select(col("arm"), lit(RecallK).as("k"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        (coalesce(col("hits"), lit(0L)).cast("double") / RecallK).as("recall"))
+      .resultOrder(col("arm"))
+  }
+
   /** The PQ codebook BUILD as its own registered artifact — the offline
     * index-construction leg, priced separately from the serving/evaluate
     * legs exactly as a deployment prices them (index build amortized,
@@ -486,21 +530,13 @@ object PqOps {
        |  FROM embeddings
        |  WHERE len(list_filter(embedding, x -> isnan(CAST(x AS DOUBLE)))) = 0)""".stripMargin
 
-  val oracles: Map[String, String] = Map(
-    "q_pq_train" -> {
-      val books = (0 until SubM).map { m =>
-        s"""SELECT $m AS sub, cluster,
-           |  CAST(generate_subscripts(cen, 1) - 1 AS INTEGER) AS d,
-           |  CAST(unnest(cen) AS BIGINT) AS c_val
-           |FROM s${m}c$PqIters""".stripMargin
-      }
-      s"""WITH $PtsSql,
-         |${(0 until SubM).map(subTrainSql).mkString(",\n")}
-         |${books.mkString("\nUNION ALL\n")}
-         |ORDER BY sub, cluster, d""".stripMargin
-    },
-    "q_sim_topk_pq" -> {
-      s"""WITH $PtsSql,
+  /** The two serving oracles as named fragments: registered verbatim
+    * below AND re-embedded (as subqueries) by q_sim_recall's oracle, so
+    * the recall audit provably scores the SAME arm pipelines it reports
+    * on — a drift between a registered arm and its recall row is
+    * impossible by construction. */
+  private val SimTopKPqSql: String =
+    s"""WITH $PtsSql,
          |${(0 until SubM).map(subTrainSql).mkString(",\n")},
          |${(0 until SubM).map(subEncodeSql).mkString(",\n")},
          |${(0 until SubM).map(subAdcSql).mkString(",\n")},
@@ -511,8 +547,8 @@ object PqOps {
          |WHERE p.vec_id <> 0
          |GROUP BY p.vec_id
          |ORDER BY adc_dist, vec_id LIMIT $PqTopK""".stripMargin
-    },
-    "q_sim_topk_ivfpq" -> {
+
+  private val SimTopKIvfPqSql: String = {
       val k = ClusterOps.K
       s"""WITH ${ClusterOps.kmeansCtesSql},
          |${(0 until SubM).map(subTrainSql).mkString(",\n")},
@@ -537,6 +573,45 @@ object PqOps {
          |WHERE a.vec_id <> 0
          |GROUP BY a.vec_id, a.cluster
          |ORDER BY adc_dist, vec_id LIMIT $PqTopK""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q_pq_train" -> {
+      val books = (0 until SubM).map { m =>
+        s"""SELECT $m AS sub, cluster,
+           |  CAST(generate_subscripts(cen, 1) - 1 AS INTEGER) AS d,
+           |  CAST(unnest(cen) AS BIGINT) AS c_val
+           |FROM s${m}c$PqIters""".stripMargin
+      }
+      s"""WITH $PtsSql,
+         |${(0 until SubM).map(subTrainSql).mkString(",\n")}
+         |${books.mkString("\nUNION ALL\n")}
+         |ORDER BY sub, cluster, d""".stripMargin
+    },
+    "q_sim_topk_pq" -> SimTopKPqSql,
+    "q_sim_topk_ivfpq" -> SimTopKIvfPqSql,
+    "q_sim_recall" -> {
+      val armSqls = Seq(
+        "ivf" -> SimilarityOps.oracles("q_sim_topk_ivf"),
+        "ivf_trained" -> SimilarityOps.oracles("q_sim_topk_ivf_trained"),
+        "ivfpq" -> SimTopKIvfPqSql,
+        "lsh" -> SimilarityOps.oracles("q_sim_topk_lsh"),
+        "pq" -> SimTopKPqSql)
+      s"""WITH exact AS (SELECT vec_id FROM (
+         |${SimilarityOps.oracles("q_sim_topk")}
+         |)),
+         |cand AS (
+         |${armSqls.map { case (n, q) => s"SELECT '$n' AS arm, vec_id FROM (\n$q\n)" }.mkString("\nUNION ALL\n")}
+         |),
+         |hits AS (
+         |  SELECT arm, count(*) AS hits FROM cand JOIN exact USING (vec_id)
+         |  GROUP BY arm)
+         |SELECT a.arm, CAST($RecallK AS INTEGER) AS k,
+         |  COALESCE(h.hits, 0) AS hits,
+         |  CAST(COALESCE(h.hits, 0) AS DOUBLE) / $RecallK AS recall
+         |FROM (VALUES ('ivf'), ('ivf_trained'), ('ivfpq'), ('lsh'), ('pq')) AS a(arm)
+         |LEFT JOIN hits h USING (arm)
+         |ORDER BY arm""".stripMargin
     },
     "q_pq_stats" -> {
       val stats = (0 until SubM).map { m =>

@@ -932,6 +932,35 @@ class ExtensionOpsSpec extends SparkSuite {
     }
   }
 
+  test("multimodal dedup: perceptual-key groups equal a plain-Scala replay") {
+    import graft.ops.MultimodalOps
+    // independent key computation straight from the fixture text
+    val docs = Tables.documents(spark, SfDir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)).getOrElse("")))
+    val want = docs.map { case (id, text) =>
+      val hist = new Array[Long](MultimodalOps.HistBins)
+      var n = 0L
+      val it = text.codePoints().iterator()
+      while (it.hasNext) { val cp = it.nextInt(); hist((cp & 0xFF) >> 5) += 1; n += 1 }
+      val key = (0 until MultimodalOps.HistBins).map(b =>
+        ((hist(b) * MultimodalOps.PkeyLevels) / math.max(n, 1L)) << (7 * b)).sum
+      (id, key)
+    }.groupBy(_._2).map { case (key, members) =>
+      (members.map(_._1).min, members.size.toLong, key)
+    }.toSeq.sortBy(_._1)
+    val got = MultimodalOps.multimodalDedup(spark, SfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("pkey"))).toSeq
+    assert(got === want)
+    // the key is coarser than exact-byte identity but must DISCRIMINATE:
+    // multiple groups (not one corpus-wide bucket), and at least one key
+    // still groups multiple docs (the fixture's small-edit near-dups)
+    assert(got.length <= docs.length)
+    assert(got.length > 1, "every doc quantized to one key — key too coarse")
+    assert(got.exists(_._2 > 1L), "fixture has no perceptual collisions — key too fine")
+  }
+
   test("text stats: token counts and ratios on a known doc") {
     import org.apache.spark.sql.Row
     val doc = spark.createDataFrame(

@@ -551,6 +551,32 @@ class PlanSpec extends SparkSuite {
       "serving path should have no hash exchange at all:\n" + p)
   }
 
+  test("q_multimodal_dedup: partition-local keys, one combined exchange, no join/window") {
+    val p = plan("q_multimodal_dedup")
+    assert(p.contains("MapPartitions"),
+      "decode/key stage is not partition-local:\n" + p)
+    assert("hashpartitioning\\(pkey".r.findAllIn(p).size === 1,
+      "expected exactly one exchange, keyed by pkey:\n" + p)
+    assert(p.contains("partial_min") || p.contains("partial_count"),
+      "no map-side partial aggregation before the exchange:\n" + p)
+    assert(!p.contains("Join"), "dedup should not join anything:\n" + p)
+    assert(!p.contains("Window"), "keeper must come from the aggregate, not a window:\n" + p)
+  }
+
+  test("q_sim_recall: audit adds only broadcast membership — arms keep their top-k heaps") {
+    val p = plan("q_sim_recall")
+    // the exact-set membership is a broadcast of k rows, never a shuffle join
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      "exact-set membership shuffled the candidates:\n" + p)
+    // every serving arm and the exact baseline still plan their own
+    // per-partition top-k heap (union does not break the subtrees)
+    assert("TakeOrderedAndProject".r.findAllIn(p).size >= 5,
+      "an arm lost its top-k heap inside the recall union:\n" + p)
+    // presentation sort of 5 rows: single reducer, no range exchange
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
+
   test("q_cluster_stats: in-row assignment + distance — one k-sized exchange, no join") {
     val p = plan("q_cluster_stats")
     assert(p.contains("nearest_centroid") && p.contains("squared_l2"),

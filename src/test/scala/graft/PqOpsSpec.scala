@@ -141,6 +141,32 @@ class PqOpsSpec extends SparkSuite {
     assert(got.forall(t => probed.contains(t._2)))
   }
 
+  test("q_sim_recall: per-arm hits equal the intersections of each arm's own output") {
+    import graft.ops.SimilarityOps
+    val exact = SimilarityOps.simTopK(spark, SfDir).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    // non-degenerate audit: the fixture yields a full exact top-k
+    assert(exact.size === PqOps.RecallK)
+    val arms = Seq(
+      "ivf" -> SimilarityOps.simTopKIvf(spark, SfDir),
+      "ivf_trained" -> SimilarityOps.simTopKIvfTrained(spark, SfDir),
+      "ivfpq" -> PqOps.simTopKIvfPq(spark, SfDir),
+      "lsh" -> SimilarityOps.simTopKLsh(spark, SfDir),
+      "pq" -> PqOps.simTopKPq(spark, SfDir))
+    val want = arms.map { case (n, df) =>
+      val hits = df.collect().map(_.getAs[Long]("vec_id")).count(exact)
+      (n, PqOps.RecallK, hits.toLong, hits.toDouble / PqOps.RecallK)
+    }
+    val got = PqOps.simRecall(spark, SfDir).collect()
+      .map(r => (r.getAs[String]("arm"), r.getAs[Int]("k"),
+        r.getAs[Long]("hits"), r.getAs[Double]("recall"))).toSeq
+    assert(got === want)
+    // recall is a proportion of k on every row
+    got.foreach { case (_, k, hits, recall) =>
+      assert(hits >= 0L && hits <= k && recall === hits.toDouble / k)
+    }
+  }
+
   test("q_pq_stats: populations cover the corpus once per subspace") {
     val n = ClusterOps.quantizedPoints(spark, SfDir).count()
     val got = PqOps.pqStats(spark, SfDir).collect()
