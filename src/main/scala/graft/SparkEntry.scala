@@ -115,8 +115,12 @@ object SparkEntry {
     "q_sim_topk_pq" -> (PqOps.simTopKPq _),
     // IVF-PQ composition: trained coarse probes + compressed-domain ADC
     "q_sim_topk_ivfpq" -> (PqOps.simTopKIvfPq _),
-    // ANN quality accounting: recall@k of every arm vs the exact top-k
-    "q_sim_recall" -> (PqOps.simRecall _),
+    // the production IVFADC tails: ADC shortlist + exact-cosine re-rank
+    "q_sim_topk_pq_rr" -> (PqOps.simTopKPqRr _),
+    "q_sim_topk_ivfpq_rr" -> (PqOps.simTopKIvfPqRr _),
+    // ANN quality accounting: mean recall@k of every arm over the batch
+    // query set vs the exact top-k
+    "q_sim_recall" -> (RecallOps.simRecall _),
     "q_pq_train" -> (PqOps.pqTrain _),
     "q_pq_stats" -> (PqOps.pqStats _),
     // scalar (int8) quantization: the per-dim affine quantizer + exact
@@ -159,5 +163,5 @@ object SparkEntry {
       TextOps.oracles ++ DedupOps.oracles ++ SimilarityOps.oracles ++
       SessionOps.oracles ++ MultimodalOps.oracles ++ CurationOps.oracles ++
       CleanOps.oracles ++ ClusterOps.oracles ++ DownsampleOps.oracles ++
-      PqOps.oracles
+      PqOps.oracles ++ RecallOps.oracles
 }

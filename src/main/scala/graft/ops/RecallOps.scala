@@ -1,0 +1,412 @@
+package graft.ops
+
+import graft.Tables.ResultOrdering
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** §2E ANN quality accounting — recall@k of EVERY serving arm against the
+  * exact brute-force baseline, over the full batch query set. This is the
+  * artifact a deployment ships next to its index: probes, planes, codebook
+  * size, and the re-rank shortlist are all chosen off recall/cost curves,
+  * so this job IS the production index evaluation.
+  *
+  * Round 12's audit used a single anchor query — a 0-or-0.1-granularity
+  * estimate. This one audits all [[NQ]] batch queries (vec_ids 0..NQ-1,
+  * the `q_sim_topk_batch` query set) through BATCHED twins of each arm:
+  * one corpus scan per arm serves every query (the amortization a real
+  * serving tier does), per-query top-k via a rank window that Spark caps
+  * on both sides of the qid exchange with WindowGroupLimit — each map
+  * partition forwards ≤ k·NQ rows, so auditing N arms over Q queries
+  * still costs exactly N corpus scans, not N·Q.
+  *
+  * Denominator (ADVICE r12): recall = hits / Σ_q min(k, |exact_q|) — the
+  * exact baseline's ACTUAL row count, not k·NQ, so small corpora (fewer
+  * than k eligible vectors per query) and NaN-degraded queries read
+  * correctly; an arm returning every relevant vector scores 1.0. k itself
+  * is pinned to the serving constant ([[RecallK]] = PqOps.PqTopK) and the
+  * sibling arms' constants are asserted equal at run time, so the
+  * denominator can no longer silently drift from what the arms return.
+  *
+  * Measured at sf0.1 (2000 near-isotropic random vectors — the hardest
+  * case for every pruning/compression family): ivf 0.22, ivf_trained
+  * 0.98, ivfpq 0.32, ivfpq_rr 0.98, lsh 0.08, pq 0.26, pq_rr 0.92. The
+  * _rr rows are the round-13 exact-re-rank tails (PqOps.simTopKPqRr) —
+  * the audit that convicted the compressed arms now shows the fix
+  * working.
+  *
+  * Determinism: every stage runs the sibling operators' exact
+  * integer/rounded-double conventions; the DuckDB oracle restates each
+  * batched arm from the SAME training CTE chains (k-means + all eight
+  * sub-codebooks), so an engine/oracle divergence in any arm's pipeline
+  * fails the hash.
+  */
+object RecallOps {
+
+  /** k shared by every audited arm and the exact baseline — defined AS the
+    * PQ serving constant (not merely equal to it) so a drift is a compile
+    * error, with the remaining arms' k asserted in [[simRecall]]. */
+  val RecallK: Int = PqOps.PqTopK
+
+  /** The audit query set: vec_ids 0..NQ-1 (the batch-serving set). */
+  val NQ: Int = SimilarityOps.BatchQueries
+
+  /** nProbe of the label-IVF arm — simTopKIvf's default; the registered
+    * q_sim_topk_ivf oracle interpolates the same constant. */
+  private val IvfLabelProbes = 2
+
+  /** Per-query top-k: rank window + filter — plans with WindowGroupLimit
+    * on both sides of the qid exchange (map-side cap at k per query). */
+  private def topPerQid(df: DataFrame, ord: Seq[Column], k: Int): DataFrame = {
+    val w = Window.partitionBy(col("qid")).orderBy(ord: _*)
+    df.withColumn("__rnk", row_number().over(w))
+      .filter(col("__rnk") <= k).drop("__rnk")
+  }
+
+  private def emptyCand(s: SparkSession): DataFrame =
+    s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("qid", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("vec_id", org.apache.spark.sql.types.LongType))))
+
+  /** The quantized audit queries — ≤ NQ rows of driver metadata. */
+  private def queryVecs(s: SparkSession, dir: String): Seq[(Long, Array[Long])] =
+    ClusterOps.quantizedPoints(s, dir)
+      .filter(col("vec_id") < NQ)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+      .sortBy(_._1).toSeq
+
+  /** Raw-embedding audit queries as a broadcastable NQ-row frame. */
+  private def queryFrame(s: SparkSession, dir: String): DataFrame =
+    SimilarityOps.nanFreeEmbeddings(s, dir)
+      .filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("qqid"), col("embedding").as("qv"))
+
+  // ------------------------------------------------------ batched arms
+
+  /** Batched sign-bucket LSH: the NQ queries' probe rings broadcast
+    * (≤ NQ·(planes+1) rows), candidates rank per qid. One corpus scan. */
+  private[graft] def lshBatch(s: SparkSession, dir: String): DataFrame = {
+    val bucketed = SimilarityOps.nanFreeEmbeddings(s, dir)
+      .withColumn("bucket", SimilarityOps.signBucket(col("embedding")))
+    val probes = bucketed.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("qid"), col("bucket"), col("embedding").as("qv"))
+      .select(col("qid"),
+        explode(expr(
+          s"transform(sequence(0, ${SimilarityOps.LshPlanes}), i -> CASE WHEN i = 0 THEN bucket ELSE int(bucket) ^ shiftleft(1, i - 1) END)"
+        )).as("probe"),
+        col("qv"))
+    topPerQid(
+      bucketed
+        .join(broadcast(probes), col("bucket") === col("probe"))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("cos_sim",
+          graft.model.Model.roundN(SimilarityOps.cosineSim(col("embedding"), col("qv")), 4)),
+      Seq(col("cos_sim").desc, col("vec_id")), RecallK)
+      .select(col("qid"), col("vec_id"))
+  }
+
+  /** Batched label-IVF: one centroid aggregate, per-qid probe selection
+    * over the tiny (labels × NQ) frame, posting-list join, per-qid rank. */
+  private[graft] def ivfBatch(s: SparkSession, dir: String): DataFrame = {
+    val emb = SimilarityOps.nanFreeEmbeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val probed = topPerQid(
+      SimilarityOps.ivfCentroids(emb).crossJoin(broadcast(queries))
+        .withColumn("c_sim", SimilarityOps.cosineSim(col("centroid"), col("qv"))),
+      Seq(col("c_sim").desc, col("label")), IvfLabelProbes)
+      .select(col("qid"), col("label"), col("qv"))
+    topPerQid(
+      emb.join(broadcast(probed), "label")
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("cos_sim",
+          graft.model.Model.roundN(SimilarityOps.cosineSim(col("embedding"), col("qv")), 4)),
+      Seq(col("cos_sim").desc, col("vec_id")), RecallK)
+      .select(col("qid"), col("vec_id"))
+  }
+
+  /** Batched trained-IVF: per-qid probe clusters are driver metadata
+    * (model.nearest over NQ queries), broadcast as (qid, cluster) pairs;
+    * ONE scan assigns in-row and joins the pair list. */
+  private[graft] def ivfTrainedBatch(s: SparkSession, dir: String): DataFrame = {
+    val qvecs = queryVecs(s, dir)
+    if (qvecs.isEmpty) return emptyCand(s)
+    val model = ClusterOps.trainedModel(s, dir)
+    import s.implicits._
+    val probeDf = qvecs.flatMap { case (qid, q) =>
+      model.nearest(q, SimilarityOps.IvfTrainedProbes).map(qid -> _)
+    }.toDF("qid", "cluster")
+    val censCol = typedLit(model.cens.map(_.toSeq).toSeq)
+    val idsCol = typedLit(model.clusters.toSeq)
+    topPerQid(
+      SimilarityOps.nanFreeEmbeddings(s, dir)
+        .withColumn("q", expr(ClusterOps.QuantizeExpr))
+        .withColumn("cluster",
+          element_at(idsCol, ClusterOps.nearestCentroid(col("q"), censCol) + 1))
+        .join(broadcast(probeDf), "cluster")
+        .filter(col("vec_id") =!= col("qid"))
+        .join(broadcast(queryFrame(s, dir)), col("qid") === col("qqid"))
+        .withColumn("cos_sim",
+          graft.model.Model.roundN(SimilarityOps.cosineSim(col("embedding"), col("qv")), 4)),
+      Seq(col("cos_sim").desc, col("vec_id")), RecallK)
+      .select(col("qid"), col("vec_id"))
+  }
+
+  /** Per-(corpus row, query) ADC candidates in ONE scan: the 8
+    * sub-assignments project ONCE per row (the q_pq_stats subexpression
+    * lesson — Generate inputs get no CSE), then each query's ADC is 8
+    * literal-LUT reads; rows explode NQ-wide carrying (qid, adc) plus the
+    * raw embedding for the re-rank tails. With probeFilter the coarse
+    * assignment also projects in-row and each exploded row survives only
+    * if its cluster is in THAT query's probe set.
+    */
+  private def pqAdcCand(s: SparkSession, dir: String, probeFilter: Boolean): DataFrame = {
+    val qvecs = queryVecs(s, dir)
+    if (qvecs.isEmpty) return emptyCand(s).withColumn("adc", lit(0L))
+      .withColumn("embedding", lit(null).cast("array<float>"))
+    val pq = PqOps.trainedPq(s, dir)
+    val luts = qvecs.map { case (_, q) => PqOps.adcLut(pq, q) }
+    val lutCol = typedLit(luts)
+    val qidCol = typedLit(qvecs.map(_._1))
+    val km = if (probeFilter) Some(ClusterOps.trainedModel(s, dir)) else None
+    val probesByQ: Seq[Seq[Int]] = km match {
+      case Some(m) => qvecs.map { case (_, q) => m.nearest(q, PqOps.IvfPqProbes) }
+      case None => qvecs.map(_ => Seq.empty[Int])
+    }
+    val probeLit = typedLit(probesByQ)
+    val cis = (0 until PqOps.SubM).map { m =>
+      ClusterOps.nearestCentroid(PqOps.subSlice(m),
+        typedLit(pq.books(m).map(_.toSeq).toSeq)).as(s"ci$m")
+    }
+    val base0 = SimilarityOps.nanFreeEmbeddings(s, dir)
+      .select(col("vec_id"), col("embedding"), expr(ClusterOps.QuantizeExpr).as("q"))
+    val withCluster = km match {
+      case Some(m) => base0.withColumn("cluster",
+        element_at(typedLit(m.clusters.toSeq),
+          ClusterOps.nearestCentroid(col("q"), typedLit(m.cens.map(_.toSeq).toSeq)) + 1))
+      case None => base0.withColumn("cluster", lit(-1))
+    }
+    val base = withCluster.select(
+      Seq(col("vec_id"), col("embedding"), col("cluster")) ++ cis: _*)
+    val structs = qvecs.indices.map { i =>
+      val adc = (0 until PqOps.SubM).map { m =>
+        element_at(element_at(element_at(lutCol, i + 1), m + 1), col(s"ci$m") + 1)
+      }.reduce(_ + _)
+      struct(element_at(qidCol, i + 1).as("qid"), adc.as("adc"),
+        element_at(probeLit, i + 1).as("probes"))
+    }
+    val exploded = base
+      .select(col("vec_id"), col("embedding"), col("cluster"),
+        explode(array(structs: _*)).as("s"))
+      .select(col("vec_id"), col("embedding"), col("cluster"),
+        col("s.qid").as("qid"), col("s.adc").as("adc"), col("s.probes").as("probes"))
+      .filter(col("vec_id") =!= col("qid"))
+    (if (probeFilter) exploded.filter(array_contains(col("probes"), col("cluster")))
+     else exploded)
+      .select(col("qid"), col("vec_id"), col("adc"), col("embedding"))
+  }
+
+  /** Exact-cosine re-rank tail over a per-qid ADC shortlist. */
+  private def rerank(s: SparkSession, dir: String, shortlist: DataFrame): DataFrame =
+    topPerQid(
+      shortlist.join(broadcast(queryFrame(s, dir)), col("qid") === col("qqid"))
+        .withColumn("cos_sim",
+          graft.model.Model.roundN(SimilarityOps.cosineSim(col("embedding"), col("qv")), 4)),
+      Seq(col("cos_sim").desc, col("vec_id")), RecallK)
+      .select(col("qid"), col("vec_id"))
+
+  private[graft] def pqBatch(s: SparkSession, dir: String): DataFrame =
+    topPerQid(pqAdcCand(s, dir, probeFilter = false),
+      Seq(col("adc"), col("vec_id")), RecallK)
+      .select(col("qid"), col("vec_id"))
+
+  private[graft] def ivfPqBatch(s: SparkSession, dir: String): DataFrame =
+    topPerQid(pqAdcCand(s, dir, probeFilter = true),
+      Seq(col("adc"), col("vec_id")), RecallK)
+      .select(col("qid"), col("vec_id"))
+
+  private[graft] def pqRrBatch(s: SparkSession, dir: String): DataFrame =
+    rerank(s, dir, topPerQid(pqAdcCand(s, dir, probeFilter = false),
+      Seq(col("adc"), col("vec_id")), PqOps.RerankC))
+
+  private[graft] def ivfPqRrBatch(s: SparkSession, dir: String): DataFrame =
+    rerank(s, dir, topPerQid(pqAdcCand(s, dir, probeFilter = true),
+      Seq(col("adc"), col("vec_id")), PqOps.RerankC))
+
+  // ----------------------------------------------------------- the audit
+
+  /** Mean recall@k per arm over the NQ-query batch set — see the object
+    * doc. Plan shape at 100 TB: each batched arm is ONE corpus scan whose
+    * OUTPUT is ≤ NQ·k rows (metadata); the exact set broadcasts as
+    * ≤ NQ·k rows; hits aggregate ≤ arms·NQ·k rows. Auditing 7 arms over
+    * NQ queries costs exactly 7 serving scans + the exact baseline.
+    */
+  def simRecall(s: SparkSession, dir: String): DataFrame = {
+    require(SimilarityOps.BatchK == RecallK && SimilarityOps.IvfTrainedK == RecallK,
+      s"recall audit: every arm must serve k = $RecallK")
+    val exact = SimilarityOps.simTopKBatch(s, dir)
+      .select(col("qid").as("eqid"), col("vec_id").as("evid"))
+    val arms: Seq[(String, DataFrame)] = Seq(
+      "ivf" -> ivfBatch(s, dir),
+      "ivf_trained" -> ivfTrainedBatch(s, dir),
+      "ivfpq" -> ivfPqBatch(s, dir),
+      "ivfpq_rr" -> ivfPqRrBatch(s, dir),
+      "lsh" -> lshBatch(s, dir),
+      "pq" -> pqBatch(s, dir),
+      "pq_rr" -> pqRrBatch(s, dir))
+    val cand = arms
+      .map { case (n, df) => df.select(lit(n).as("arm"), col("qid"), col("vec_id")) }
+      .reduce(_.unionByName(_))
+    val hits = cand.join(broadcast(exact),
+        col("qid") === col("eqid") && col("vec_id") === col("evid"))
+      .groupBy(col("arm")).agg(count(lit(1)).as("hits"))
+    val denom = exact.agg(count(lit(1)).as("denom"),
+      count_distinct(col("eqid")).as("queries"))
+    import s.implicits._
+    val names = arms.map(_._1).toDF("arm")
+    // hits is an ≤ arms-row aggregate but its static size estimate carries
+    // the corpus-scale union below it — broadcast explicitly or the 7-row
+    // presentation join plans as a sort-merge exchange
+    names.crossJoin(broadcast(denom)).join(broadcast(hits), Seq("arm"), "left")
+      .select(col("arm"), lit(RecallK).as("k"), col("queries"),
+        coalesce(col("hits"), lit(0L)).as("hits"), col("denom"),
+        when(col("denom") === 0, lit(0.0))
+          .otherwise(coalesce(col("hits"), lit(0L)).cast("double")
+            / col("denom").cast("double"))
+          .as("recall"))
+      .resultOrder(col("arm"))
+  }
+
+  // ---------------------------------------------------------------- oracle
+
+  private def emb = SimilarityOps.EmbSql
+
+  /** The per-qid rank-and-cut idiom. */
+  private def rankCut(body: String, orderBy: String, k: Int): String =
+    s"""(SELECT qid, vec_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY $orderBy) AS rnk
+       |  FROM ($body)) WHERE rnk <= $k)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_sim_recall" -> {
+      val k = RecallK
+      val cenFin = ClusterOps.FinalCenCte
+      val kK = ClusterOps.K
+      val subM = PqOps.SubM
+      val iters = PqOps.PqIters
+      val armCtes =
+        s"""qs AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+           |       FROM $emb WHERE vec_id < $NQ),
+           |qt AS (SELECT vec_id AS qid, q FROM pts WHERE vec_id < $NQ),
+           |exact AS (SELECT qid, vec_id FROM (
+           |${SimilarityOps.oracles("q_sim_topk_batch")}
+           |)),
+           |lshb AS (SELECT vec_id, embedding, ${SimilarityOps.signBucketSql} AS bucket FROM $emb),
+           |lshp AS (SELECT q.qid, xor(b.bucket, m.m) AS probe, q.qe
+           |         FROM qs q JOIN lshb b ON b.vec_id = q.qid
+           |         CROSS JOIN (SELECT unnest(${SimilarityOps.lshProbeMasks}) AS m) m),
+           |lshc AS ${rankCut(
+             s"""SELECT p.qid, b.vec_id,
+                |  ${PqOps.roundCosSql("b.embedding", "p.qe")} AS cs
+                |FROM lshb b JOIN lshp p ON b.bucket = p.probe
+                |WHERE b.vec_id <> p.qid""".stripMargin, "cs DESC, vec_id", k)},
+           |xv AS (SELECT label, generate_subscripts(embedding, 1) AS d, unnest(embedding) AS x
+           |       FROM $emb),
+           |cd AS (SELECT label, d,
+           |         CAST(CAST(sum(CAST(x AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS FLOAT) AS c
+           |       FROM xv GROUP BY label, d),
+           |cent AS (SELECT label, list(CAST(c AS DOUBLE) ORDER BY d) AS centroid
+           |         FROM cd GROUP BY label),
+           |ivfp AS (SELECT qid, label, qe FROM (
+           |  SELECT q.qid, c.label, q.qe,
+           |    row_number() OVER (PARTITION BY q.qid
+           |      ORDER BY list_dot_product(c.centroid, q.qe)
+           |        / (sqrt(list_dot_product(c.centroid, c.centroid))
+           |           * sqrt(list_dot_product(q.qe, q.qe))) DESC, c.label) AS rnk
+           |  FROM cent c CROSS JOIN qs q) WHERE rnk <= $IvfLabelProbes),
+           |ivfc AS ${rankCut(
+             s"""SELECT p.qid, e.vec_id,
+                |  ${PqOps.roundCosSql("e.embedding", "p.qe")} AS cs
+                |FROM $emb e JOIN ivfp p USING (label)
+                |WHERE e.vec_id <> p.qid""".stripMargin, "cs DESC, vec_id", k)},
+           |asg AS (
+           |  SELECT p.vec_id,
+           |    CAST(min(CAST(${PqOps.sqL2Sql("p.q", "c.cen")} AS BIGINT) * $kK + c.cluster)
+           |         % $kK AS INTEGER) AS cluster
+           |  FROM pts p CROSS JOIN $cenFin c GROUP BY p.vec_id),
+           |ivtp AS (SELECT qid, cluster FROM (
+           |  SELECT q.qid, c.cluster,
+           |    row_number() OVER (PARTITION BY q.qid
+           |      ORDER BY CAST(${PqOps.sqL2Sql("q.q", "c.cen")} AS BIGINT), c.cluster) AS rnk
+           |  FROM $cenFin c CROSS JOIN qt q) WHERE rnk <= ${SimilarityOps.IvfTrainedProbes}),
+           |ivtc AS ${rankCut(
+             s"""SELECT p.qid, e.vec_id,
+                |  ${PqOps.roundCosSql("e.embedding", "q.qe")} AS cs
+                |FROM $emb e JOIN asg a ON e.vec_id = a.vec_id
+                |JOIN ivtp p ON a.cluster = p.cluster
+                |JOIN qs q ON q.qid = p.qid
+                |WHERE e.vec_id <> p.qid""".stripMargin, "cs DESC, vec_id", k)},
+           |${(0 until subM).map(m =>
+             s"""s${m}dq AS (SELECT qq.qid, e.vec_id,
+                |  CAST(${PqOps.sqL2Sql("qq.sq", "c.cen")} AS BIGINT) AS dist
+                |FROM s${m}e e JOIN s${m}c$iters c USING (cluster)
+                |CROSS JOIN (SELECT vec_id AS qid, sq FROM s${m}p WHERE vec_id < $NQ) qq)""".stripMargin
+           ).mkString(",\n")},
+           |alldq AS (${(0 until subM).map(m => s"SELECT * FROM s${m}dq").mkString(" UNION ALL ")}),
+           |adcq AS (SELECT qid, vec_id, CAST(sum(dist) AS BIGINT) AS adc
+           |         FROM alldq GROUP BY qid, vec_id),
+           |pqc AS ${rankCut("SELECT qid, vec_id, adc FROM adcq WHERE vec_id <> qid",
+             "adc, vec_id", k)},
+           |ipqp AS (SELECT qid, cluster FROM (
+           |  SELECT q.qid, c.cluster,
+           |    row_number() OVER (PARTITION BY q.qid
+           |      ORDER BY CAST(${PqOps.sqL2Sql("q.q", "c.cen")} AS BIGINT), c.cluster) AS rnk
+           |  FROM $cenFin c CROSS JOIN qt q) WHERE rnk <= ${PqOps.IvfPqProbes}),
+           |ipqd AS (SELECT d.qid, d.vec_id, d.adc
+           |         FROM adcq d JOIN asg a ON d.vec_id = a.vec_id
+           |         JOIN ipqp p ON a.cluster = p.cluster AND p.qid = d.qid),
+           |ipqc AS ${rankCut("SELECT qid, vec_id, adc FROM ipqd WHERE vec_id <> qid",
+             "adc, vec_id", k)},
+           |pqsl AS ${rankCut("SELECT qid, vec_id, adc FROM adcq WHERE vec_id <> qid",
+             "adc, vec_id", PqOps.RerankC)},
+           |pqrr AS ${rankCut(
+             s"""SELECT s.qid, e.vec_id,
+                |  ${PqOps.roundCosSql("e.embedding", "q.qe")} AS cs
+                |FROM pqsl s JOIN $emb e ON e.vec_id = s.vec_id
+                |JOIN qs q ON q.qid = s.qid""".stripMargin, "cs DESC, vec_id", k)},
+           |ipqsl AS ${rankCut("SELECT qid, vec_id, adc FROM ipqd WHERE vec_id <> qid",
+             "adc, vec_id", PqOps.RerankC)},
+           |ipqrr AS ${rankCut(
+             s"""SELECT s.qid, e.vec_id,
+                |  ${PqOps.roundCosSql("e.embedding", "q.qe")} AS cs
+                |FROM ipqsl s JOIN $emb e ON e.vec_id = s.vec_id
+                |JOIN qs q ON q.qid = s.qid""".stripMargin, "cs DESC, vec_id", k)}""".stripMargin
+      s"""WITH ${ClusterOps.kmeansCtesSql},
+         |${(0 until subM).map(PqOps.subTrainSql).mkString(",\n")},
+         |${(0 until subM).map(PqOps.subEncodeSql).mkString(",\n")},
+         |$armCtes,
+         |cand AS (
+         |  SELECT 'ivf' AS arm, qid, vec_id FROM ivfc UNION ALL
+         |  SELECT 'ivf_trained', qid, vec_id FROM ivtc UNION ALL
+         |  SELECT 'ivfpq', qid, vec_id FROM ipqc UNION ALL
+         |  SELECT 'ivfpq_rr', qid, vec_id FROM ipqrr UNION ALL
+         |  SELECT 'lsh', qid, vec_id FROM lshc UNION ALL
+         |  SELECT 'pq', qid, vec_id FROM pqc UNION ALL
+         |  SELECT 'pq_rr', qid, vec_id FROM pqrr),
+         |hits AS (SELECT arm, count(*) AS hits
+         |         FROM cand JOIN exact USING (qid, vec_id) GROUP BY arm),
+         |dn AS (SELECT count(*) AS denom, count(DISTINCT qid) AS queries FROM exact)
+         |SELECT a.arm, CAST($k AS INTEGER) AS k, dn.queries,
+         |  COALESCE(h.hits, 0) AS hits, dn.denom,
+         |  CASE WHEN dn.denom = 0 THEN CAST(0.0 AS DOUBLE)
+         |       ELSE CAST(COALESCE(h.hits, 0) AS DOUBLE) / dn.denom END AS recall
+         |FROM (VALUES ('ivf'), ('ivf_trained'), ('ivfpq'), ('ivfpq_rr'),
+         |             ('lsh'), ('pq'), ('pq_rr')) AS a(arm)
+         |CROSS JOIN dn
+         |LEFT JOIN hits h ON h.arm = a.arm
+         |ORDER BY a.arm""".stripMargin
+    }
+  )
+}

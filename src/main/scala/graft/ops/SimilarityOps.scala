@@ -38,7 +38,7 @@ object SimilarityOps {
   /** DuckDB twin of the NaN-vector exclusion, spliced into every oracle. */
   private val EmbNanFreeSql =
     "len(list_filter(embedding, x -> isnan(CAST(x AS DOUBLE)))) = 0"
-  private val EmbSql = s"(SELECT * FROM embeddings WHERE $EmbNanFreeSql)"
+  private[ops] val EmbSql = s"(SELECT * FROM embeddings WHERE $EmbNanFreeSql)"
 
   /** Fused single-pass cosine similarity — a native codegen'd Catalyst
     * expression (graft.functions.CosineSimilarity): dot product and both
@@ -67,7 +67,7 @@ object SimilarityOps {
       .limit(k)
   }
 
-  private val LshPlanes = 8
+  private[ops] val LshPlanes = 8
 
   /** 8-bit sign bucket: axis-aligned hyperplanes through the origin (the
     * sign of each of the first 8 dims). A pure codegen'd projection — no
@@ -79,7 +79,7 @@ object SimilarityOps {
     * anisotropic data would rotate the basis first (one fixed matmul),
     * which changes the bucketing constant, not the plan shape.
     */
-  private def signBucket(e: Column): Column =
+  private[ops] def signBucket(e: Column): Column =
     (0 until LshPlanes)
       // try_element_at: vectors shorter than 8 dims contribute 0 bits
       // instead of faulting under ANSI mode (NULL >= 0 is NULL → otherwise);
@@ -131,16 +131,21 @@ object SimilarityOps {
     * double division and one float rounding at the end are IEEE-identical
     * in both engines (same pattern as Model.exactSum).
     */
+  /** Per-label decimal-exact centroids — the coarse quantizer of the
+    * label-IVF arm, shared with the batched recall-audit twin so both
+    * provably probe the same lists. */
+  private[ops] def ivfCentroids(emb: DataFrame): DataFrame = emb
+    .select(col("label"), posexplode(col("embedding")).as(Seq("d", "x")))
+    .groupBy(col("label"), col("d"))
+    .agg((sum(col("x").cast("decimal(28,6)")).cast("double") / count(lit(1)))
+      .cast("float").as("c"))
+    .groupBy(col("label"))
+    .agg(expr("transform(array_sort(collect_list(struct(d, c))), s -> s.c)")
+      .as("centroid"))
+
   def simTopKIvf(s: SparkSession, dir: String, k: Int = 10, nProbe: Int = 2): DataFrame = {
     val emb = nanFreeEmbeddings(s, dir)
-    val centroids = emb
-      .select(col("label"), posexplode(col("embedding")).as(Seq("d", "x")))
-      .groupBy(col("label"), col("d"))
-      .agg((sum(col("x").cast("decimal(28,6)")).cast("double") / count(lit(1)))
-        .cast("float").as("c"))
-      .groupBy(col("label"))
-      .agg(expr("transform(array_sort(collect_list(struct(d, c))), s -> s.c)")
-        .as("centroid"))
+    val centroids = ivfCentroids(emb)
     val query = emb.filter(col("vec_id") === 0)
       .select(col("embedding").as("q"))
     val probed = centroids.crossJoin(broadcast(query))
@@ -363,12 +368,12 @@ object SimilarityOps {
   // counts via the identical integer ceil-log2 formula — see q_dedup_embed)
 
   /** The sign bucket in DuckDB SQL — mirrors `signBucket`. */
-  private val signBucketSql: String =
+  private[ops] val signBucketSql: String =
     (0 until LshPlanes)
       .map(i => s"(CASE WHEN embedding[${i + 1}] >= 0 THEN ${1 << i} ELSE 0 END)")
       .mkString(" + ")
 
-  private val lshProbeMasks: String =
+  private[ops] val lshProbeMasks: String =
     (Seq(0) ++ (0 until LshPlanes).map(1 << _)).mkString("[", ", ", "]")
 
   val oracles: Map[String, String] = Map(

@@ -563,18 +563,24 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Window"), "keeper must come from the aggregate, not a window:\n" + p)
   }
 
-  test("q_sim_recall: audit adds only broadcast membership — arms keep their top-k heaps") {
+  test("q_sim_recall: batched arms group-limit per query; membership joins stay broadcast") {
     val p = plan("q_sim_recall")
-    // the exact-set membership is a broadcast of k rows, never a shuffle join
+    // the exact-set membership and the 7-row presentation joins are
+    // broadcasts of ≤ NQ·k rows, never a shuffle join
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"),
-      "exact-set membership shuffled the candidates:\n" + p)
-    // every serving arm and the exact baseline still plan their own
-    // per-partition top-k heap (union does not break the subtrees)
-    assert("TakeOrderedAndProject".r.findAllIn(p).size >= 5,
-      "an arm lost its top-k heap inside the recall union:\n" + p)
-    // presentation sort of 5 rows: single reducer, no range exchange
+      "a metadata-scale membership join shuffled the candidates:\n" + p)
+    // every batched arm's per-query top-k (and each probe selection and
+    // the exact baseline) must plan as a group-limited rank window —
+    // map-side cap at k·NQ rows per partition, the windowed
+    // generalization of TakeOrderedAndProject. The formatted plan prints
+    // each node twice (tree + detail): 7 arm cuts + 2 shortlists + the
+    // exact baseline is a 10-stage floor.
+    assert("WindowGroupLimit".r.findAllIn(p).size / 2 >= 10,
+      "a per-query top-k lost its WindowGroupLimit cap:\n" + p)
+    // presentation sort of 7 rows: single reducer, no range exchange
     assert(!p.contains("Exchange rangepartitioning"), p)
+    assert(!p.contains("CartesianProduct"), p)
   }
 
   test("q_cluster_stats: in-row assignment + distance — one k-sized exchange, no join") {

@@ -141,30 +141,32 @@ class PqOpsSpec extends SparkSuite {
     assert(got.forall(t => probed.contains(t._2)))
   }
 
-  test("q_sim_recall: per-arm hits equal the intersections of each arm's own output") {
+  test("q_sim_topk_pq_rr: shortlist covers the fixture corpus — re-rank equals the exact top-k") {
     import graft.ops.SimilarityOps
-    val exact = SimilarityOps.simTopK(spark, SfDir).collect()
-      .map(_.getAs[Long]("vec_id")).toSet
-    // non-degenerate audit: the fixture yields a full exact top-k
-    assert(exact.size === PqOps.RecallK)
-    val arms = Seq(
-      "ivf" -> SimilarityOps.simTopKIvf(spark, SfDir),
-      "ivf_trained" -> SimilarityOps.simTopKIvfTrained(spark, SfDir),
-      "ivfpq" -> PqOps.simTopKIvfPq(spark, SfDir),
-      "lsh" -> SimilarityOps.simTopKLsh(spark, SfDir),
-      "pq" -> PqOps.simTopKPq(spark, SfDir))
-    val want = arms.map { case (n, df) =>
-      val hits = df.collect().map(_.getAs[Long]("vec_id")).count(exact)
-      (n, PqOps.RecallK, hits.toLong, hits.toDouble / PqOps.RecallK)
-    }
-    val got = PqOps.simRecall(spark, SfDir).collect()
-      .map(r => (r.getAs[String]("arm"), r.getAs[Int]("k"),
-        r.getAs[Long]("hits"), r.getAs[Double]("recall"))).toSeq
+    // RerankC (512) >= corpus size (500): the ADC shortlist passes every
+    // candidate through, so the re-ranked result must equal the exact
+    // brute-force top-k BIT FOR BIT — the strongest pin on the re-rank
+    // tail's cosine, rounding, and (cos desc, vec_id) tie-break. (At
+    // corpus > C the arms diverge exactly by ADC shortlist quality —
+    // that regime is what q_sim_recall measures at sf0.1.)
+    assert(ClusterOps.quantizedPoints(spark, SfDir).count() <= PqOps.RerankC)
+    val exact = SimilarityOps.simTopK(spark, SfDir).collect().toSeq
+    val got = PqOps.simTopKPqRr(spark, SfDir).collect().toSeq
+    assert(got === exact)
+  }
+
+  test("q_sim_topk_ivfpq_rr: equals the trained-IVF exact rescore when the shortlist covers the probes") {
+    import graft.ops.SimilarityOps
+    // Same coverage argument restricted to the probed clusters: with
+    // every probed-cluster row in the shortlist, ADC ordering is
+    // irrelevant and the composed arm must equal q_sim_topk_ivf_trained
+    // (identical trained model, probe count, assignment expression,
+    // rescore, and output schema) — pinning the two serving paths to the
+    // same semantics with zero shared plan code.
+    assert(PqOps.IvfPqProbes === SimilarityOps.IvfTrainedProbes)
+    val want = SimilarityOps.simTopKIvfTrained(spark, SfDir).collect().toSeq
+    val got = PqOps.simTopKIvfPqRr(spark, SfDir).collect().toSeq
     assert(got === want)
-    // recall is a proportion of k on every row
-    got.foreach { case (_, k, hits, recall) =>
-      assert(hits >= 0L && hits <= k && recall === hits.toDouble / k)
-    }
   }
 
   test("q_pq_stats: populations cover the corpus once per subspace") {
