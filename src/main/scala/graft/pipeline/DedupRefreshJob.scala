@@ -1,0 +1,99 @@
+package graft.pipeline
+
+import graft.Tables
+import graft.Tables.ResultOrdering
+import graft.ops.DedupOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scheduled materializer for the dedup prune artifacts — the production
+  * shape of the curation capstone. `q_dedup_apply` (the registered,
+  * oracle-checked recompute) derives all five prune lists from raw text
+  * on every run; at sf30 that recompute is the suite's heaviest row
+  * (~90 s) and at 100 TB nobody reruns five dedup pipelines to decide
+  * which documents enter tonight's training mix. A deployment refreshes
+  * the prune lists on a schedule (daily, with the corpus snapshot) and
+  * every downstream consumer APPLIES from the at-rest artifacts.
+  *
+  * This job is that refresh: [[refresh]] computes the five lists through
+  * [[DedupOps.pruneArtifactsOn]] — the SAME producer the recompute
+  * capstone composes, so artifacts cannot drift from q_dedup_apply's
+  * semantics — and publishes them ATOMICALLY under
+  * `outDir/version=<v>/stage=<name>/` with a version-level `_COMMITTED`
+  * marker written only after every stage's parquet commit. Readers
+  * ([[readArtifacts]], [[applyFromArtifacts]]) pin the LATEST committed
+  * version: a refresh killed mid-publish leaves stage directories without
+  * the marker — invisible to every reader, overwritten wholesale by the
+  * restarted run (the [[MaterializedViews]] / [[RetentionRefreshJob]]
+  * snapshot-publish contract; PipelineSpec drives the torn-publish and
+  * restart paths).
+  *
+  * At 100 TB: each artifact is a removed-docs-cardinality frame (a small
+  * fraction of the corpus) written once per refresh; [[applyFromArtifacts]]
+  * is then ONE corpus scan (the doc_id/n_tokens spine) plus five
+  * doc_id-keyed equi-joins against at-rest lists — the 90-second sf30
+  * recompute becomes a seconds-scale apply, and the five prune pipelines
+  * run once per refresh cadence instead of once per consumer.
+  */
+object DedupRefreshJob {
+
+  /** Compute and atomically publish all five prune artifacts for the
+    * corpus at `sfDir` as `outDir/version=<version>`. Re-running a
+    * version overwrites its own partials before committing (idempotent
+    * restart). */
+  def refresh(spark: SparkSession, sfDir: String, outDir: String, version: Long): Unit =
+    refreshOn(spark, Tables.documents(spark, sfDir),
+      graft.ops.ClusterOps.semanticDedup(spark, sfDir)
+        .select(col("vec_id").as("doc_id"), col("keeper").as("keeper_semantic")),
+      outDir, version)
+
+  private[graft] def refreshOn(spark: SparkSession, docs: DataFrame,
+      semRm: DataFrame, outDir: String, version: Long): Unit = {
+    val vDir = s"$outDir/version=$version"
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a retried version must not briefly look committed while its stages
+    // are being rewritten: drop the marker FIRST
+    fs.delete(new org.apache.hadoop.fs.Path(vDir, "_COMMITTED"), false)
+    DedupOps.pruneArtifactsOn(docs, semRm).foreach { case (stage, df) =>
+      df.write.mode("overwrite").parquet(s"$vDir/stage=$stage")
+    }
+    fs.create(new org.apache.hadoop.fs.Path(vDir, "_COMMITTED"), true).close()
+  }
+
+  /** Latest committed artifact version under `outDir` (None if nothing
+    * has ever committed — e.g. every refresh so far was killed). */
+  def latestVersion(spark: SparkSession, outDir: String): Option[Long] = {
+    val root = new org.apache.hadoop.fs.Path(outDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return None
+    fs.listStatus(root)
+      .filter(_.isDirectory)
+      .map(_.getPath)
+      .filter(p => p.getName.startsWith("version=") &&
+        fs.exists(new org.apache.hadoop.fs.Path(p, "_COMMITTED")))
+      .map(_.getName.stripPrefix("version=").toLong)
+      .maxOption
+  }
+
+  /** The five prune lists of the latest committed version, keyed by
+    * stage name ([[DedupOps.ApplyStages]]). */
+  def readArtifacts(spark: SparkSession, outDir: String): Map[String, DataFrame] = {
+    val v = latestVersion(spark, outDir)
+      .getOrElse(throw new IllegalStateException(
+        s"no committed dedup artifacts under $outDir"))
+    DedupOps.ApplyStages
+      .map(st => st -> spark.read.parquet(s"$outDir/version=$v/stage=$st"))
+      .toMap
+  }
+
+  /** The production arm of the capstone: q_dedup_apply's composition with
+    * the prune lists READ from the latest committed artifacts instead of
+    * recomputed — hash-equal to the recompute by construction (same
+    * producer, same composition; PipelineSpec asserts it). One corpus
+    * scan + five metadata-scale equi-joins. */
+  def applyFromArtifacts(spark: SparkSession, sfDir: String, outDir: String): DataFrame =
+    DedupOps.applyArtifactsOn(Tables.documents(spark, sfDir),
+        readArtifacts(spark, outDir))
+      .resultOrder(col("doc_id"))
+}

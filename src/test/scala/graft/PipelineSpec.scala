@@ -386,4 +386,40 @@ class PipelineSpec extends SparkSuite {
       .filter(date_format(col("ts"), "yyyy-MM-dd") >= cutoff).count()
     assert(spark.read.parquet(out).count() == expectedRemaining)
   }
+
+  test("dedup refresh job: apply-from-artifacts equals the recompute; torn publishes stay invisible") {
+    import graft.pipeline.DedupRefreshJob
+    val out = tmp("dedup_art")
+    def applied(): Set[(Long, String, Option[Long], Long, Long)] =
+      DedupRefreshJob.applyFromArtifacts(spark, SfDir, out).collect().map(r =>
+        (r.getAs[Long]("doc_id"), r.getAs[String]("stage"),
+          Option(r.getAs[java.lang.Long]("keeper")).map(_.longValue),
+          r.getAs[Long]("n_tokens"), r.getAs[Long]("tokens_kept"))).toSet
+    val want = graft.ops.DedupOps.dedupApply(spark, SfDir).collect().map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[String]("stage"),
+        Option(r.getAs[java.lang.Long]("keeper")).map(_.longValue),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("tokens_kept"))).toSet
+    // no committed version yet: readers must refuse, not read partials
+    assert(DedupRefreshJob.latestVersion(spark, out).isEmpty)
+    intercept[IllegalStateException](DedupRefreshJob.readArtifacts(spark, out))
+
+    DedupRefreshJob.refresh(spark, SfDir, out, 0)
+    assert(DedupRefreshJob.latestVersion(spark, out) === Some(0L))
+    assert(applied() === want, "artifact arm diverged from the recompute capstone")
+
+    // torn publish: a killed refresh leaves stage dirs but no _COMMITTED —
+    // readers must keep pinning version 0. Simulate with a version-1
+    // stage directory and GARBAGE content (an empty frame): if any reader
+    // were to peek at the torn version, the equality below would break.
+    spark.read.parquet(s"$out/version=0/stage=exact").limit(0)
+      .write.mode("overwrite").parquet(s"$out/version=1/stage=exact")
+    assert(DedupRefreshJob.latestVersion(spark, out) === Some(0L),
+      "reader saw a version that never committed")
+    assert(applied() === want)
+
+    // the restarted refresh overwrites the partials and commits version 1
+    DedupRefreshJob.refresh(spark, SfDir, out, 1)
+    assert(DedupRefreshJob.latestVersion(spark, out) === Some(1L))
+    assert(applied() === want)
+  }
 }
