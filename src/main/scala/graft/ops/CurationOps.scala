@@ -74,11 +74,25 @@ object CurationOps {
     * exact ranking on the survivors; the operator's semantics (and the
     * oracle) are the exact step.
     */
-  def tokenBudget(s: SparkSession, dir: String): DataFrame = {
+  def tokenBudget(s: SparkSession, dir: String): DataFrame =
+    tokenBudgetOn(Tables.documents(s, dir))
+
+  /** The registered (whitespace-token) budget; like [[packSequencesOn]]
+    * the token rule is pluggable so a mix builder can budget in TRAINED
+    * tokenizer units ([[TextOps.bpeApply]]'s count — CurationOpsSpec
+    * exercises the arm; PERF.md round 13 records the measured A/B that
+    * keeps whitespace the registered default). The override is a pure
+    * in-row expression either way, so the plan shape (one lang shuffle +
+    * ordered scan) is identical.
+    */
+  private[graft] def tokenBudgetOn(
+      documents: DataFrame,
+      nTokens: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     // quality columns come from TextOps.withQualityColumns — the one
     // definition of the score, shared with the oracle-checked
     // q_quality_score so the ranking cannot drift from it
-    val d = TextOps.withQualityColumns(Tables.fanOut(Tables.documents(s, dir)))
+    val d0 = TextOps.withQualityColumns(Tables.fanOut(documents))
+    val d = nTokens.fold(d0)(c => d0.withColumn("n_tokens", c))
     val w = Window.partitionBy(col("lang"))
       .orderBy(col("quality").desc, col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

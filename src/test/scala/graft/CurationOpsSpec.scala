@@ -127,6 +127,36 @@ class CurationOpsSpec extends SparkSuite {
     assert(got.toSeq == expect.toSeq)
   }
 
+  test("token_budget tokenizer-true arm: budgeting under the trained BPE counts") {
+    // the pluggable token column budgets in TRAINED-tokenizer units; the
+    // cut must equal the greedy scan over q_bpe_apply's per-doc counts
+    // with the same (quality DESC, doc_id) ranking
+    val merges = graft.ops.TextOps.trainedMerges(spark, SfDir)
+    val bpeCol = graft.ops.TextOps.bpeCountCol(
+      graft.ops.TextOps.bpeEncodeCol(col("text"), merges))
+    val got = graft.ops.CurationOps.tokenBudgetOn(
+        Tables.documents(spark, SfDir), Some(bpeCol))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(4)))
+    val bpeCount = graft.ops.TextOps.bpeApply(spark, SfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toMap
+    val ranked = graft.ops.TextOps.qualityScore(spark, SfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        r.getAs[Double]("quality")))
+      .groupBy(_._2)
+    // greedy running-sum semantics replicated exactly: the window filter
+    // keeps rows while the (monotone) running total stays within budget
+    val expect = ranked.toSeq.flatMap { case (lang, ds) =>
+      var cum = 0L
+      ds.sortBy(d => (-d._3, d._1)).toSeq.flatMap { case (id, _, _) =>
+        val n = bpeCount(id)
+        cum += n
+        if (cum <= graft.ops.CurationOps.TokensPerLang) Some((id, lang, n, cum)) else None
+      }
+    }.toSet
+    assert(got.toSet === expect)
+  }
+
   test("q_contam_coverage: verbatim eval copy is fully contaminated, disjoint doc is clean") {
     val evalText = "the quick brown fox jumps over the lazy dog again and again"
     val d = docs(

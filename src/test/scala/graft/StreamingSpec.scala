@@ -291,6 +291,48 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("multimodal dedup stream: one survivor per perceptual key under splits + redelivery") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.MultimodalOps
+    val fixture = MultimodalOps.mediaTable(spark, SfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("format"),
+        r.getAs[Long]("n_bytes"), r.getAs[Array[Byte]]("payload")))
+    val rnd = new scala.util.Random(45)
+    val order = rnd.shuffle(fixture.toSeq)
+    val mem = MemoryStream[(Long, String, Long, Array[Byte])]
+    val q = StreamingOps.multimodalDedupStream(
+        mem.toDF().toDF("doc_id", "format", "n_bytes", "payload"))
+      .writeStream.format("memory").queryName("mmdedup_out")
+      .outputMode("append").start()
+    try {
+      var rest = order
+      while (rest.nonEmpty) {
+        val (batch, tail) = rest.splitAt(1 + rnd.nextInt(150))
+        mem.addData(batch: _*)
+        rest = tail
+      }
+      mem.addData(order.take(30): _*) // at-least-once redelivery
+      q.processAllAvailable()
+      val streamed = spark.table("mmdedup_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      // emit-once per perceptual key, even under redelivery
+      assert(streamed.map(_._2).distinct.length == streamed.length, "pkey emitted twice")
+      // keeper GROUPS equal the batch operator's: same key set (arrival
+      // order decides WHICH group member survives, so membership is the
+      // invariant — the urlDedupStream contract)
+      val batchKeys = MultimodalOps.multimodalDedup(spark, SfDir).collect()
+        .map(_.getAs[Long]("pkey")).toSet
+      assert(streamed.map(_._2).toSet === batchKeys)
+      // each survivor is a medium that actually quantizes to its key
+      val keyOf = MultimodalOps.mediaTable(spark, SfDir)
+        .as[MultimodalOps.MediaRow]
+        .mapPartitions(MultimodalOps.perceptualKeys)
+        .collect().map(k => k.doc_id -> k.pkey).toMap
+      streamed.foreach { case (id, k) => assert(keyOf(id) == k, s"doc $id") }
+    } finally q.stop()
+  }
+
   test("substring dedup stream == asymmetric batch cut spans under splits + redelivery") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
