@@ -80,7 +80,8 @@ object Plans {
       "q_dedup_ledger" -> "one localCheckpointed composition feeds all three consumers (per-stage removal counts, substring cut mass, corpus totals); the stage frame is a literal 5-row table, so the running-remainder window orders 5 metadata rows — the corpus never crosses an unpartitioned window",
       "q_bpe_apply" -> "the trained merge table folds in as driver-literal replace() projections (the training chain's own audited plans produce it); tokenization is ONE corpus scan with zero data-dependent exchanges — per-doc counts are in-row arithmetic over the encoded string, the only exchange is the presentation sort",
       "q_sim_topk_ivfpq" -> "composed IVFADC serving is ONE scan: in-row nearest_centroid coarse assignment against the literal trained quantizer, probe isin filter drops (1 - probes/k) of the corpus BEFORE the eight sub-assignments, ADC ranks through a driver-literal LUT, top-k via TakeOrderedAndProject — zero data-dependent exchanges",
-      "q_sim_recall" -> "the audit adds only metadata work on top of the arms it scores: every arm subtree keeps its own TakeOrderedAndProject heap inside the union, the exact top-k membership joins as a broadcast of k rows (never a shuffle of candidates), the hit count is a <= arms*k-row aggregate, and the 5-row presentation sort is a single reducer",
+      "q_sim_topk_pq_rr" -> "the re-rank tail adds NO second corpus scan: the ADC shortlist is the same one-scan TakeOrderedAndProject (now keeping C=512 rows, raw embedding carried beside the codes), the exact-cosine re-rank is a broadcast of the 1-row query over C metadata rows, and the final top-k is a second C-row TakeOrderedAndProject",
+      "q_sim_recall" -> "the multi-query audit adds only metadata work on top of the batched arms it scores: every arm's per-qid top-k (and each probe selection and the exact baseline) plans as a WindowGroupLimit-capped rank window (map-side cap at k rows per query per partition — the windowed generalization of TakeOrderedAndProject), the exact batch membership joins as a broadcast of <= NQ*k rows (never a shuffle of candidates), the hit count is a <= arms*NQ*k-row aggregate, and the 7-row presentation joins/sort stay broadcast + single reducer",
       "q_multimodal_dedup" -> "decode/feature/key stage is partition-local (MapPartitions pipelines with the scan — the expensive decode runs where the bytes are); then ONE map-side-combined exchange keyed by the 56-bit perceptual key with the min-doc_id keeper in the same aggregate — no window, no join, a viral key cannot funnel a task"
     )
 
