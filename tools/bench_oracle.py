@@ -21,6 +21,12 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 def main(sf_dir: str, out_dir: str, reps: int = 2) -> None:
     import os
     con = duckdb.connect()
+    # same session pragmas as check_oracle.py — without them the heavy
+    # oracles (q_dedup_ngram's posting-list aggregate at sf30) buffer for
+    # insertion order and spill to ./.tmp until the disk fills; the
+    # correctness gate always ran with these, so the pairing must too
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
+    con.execute("SET preserve_insertion_order=false")
     for t in TABLES:
         # driver fixtures are single files; Spark-written scale fixtures
         # (ScaleFixtures output) are directories of part files
