@@ -127,6 +127,18 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("Generate"), p) // the posexplode feeding the combine
   }
 
+  test("q_dedup_ngram: every stage codegen fixed-width — no object-state aggregate anywhere") {
+    // the factor-999 lesson: an aggregate holding OBJECT state per
+    // distinct gram (collect_list, typed Aggregators) OOMs the JVM when
+    // key cardinality ~ corpus size, regardless of per-buffer bounds.
+    // The registered plan must stay primitive counts + spillable SMJs.
+    val p = plan("q_dedup_ngram")
+    assert(!p.contains("ObjectHashAggregate"),
+      "object-state aggregate crept back into the ngram plan:\n" + p)
+    assert(!p.contains("collect_list"),
+      "posting-list build crept back (the OOM shape):\n" + p)
+  }
+
   test("q_dedup_ngram: gram extraction is the native codegen expression, not a UDF") {
     val g = graft.ops.DedupOps.ngramGramsPlan(Tables.documents(spark, SfDir))
       .queryExecution.explainString(FormattedMode)
