@@ -123,7 +123,7 @@ object ClusterOps {
     * (the unit-test entry) go through, so a schema/order change can
     * never skew one without the other.
     */
-  private def modelDf(s: SparkSession, m: KmeansModel): DataFrame = {
+  private[graft] def modelDf(s: SparkSession, m: KmeansModel): DataFrame = {
     val rows = for {
       (cid, cen) <- m.clusters.zip(m.cens).toSeq
       d <- cen.indices
@@ -170,6 +170,19 @@ object ClusterOps {
 
   def kmeansOn(s: SparkSession, ptsIn: DataFrame, k: Int, iters: Int): DataFrame =
     modelDf(s, trainOn(ptsIn, k, iters))
+
+  /** Inverse of [[modelDf]]: reconstruct the driver-metadata model from
+    * its (cluster, d, c, size) row form — the read side of the versioned
+    * ANN artifact store ([[graft.pipeline.AnnIndexJob]]). k·d rows. */
+  private[graft] def modelFromDf(df: DataFrame): KmeansModel = {
+    val rows = df.select(col("cluster"), col("d"), col("c"), col("size")).collect()
+    require(rows.nonEmpty, "kmeans artifact is empty")
+    val byC = rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+    KmeansModel(
+      byC.map(_._1).toArray,
+      byC.map { case (_, rs) => rs.sortBy(_.getInt(1)).map(_.getLong(2)) }.toArray,
+      byC.map { case (c, rs) => c -> rs.head.getLong(3) }.toMap)
+  }
 
   private[graft] def trainOn(ptsIn: DataFrame, k: Int, iters: Int): KmeansModel = {
     // LAZY checkpoint: the seed collect (the first action) materializes the

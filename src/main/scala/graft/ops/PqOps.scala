@@ -203,8 +203,13 @@ object PqOps {
     * integer lookup table. Missing/NaN query degrades to an empty result —
     * the sibling similarity operators' contract.
     */
-  def simTopKPq(s: SparkSession, dir: String): DataFrame = {
-    val model = trainedPq(s, dir)
+  def simTopKPq(s: SparkSession, dir: String): DataFrame =
+    simTopKPqWith(s, dir, trainedPq(s, dir))
+
+  /** [[simTopKPq]] against a caller-supplied codebook — shared body of the
+    * recompute and serve-from-artifacts ([[graft.pipeline.AnnIndexJob]])
+    * arms. */
+  private[graft] def simTopKPqWith(s: SparkSession, dir: String, model: PqModel): DataFrame = {
     val qVec = quantizedQuery(s, dir, 0)
     if (qVec.isEmpty) return emptyServe(s)
     val adc = adcExpr(model, adcLut(model, qVec.get))
@@ -247,9 +252,11 @@ object PqOps {
     * all eight sub-codebooks), so an engine/oracle divergence in either
     * training fails the hash.
     */
-  def simTopKIvfPq(s: SparkSession, dir: String): DataFrame = {
-    val km = ClusterOps.trainedModel(s, dir)
-    val pq = trainedPq(s, dir)
+  def simTopKIvfPq(s: SparkSession, dir: String): DataFrame =
+    simTopKIvfPqWith(s, dir, ClusterOps.trainedModel(s, dir), trainedPq(s, dir))
+
+  private[graft] def simTopKIvfPqWith(s: SparkSession, dir: String,
+      km: ClusterOps.KmeansModel, pq: PqModel): DataFrame = {
     val qVec = quantizedQuery(s, dir, 0)
     if (qVec.isEmpty)
       return s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -307,8 +314,10 @@ object PqOps {
     * in exact integers; the re-rank ties break on (rounded cos_sim,
     * vec_id) — both totally ordered in both engines.
     */
-  def simTopKPqRr(s: SparkSession, dir: String): DataFrame = {
-    val model = trainedPq(s, dir)
+  def simTopKPqRr(s: SparkSession, dir: String): DataFrame =
+    simTopKPqRrWith(s, dir, trainedPq(s, dir))
+
+  private[graft] def simTopKPqRrWith(s: SparkSession, dir: String, model: PqModel): DataFrame = {
     val qVec = quantizedQuery(s, dir, 0)
     if (qVec.isEmpty)
       return emptyRrServe(s, org.apache.spark.sql.types.StructField(
@@ -338,9 +347,11 @@ object PqOps {
     * scan: coarse assignment, probe `isin`, ADC, TakeOrderedAndProject C,
     * then C-row metadata re-rank.
     */
-  def simTopKIvfPqRr(s: SparkSession, dir: String): DataFrame = {
-    val km = ClusterOps.trainedModel(s, dir)
-    val pq = trainedPq(s, dir)
+  def simTopKIvfPqRr(s: SparkSession, dir: String): DataFrame =
+    simTopKIvfPqRrWith(s, dir, ClusterOps.trainedModel(s, dir), trainedPq(s, dir))
+
+  private[graft] def simTopKIvfPqRrWith(s: SparkSession, dir: String,
+      km: ClusterOps.KmeansModel, pq: PqModel): DataFrame = {
     val qVec = quantizedQuery(s, dir, 0)
     if (qVec.isEmpty)
       return emptyRrServe(s, org.apache.spark.sql.types.StructField(
@@ -388,6 +399,13 @@ object PqOps {
     val model = trainPqOn(ClusterOps.quantizedPoints(s, dir))
     if (s.conf.getOption("spark.graft.fixtureCache").contains("true"))
       modelCache((s, s"$dir|$SubM|$PqK|$PqIters")) = model
+    pqModelDf(s, model)
+  }
+
+  /** The trained codebooks as (sub, cluster, d, c_val) rows —
+    * SubM·PqK·SubDim driver-metadata rows, the q_pq_train result shape
+    * AND the at-rest artifact layout ([[graft.pipeline.AnnIndexJob]]). */
+  private[graft] def pqModelDf(s: SparkSession, model: PqModel): DataFrame = {
     val rows = for {
       sub <- 0 until SubM
       (cid, cen) <- model.clusters.zip(model.books(sub)).toSeq
@@ -396,6 +414,20 @@ object PqOps {
     import s.implicits._
     rows.toDF("sub", "cluster", "d", "c_val")
       .resultOrder(col("sub"), col("cluster"), col("d"))
+  }
+
+  /** Inverse of [[pqModelDf]]: reconstruct the product quantizer from its
+    * row form (the artifact read side). Cluster ids ascend — the
+    * centroid-matrix order the in-plan argmin indexes by. */
+  private[graft] def pqModelFromDf(df: DataFrame): PqModel = {
+    val rows = df.select(col("sub"), col("cluster"), col("d"), col("c_val")).collect()
+    require(rows.nonEmpty, "pq artifact is empty")
+    val clusters = rows.map(_.getInt(1)).distinct.sorted
+    val books = Array.tabulate(SubM) { m =>
+      val sub = rows.filter(_.getInt(0) == m).groupBy(_.getInt(1))
+      clusters.map(cid => sub(cid).sortBy(_.getInt(2)).map(_.getLong(3)))
+    }
+    PqModel(clusters, books)
   }
 
   /** Per-(subspace, centroid) quantization diagnostics under the final

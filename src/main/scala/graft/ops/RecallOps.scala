@@ -29,11 +29,19 @@ import org.apache.spark.sql.functions._
   * denominator can no longer silently drift from what the arms return.
   *
   * Measured at sf0.1 (2000 near-isotropic random vectors — the hardest
-  * case for every pruning/compression family): ivf 0.22, ivf_trained
-  * 0.98, ivfpq 0.32, ivfpq_rr 0.98, lsh 0.08, pq 0.26, pq_rr 0.92. The
-  * _rr rows are the round-13 exact-re-rank tails (PqOps.simTopKPqRr) —
-  * the audit that convicted the compressed arms now shows the fix
-  * working.
+  * case for every pruning/compression family): ivf 0.22, ivf_p4 0.48,
+  * ivf_trained 0.98, ivfpq 0.32, ivfpq_rr 0.98, lsh 0.08, lsh_r2 0.20,
+  * pq 0.26, pq_rr 0.92. The _rr rows are the round-13 exact-re-rank
+  * tails (PqOps.simTopKPqRr); lsh_r2/ivf_p4 are the round-14 probe-width
+  * levers on the UNTRAINED arms — and their measured curve is the
+  * verdict: recall tracks the probed corpus fraction almost exactly
+  * (lsh 3.5%→0.08, lsh_r2 15%→0.20, ivf 20%→0.22, ivf_p4 40%→0.48),
+  * i.e. the supervised label partition and the axis-aligned sign buckets
+  * carry ~zero cosine signal on this corpus (a DATA property — the
+  * trained k-means quantizer reaches 0.98 probing the same 20%). lsh and
+  * ivf are therefore registered as recall-FLOOR baselines: the audit
+  * exists to convict exactly this, and serving guidance (SURVEY §2E)
+  * points at ivf_trained / pq_rr / ivfpq_rr.
   *
   * Determinism: every stage runs the sibling operators' exact
   * integer/rounded-double conventions; the DuckDB oracle restates each
@@ -51,9 +59,9 @@ object RecallOps {
   /** The audit query set: vec_ids 0..NQ-1 (the batch-serving set). */
   val NQ: Int = SimilarityOps.BatchQueries
 
-  /** nProbe of the label-IVF arm — simTopKIvf's default; the registered
-    * q_sim_topk_ivf oracle interpolates the same constant. */
-  private val IvfLabelProbes = 2
+  /** nProbe of the label-IVF arm — [[SimilarityOps.IvfLabelProbes]], the
+    * same constant simTopKIvf defaults to and the oracles interpolate. */
+  private def IvfLabelProbes = SimilarityOps.IvfLabelProbes
 
   /** Per-query top-k: rank window + filter — plans with WindowGroupLimit
     * on both sides of the qid exchange (map-side cap at k per query). */
@@ -86,17 +94,17 @@ object RecallOps {
   // ------------------------------------------------------ batched arms
 
   /** Batched sign-bucket LSH: the NQ queries' probe rings broadcast
-    * (≤ NQ·(planes+1) rows), candidates rank per qid. One corpus scan. */
-  private[graft] def lshBatch(s: SparkSession, dir: String): DataFrame = {
+    * (≤ NQ·|masks| rows), candidates rank per qid. One corpus scan. The
+    * ring `radius` is the recall lever (arm `lsh` = 1, `lsh_r2` = 2). */
+  private[graft] def lshBatch(s: SparkSession, dir: String, radius: Int = 1): DataFrame = {
     val bucketed = SimilarityOps.nanFreeEmbeddings(s, dir)
       .withColumn("bucket", SimilarityOps.signBucket(col("embedding")))
     val probes = bucketed.filter(col("vec_id") < NQ)
       .select(col("vec_id").as("qid"), col("bucket"), col("embedding").as("qv"))
       .select(col("qid"),
-        explode(expr(
-          s"transform(sequence(0, ${SimilarityOps.LshPlanes}), i -> CASE WHEN i = 0 THEN bucket ELSE int(bucket) ^ shiftleft(1, i - 1) END)"
-        )).as("probe"),
-        col("qv"))
+        explode(typedLit(SimilarityOps.lshMasks(radius))).as("m"),
+        col("bucket"), col("qv"))
+      .select(col("qid"), col("bucket").bitwiseXOR(col("m")).as("probe"), col("qv"))
     topPerQid(
       bucketed
         .join(broadcast(probes), col("bucket") === col("probe"))
@@ -108,15 +116,18 @@ object RecallOps {
   }
 
   /** Batched label-IVF: one centroid aggregate, per-qid probe selection
-    * over the tiny (labels × NQ) frame, posting-list join, per-qid rank. */
-  private[graft] def ivfBatch(s: SparkSession, dir: String): DataFrame = {
+    * over the tiny (labels × NQ) frame, posting-list join, per-qid rank.
+    * `nProbe` is the recall lever (arm `ivf` = the registered default,
+    * `ivf_p4` = [[SimilarityOps.IvfWideProbes]]). */
+  private[graft] def ivfBatch(s: SparkSession, dir: String,
+      nProbe: Int = SimilarityOps.IvfLabelProbes): DataFrame = {
     val emb = SimilarityOps.nanFreeEmbeddings(s, dir)
     val queries = emb.filter(col("vec_id") < NQ)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
     val probed = topPerQid(
       SimilarityOps.ivfCentroids(emb).crossJoin(broadcast(queries))
         .withColumn("c_sim", SimilarityOps.cosineSim(col("centroid"), col("qv"))),
-      Seq(col("c_sim").desc, col("label")), IvfLabelProbes)
+      Seq(col("c_sim").desc, col("label")), nProbe)
       .select(col("qid"), col("label"), col("qv"))
     topPerQid(
       emb.join(broadcast(probed), "label")
@@ -160,9 +171,14 @@ object RecallOps {
     * literal-LUT reads; rows explode NQ-wide carrying (qid, adc) plus the
     * raw embedding for the re-rank tails. With probeFilter the coarse
     * assignment also projects in-row and each exploded row survives only
-    * if its cluster is in THAT query's probe set.
+    * if its cluster is in THAT query's probe set. `needEmbedding` keeps
+    * the raw embedding beside the codes only for the re-rank tails — the
+    * plain ADC arms rank on (qid, vec_id, adc) alone, so their NQ-wide
+    * exploded stream (and the rank window's sort input) stays
+    * embedding-width narrower.
     */
-  private def pqAdcCand(s: SparkSession, dir: String, probeFilter: Boolean): DataFrame = {
+  private def pqAdcCand(s: SparkSession, dir: String, probeFilter: Boolean,
+      needEmbedding: Boolean): DataFrame = {
     val qvecs = queryVecs(s, dir)
     if (qvecs.isEmpty) return emptyCand(s).withColumn("adc", lit(0L))
       .withColumn("embedding", lit(null).cast("array<float>"))
@@ -180,8 +196,9 @@ object RecallOps {
       ClusterOps.nearestCentroid(PqOps.subSlice(m),
         typedLit(pq.books(m).map(_.toSeq).toSeq)).as(s"ci$m")
     }
+    val embCols = if (needEmbedding) Seq(col("embedding")) else Seq.empty
     val base0 = SimilarityOps.nanFreeEmbeddings(s, dir)
-      .select(col("vec_id"), col("embedding"), expr(ClusterOps.QuantizeExpr).as("q"))
+      .select(Seq(col("vec_id")) ++ embCols :+ expr(ClusterOps.QuantizeExpr).as("q"): _*)
     val withCluster = km match {
       case Some(m) => base0.withColumn("cluster",
         element_at(typedLit(m.clusters.toSeq),
@@ -189,7 +206,7 @@ object RecallOps {
       case None => base0.withColumn("cluster", lit(-1))
     }
     val base = withCluster.select(
-      Seq(col("vec_id"), col("embedding"), col("cluster")) ++ cis: _*)
+      Seq(col("vec_id")) ++ embCols ++ Seq(col("cluster")) ++ cis: _*)
     val structs = qvecs.indices.map { i =>
       val adc = (0 until PqOps.SubM).map { m =>
         element_at(element_at(element_at(lutCol, i + 1), m + 1), col(s"ci$m") + 1)
@@ -198,14 +215,14 @@ object RecallOps {
         element_at(probeLit, i + 1).as("probes"))
     }
     val exploded = base
-      .select(col("vec_id"), col("embedding"), col("cluster"),
-        explode(array(structs: _*)).as("s"))
-      .select(col("vec_id"), col("embedding"), col("cluster"),
-        col("s.qid").as("qid"), col("s.adc").as("adc"), col("s.probes").as("probes"))
+      .select(Seq(col("vec_id")) ++ embCols ++ Seq(col("cluster"),
+        explode(array(structs: _*)).as("s")): _*)
+      .select(Seq(col("vec_id")) ++ embCols ++ Seq(col("cluster"),
+        col("s.qid").as("qid"), col("s.adc").as("adc"), col("s.probes").as("probes")): _*)
       .filter(col("vec_id") =!= col("qid"))
     (if (probeFilter) exploded.filter(array_contains(col("probes"), col("cluster")))
      else exploded)
-      .select(col("qid"), col("vec_id"), col("adc"), col("embedding"))
+      .select(Seq(col("qid"), col("vec_id"), col("adc")) ++ embCols: _*)
   }
 
   /** Exact-cosine re-rank tail over a per-qid ADC shortlist. */
@@ -218,21 +235,21 @@ object RecallOps {
       .select(col("qid"), col("vec_id"))
 
   private[graft] def pqBatch(s: SparkSession, dir: String): DataFrame =
-    topPerQid(pqAdcCand(s, dir, probeFilter = false),
+    topPerQid(pqAdcCand(s, dir, probeFilter = false, needEmbedding = false),
       Seq(col("adc"), col("vec_id")), RecallK)
       .select(col("qid"), col("vec_id"))
 
   private[graft] def ivfPqBatch(s: SparkSession, dir: String): DataFrame =
-    topPerQid(pqAdcCand(s, dir, probeFilter = true),
+    topPerQid(pqAdcCand(s, dir, probeFilter = true, needEmbedding = false),
       Seq(col("adc"), col("vec_id")), RecallK)
       .select(col("qid"), col("vec_id"))
 
   private[graft] def pqRrBatch(s: SparkSession, dir: String): DataFrame =
-    rerank(s, dir, topPerQid(pqAdcCand(s, dir, probeFilter = false),
+    rerank(s, dir, topPerQid(pqAdcCand(s, dir, probeFilter = false, needEmbedding = true),
       Seq(col("adc"), col("vec_id")), PqOps.RerankC))
 
   private[graft] def ivfPqRrBatch(s: SparkSession, dir: String): DataFrame =
-    rerank(s, dir, topPerQid(pqAdcCand(s, dir, probeFilter = true),
+    rerank(s, dir, topPerQid(pqAdcCand(s, dir, probeFilter = true, needEmbedding = true),
       Seq(col("adc"), col("vec_id")), PqOps.RerankC))
 
   // ----------------------------------------------------------- the audit
@@ -240,8 +257,8 @@ object RecallOps {
   /** Mean recall@k per arm over the NQ-query batch set — see the object
     * doc. Plan shape at 100 TB: each batched arm is ONE corpus scan whose
     * OUTPUT is ≤ NQ·k rows (metadata); the exact set broadcasts as
-    * ≤ NQ·k rows; hits aggregate ≤ arms·NQ·k rows. Auditing 7 arms over
-    * NQ queries costs exactly 7 serving scans + the exact baseline.
+    * ≤ NQ·k rows; hits aggregate ≤ arms·NQ·k rows. Auditing 9 arms over
+    * NQ queries costs exactly 9 serving scans + the exact baseline.
     */
   def simRecall(s: SparkSession, dir: String): DataFrame = {
     require(SimilarityOps.BatchK == RecallK && SimilarityOps.IvfTrainedK == RecallK,
@@ -250,10 +267,12 @@ object RecallOps {
       .select(col("qid").as("eqid"), col("vec_id").as("evid"))
     val arms: Seq[(String, DataFrame)] = Seq(
       "ivf" -> ivfBatch(s, dir),
+      "ivf_p4" -> ivfBatch(s, dir, SimilarityOps.IvfWideProbes),
       "ivf_trained" -> ivfTrainedBatch(s, dir),
       "ivfpq" -> ivfPqBatch(s, dir),
       "ivfpq_rr" -> ivfPqRrBatch(s, dir),
       "lsh" -> lshBatch(s, dir),
+      "lsh_r2" -> lshBatch(s, dir, radius = 2),
       "pq" -> pqBatch(s, dir),
       "pq_rr" -> pqRrBatch(s, dir))
     val cand = arms
@@ -312,6 +331,14 @@ object RecallOps {
                 |  ${PqOps.roundCosSql("b.embedding", "p.qe")} AS cs
                 |FROM lshb b JOIN lshp p ON b.bucket = p.probe
                 |WHERE b.vec_id <> p.qid""".stripMargin, "cs DESC, vec_id", k)},
+           |lshp2 AS (SELECT q.qid, xor(b.bucket, m.m) AS probe, q.qe
+           |          FROM qs q JOIN lshb b ON b.vec_id = q.qid
+           |          CROSS JOIN (SELECT unnest(${SimilarityOps.lshProbeMasksSql(2)}) AS m) m),
+           |lshc2 AS ${rankCut(
+             s"""SELECT p.qid, b.vec_id,
+                |  ${PqOps.roundCosSql("b.embedding", "p.qe")} AS cs
+                |FROM lshb b JOIN lshp2 p ON b.bucket = p.probe
+                |WHERE b.vec_id <> p.qid""".stripMargin, "cs DESC, vec_id", k)},
            |xv AS (SELECT label, generate_subscripts(embedding, 1) AS d, unnest(embedding) AS x
            |       FROM $emb),
            |cd AS (SELECT label, d,
@@ -330,6 +357,18 @@ object RecallOps {
              s"""SELECT p.qid, e.vec_id,
                 |  ${PqOps.roundCosSql("e.embedding", "p.qe")} AS cs
                 |FROM $emb e JOIN ivfp p USING (label)
+                |WHERE e.vec_id <> p.qid""".stripMargin, "cs DESC, vec_id", k)},
+           |ivfp4 AS (SELECT qid, label, qe FROM (
+           |  SELECT q.qid, c.label, q.qe,
+           |    row_number() OVER (PARTITION BY q.qid
+           |      ORDER BY list_dot_product(c.centroid, q.qe)
+           |        / (sqrt(list_dot_product(c.centroid, c.centroid))
+           |           * sqrt(list_dot_product(q.qe, q.qe))) DESC, c.label) AS rnk
+           |  FROM cent c CROSS JOIN qs q) WHERE rnk <= ${SimilarityOps.IvfWideProbes}),
+           |ivfc4 AS ${rankCut(
+             s"""SELECT p.qid, e.vec_id,
+                |  ${PqOps.roundCosSql("e.embedding", "p.qe")} AS cs
+                |FROM $emb e JOIN ivfp4 p USING (label)
                 |WHERE e.vec_id <> p.qid""".stripMargin, "cs DESC, vec_id", k)},
            |asg AS (
            |  SELECT p.vec_id,
@@ -389,10 +428,12 @@ object RecallOps {
          |$armCtes,
          |cand AS (
          |  SELECT 'ivf' AS arm, qid, vec_id FROM ivfc UNION ALL
+         |  SELECT 'ivf_p4', qid, vec_id FROM ivfc4 UNION ALL
          |  SELECT 'ivf_trained', qid, vec_id FROM ivtc UNION ALL
          |  SELECT 'ivfpq', qid, vec_id FROM ipqc UNION ALL
          |  SELECT 'ivfpq_rr', qid, vec_id FROM ipqrr UNION ALL
          |  SELECT 'lsh', qid, vec_id FROM lshc UNION ALL
+         |  SELECT 'lsh_r2', qid, vec_id FROM lshc2 UNION ALL
          |  SELECT 'pq', qid, vec_id FROM pqc UNION ALL
          |  SELECT 'pq_rr', qid, vec_id FROM pqrr),
          |hits AS (SELECT arm, count(*) AS hits
@@ -402,8 +443,8 @@ object RecallOps {
          |  COALESCE(h.hits, 0) AS hits, dn.denom,
          |  CASE WHEN dn.denom = 0 THEN CAST(0.0 AS DOUBLE)
          |       ELSE CAST(COALESCE(h.hits, 0) AS DOUBLE) / dn.denom END AS recall
-         |FROM (VALUES ('ivf'), ('ivf_trained'), ('ivfpq'), ('ivfpq_rr'),
-         |             ('lsh'), ('pq'), ('pq_rr')) AS a(arm)
+         |FROM (VALUES ('ivf'), ('ivf_p4'), ('ivf_trained'), ('ivfpq'), ('ivfpq_rr'),
+         |             ('lsh'), ('lsh_r2'), ('pq'), ('pq_rr')) AS a(arm)
          |CROSS JOIN dn
          |LEFT JOIN hits h ON h.arm = a.arm
          |ORDER BY a.arm""".stripMargin

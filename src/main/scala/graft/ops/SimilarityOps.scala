@@ -69,6 +69,22 @@ object SimilarityOps {
 
   private[ops] val LshPlanes = 8
 
+  /** XOR masks of the multi-probe ring: every bucket perturbation at
+    * hamming distance ≤ radius over the [[LshPlanes]] sign bits. Radius 1
+    * (the registered arm) probes 9 of 256 buckets (~3.5% of the corpus);
+    * radius 2 adds the 28 two-bit flips (37 probes, ~15%) — the recall
+    * LEVER the audit's lsh_r2 arm measures. Candidate volume scales as
+    * N · |masks| / 2^planes, so the ring radius trades scan fraction for
+    * recall without any plan-shape change (the probe list stays a
+    * broadcast handful of bucket ids at any radius).
+    */
+  private[graft] def lshMasks(radius: Int): Seq[Int] =
+    (0 until (1 << LshPlanes)).filter(m => Integer.bitCount(m) <= radius)
+
+  /** The mask ring as a DuckDB list literal (oracle twin of [[lshMasks]]). */
+  private[ops] def lshProbeMasksSql(radius: Int): String =
+    lshMasks(radius).mkString("[", ", ", "]")
+
   /** 8-bit sign bucket: axis-aligned hyperplanes through the origin (the
     * sign of each of the first 8 dims). A pure codegen'd projection — no
     * UDF, no weight table — and, because each plane is a single array
@@ -88,22 +104,31 @@ object SimilarityOps {
       .reduce(_ + _)
 
   /** Multi-probe sign-bucketed ANN variant: bucket = 8 sign bits; the query
-    * probes its own bucket plus every bucket at hamming distance 1
-    * (9 probes of 256 buckets ≈ 3.5% of the corpus). Candidates are ranked
-    * exactly by the native cosine expression. At 100 TB the probe list is a
-    * broadcast handful of bucket ids and the bucket equi-join replaces the
-    * full scan — candidate volume scales as N × probes / 2^planes.
+    * probes every bucket within hamming `radius` of its own (radius 1 =
+    * 9 probes of 256 buckets ≈ 3.5% of the corpus; radius 2 = 37 ≈ 15%).
+    * Candidates are ranked exactly by the native cosine expression. At
+    * 100 TB the probe list is a broadcast handful of bucket ids and the
+    * bucket equi-join replaces the full scan — candidate volume scales as
+    * N × probes / 2^planes.
+    *
+    * RECALL-FLOOR BASELINE, not a serving recommendation: the recall
+    * audit ([[RecallOps]]) measures recall ≈ the probed corpus fraction
+    * at both radii (0.08 / 0.20 at sf0.1) — on this corpus the sign
+    * buckets carry ~zero cosine signal, so widening the ring buys recall
+    * only linearly in scan cost. Serve from the TRAINED arms
+    * (simTopKIvfTrained / PqOps re-rank tails, 0.92–0.98 at the same
+    * scan fractions); this operator stays registered as the bucketing
+    * plumbing + the honest floor the audit convicts.
     */
-  def simTopKLsh(s: SparkSession, dir: String, k: Int = 10): DataFrame =
-    simTopKLshOn(nanFreeEmbeddings(s, dir), k)
+  def simTopKLsh(s: SparkSession, dir: String, k: Int = 10, radius: Int = 1): DataFrame =
+    simTopKLshOn(nanFreeEmbeddings(s, dir), k, radius)
 
-  def simTopKLshOn(emb: DataFrame, k: Int): DataFrame = {
+  def simTopKLshOn(emb: DataFrame, k: Int, radius: Int = 1): DataFrame = {
     val bucketed = emb.withColumn("bucket", signBucket(col("embedding")))
     val probes = bucketed.filter(col("vec_id") === 0)
       .select(col("bucket"), col("embedding").as("q"))
-      .select(explode(expr(
-        s"transform(sequence(0, $LshPlanes), i -> CASE WHEN i = 0 THEN bucket ELSE int(bucket) ^ shiftleft(1, i - 1) END)"
-      )).as("probe"), col("q"))
+      .select(explode(typedLit(lshMasks(radius))).as("m"), col("bucket"), col("q"))
+      .select(col("bucket").bitwiseXOR(col("m")).as("probe"), col("q"))
     bucketed
       .filter(col("vec_id") =!= 0)
       .join(broadcast(probes), col("bucket") === col("probe"))
@@ -130,6 +155,14 @@ object SimilarityOps {
     * pipeline and promote this query to a hash-checked oracle row. One
     * double division and one float rounding at the end are IEEE-identical
     * in both engines (same pattern as Model.exactSum).
+    *
+    * RECALL-FLOOR BASELINE (like simTopKLsh): the audit measures recall ≈
+    * nProbe / nLists at both the default and the widened ivf_p4 probe
+    * count (0.22 at 2/10 labels, 0.48 at 4/10) — the supervised label is
+    * not a cosine quantizer on this corpus. The lever is real (nProbe
+    * trades scan fraction for recall with no plan change) but serving
+    * belongs to the trained arms; this operator demonstrates the
+    * posting-list shape over a precomputed partition key.
     */
   /** Per-label decimal-exact centroids — the coarse quantizer of the
     * label-IVF arm, shared with the batched recall-audit twin so both
@@ -143,7 +176,17 @@ object SimilarityOps {
     .agg(expr("transform(array_sort(collect_list(struct(d, c))), s -> s.c)")
       .as("centroid"))
 
-  def simTopKIvf(s: SparkSession, dir: String, k: Int = 10, nProbe: Int = 2): DataFrame = {
+  /** nProbe of the registered label-IVF arm — `simTopKIvf`'s default AND
+    * the constant the recall audit's `ivf` twin and the q_sim_topk_ivf /
+    * q_sim_recall oracles interpolate, so none can silently desync. */
+  val IvfLabelProbes = 2
+
+  /** The widened-probe audit arm (`ivf_p4`): the recall lever for the
+    * untrained IVF — more posting lists scanned, same plan shape. */
+  val IvfWideProbes = 4
+
+  def simTopKIvf(s: SparkSession, dir: String, k: Int = 10,
+      nProbe: Int = IvfLabelProbes): DataFrame = {
     val emb = nanFreeEmbeddings(s, dir)
     val centroids = ivfCentroids(emb)
     val query = emb.filter(col("vec_id") === 0)
@@ -193,9 +236,16 @@ object SimilarityOps {
   val IvfTrainedProbes = 2
 
   def simTopKIvfTrained(s: SparkSession, dir: String,
-      k: Int = IvfTrainedK, nProbe: Int = IvfTrainedProbes): DataFrame = {
+      k: Int = IvfTrainedK, nProbe: Int = IvfTrainedProbes): DataFrame =
+    simTopKIvfTrainedWith(s, dir, ClusterOps.trainedModel(s, dir), k, nProbe)
+
+  /** [[simTopKIvfTrained]] serving against a CALLER-SUPPLIED coarse model
+    * — the serve-from-artifacts arm ([[graft.pipeline.AnnIndexJob]]) and
+    * the recompute arm share this one body, so they cannot drift. */
+  private[graft] def simTopKIvfTrainedWith(s: SparkSession, dir: String,
+      model: ClusterOps.KmeansModel, k: Int = IvfTrainedK,
+      nProbe: Int = IvfTrainedProbes): DataFrame = {
     import graft.ops.ClusterOps
-    val model = ClusterOps.trainedModel(s, dir)
     val qVec = ClusterOps.quantizedPoints(s, dir)
       .filter(col("vec_id") === 0).select("q")
       .collect().headOption.map(_.getSeq[Long](0).toArray)
@@ -373,8 +423,7 @@ object SimilarityOps {
       .map(i => s"(CASE WHEN embedding[${i + 1}] >= 0 THEN ${1 << i} ELSE 0 END)")
       .mkString(" + ")
 
-  private[ops] val lshProbeMasks: String =
-    (Seq(0) ++ (0 until LshPlanes).map(1 << _)).mkString("[", ", ", "]")
+  private[ops] val lshProbeMasks: String = lshProbeMasksSql(1)
 
   val oracles: Map[String, String] = Map(
     "q_sim_topk_batch" ->
@@ -474,7 +523,7 @@ object SimilarityOps {
         |  ORDER BY list_dot_product(centroid, qe) /
         |           (sqrt(list_dot_product(centroid, centroid)) * sqrt(list_dot_product(qe, qe))) DESC,
         |           label
-        |  LIMIT 2)
+        |  LIMIT $IvfLabelProbes)
         |SELECT e.vec_id, e.label,
         |       floor(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qe)
         |         / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))

@@ -40,7 +40,12 @@ object DedupRefreshJob {
   /** Compute and atomically publish all five prune artifacts for the
     * corpus at `sfDir` as `outDir/version=<version>`. Re-running a
     * version overwrites its own partials before committing (idempotent
-    * restart). */
+    * restart of the SAME failed publish). A version that has already
+    * COMMITTED is immutable: rewriting it in place would yank the marker
+    * out from under a reader that just resolved [[latestVersion]] and is
+    * mid-scan on its parquet — the refresh refuses and the caller
+    * publishes the next (monotonically new) version instead, which is
+    * also what a scheduled refresh naturally does. */
   def refresh(spark: SparkSession, sfDir: String, outDir: String, version: Long): Unit =
     refreshOn(spark, Tables.documents(spark, sfDir),
       graft.ops.ClusterOps.semanticDedup(spark, sfDir)
@@ -48,42 +53,24 @@ object DedupRefreshJob {
       outDir, version)
 
   private[graft] def refreshOn(spark: SparkSession, docs: DataFrame,
-      semRm: DataFrame, outDir: String, version: Long): Unit = {
-    val vDir = s"$outDir/version=$version"
-    val fs = new org.apache.hadoop.fs.Path(outDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // a retried version must not briefly look committed while its stages
-    // are being rewritten: drop the marker FIRST
-    fs.delete(new org.apache.hadoop.fs.Path(vDir, "_COMMITTED"), false)
-    DedupOps.pruneArtifactsOn(docs, semRm).foreach { case (stage, df) =>
-      df.write.mode("overwrite").parquet(s"$vDir/stage=$stage")
-    }
-    fs.create(new org.apache.hadoop.fs.Path(vDir, "_COMMITTED"), true).close()
-  }
+      semRm: DataFrame, outDir: String, version: Long): Unit =
+    VersionedStore.publish(spark, outDir, version,
+      DedupOps.pruneArtifactsOn(docs, semRm))
 
   /** Latest committed artifact version under `outDir` (None if nothing
     * has ever committed — e.g. every refresh so far was killed). */
-  def latestVersion(spark: SparkSession, outDir: String): Option[Long] = {
-    val root = new org.apache.hadoop.fs.Path(outDir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) return None
-    fs.listStatus(root)
-      .filter(_.isDirectory)
-      .map(_.getPath)
-      .filter(p => p.getName.startsWith("version=") &&
-        fs.exists(new org.apache.hadoop.fs.Path(p, "_COMMITTED")))
-      .map(_.getName.stripPrefix("version=").toLong)
-      .maxOption
-  }
+  def latestVersion(spark: SparkSession, outDir: String): Option[Long] =
+    VersionedStore.latestVersion(spark, outDir)
 
   /** The five prune lists of the latest committed version, keyed by
-    * stage name ([[DedupOps.ApplyStages]]). */
+    * stage name ([[DedupOps.ApplyStages]]) — the version is resolved ONCE
+    * so all five stages provably come from the same publish. */
   def readArtifacts(spark: SparkSession, outDir: String): Map[String, DataFrame] = {
-    val v = latestVersion(spark, outDir)
+    val v = VersionedStore.latestVersion(spark, outDir)
       .getOrElse(throw new IllegalStateException(
         s"no committed dedup artifacts under $outDir"))
     DedupOps.ApplyStages
-      .map(st => st -> spark.read.parquet(s"$outDir/version=$v/stage=$st"))
+      .map(st => st -> spark.read.parquet(VersionedStore.stageDir(outDir, v, st)))
       .toMap
   }
 

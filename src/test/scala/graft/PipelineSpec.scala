@@ -421,5 +421,56 @@ class PipelineSpec extends SparkSuite {
     DedupRefreshJob.refresh(spark, SfDir, out, 1)
     assert(DedupRefreshJob.latestVersion(spark, out) === Some(1L))
     assert(applied() === want)
+
+    // committed versions are immutable: re-publishing version 1 must refuse
+    // (a reader that just pinned it may be mid-scan on its parquet)
+    intercept[IllegalArgumentException](DedupRefreshJob.refresh(spark, SfDir, out, 1))
+    assert(DedupRefreshJob.latestVersion(spark, out) === Some(1L))
+
+    // non-numeric version dirs (tooling scratch) are not versions, not errors
+    new java.io.File(s"$out/version=tmp").mkdirs()
+    new java.io.File(s"$out/version=tmp/_COMMITTED").createNewFile()
+    assert(DedupRefreshJob.latestVersion(spark, out) === Some(1L))
+  }
+
+  test("ann index job: every artifact-served arm equals its recompute twin; torn publishes stay invisible") {
+    import graft.pipeline.AnnIndexJob
+    import graft.ops.{PqOps, SimilarityOps}
+    val out = tmp("ann_art")
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      df.collect().toSeq.map(_.toSeq)
+
+    // no committed version: readers refuse rather than serve nothing
+    assert(AnnIndexJob.latestVersion(spark, out).isEmpty)
+    intercept[IllegalStateException](AnnIndexJob.simTopKPq(spark, SfDir, out))
+
+    AnnIndexJob.refresh(spark, SfDir, out, 0)
+    assert(AnnIndexJob.latestVersion(spark, out) === Some(0L))
+    // the round-trip property the store exists for: models reconstructed
+    // from at-rest rows serve IDENTICAL results to the in-query training
+    val pairs = Seq[(org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)](
+      AnnIndexJob.simTopKIvfTrained(spark, SfDir, out) ->
+        SimilarityOps.simTopKIvfTrained(spark, SfDir),
+      AnnIndexJob.simTopKPq(spark, SfDir, out) -> PqOps.simTopKPq(spark, SfDir),
+      AnnIndexJob.simTopKIvfPq(spark, SfDir, out) -> PqOps.simTopKIvfPq(spark, SfDir),
+      AnnIndexJob.simTopKPqRr(spark, SfDir, out) -> PqOps.simTopKPqRr(spark, SfDir),
+      AnnIndexJob.simTopKIvfPqRr(spark, SfDir, out) -> PqOps.simTopKIvfPqRr(spark, SfDir))
+    pairs.foreach { case (art, rec) =>
+      assert(rows(art) === rows(rec), "artifact-served arm diverged from the recompute")
+    }
+
+    // torn publish: stage dirs without the marker never become visible
+    spark.read.parquet(s"$out/version=0/stage=pq").limit(0)
+      .write.mode("overwrite").parquet(s"$out/version=1/stage=pq")
+    assert(AnnIndexJob.latestVersion(spark, out) === Some(0L))
+    assert(rows(AnnIndexJob.simTopKPq(spark, SfDir, out)) ===
+      rows(PqOps.simTopKPq(spark, SfDir)))
+
+    // restart commits version 1; committed versions are immutable
+    AnnIndexJob.refresh(spark, SfDir, out, 1)
+    assert(AnnIndexJob.latestVersion(spark, out) === Some(1L))
+    assert(rows(AnnIndexJob.simTopKIvfPqRr(spark, SfDir, out)) ===
+      rows(PqOps.simTopKIvfPqRr(spark, SfDir)))
+    intercept[IllegalArgumentException](AnnIndexJob.refresh(spark, SfDir, out, 1))
   }
 }

@@ -14,10 +14,12 @@ class RecallOpsSpec extends SparkSuite {
 
   private def arms = Seq(
     "ivf" -> RecallOps.ivfBatch(spark, SfDir),
+    "ivf_p4" -> RecallOps.ivfBatch(spark, SfDir, SimilarityOps.IvfWideProbes),
     "ivf_trained" -> RecallOps.ivfTrainedBatch(spark, SfDir),
     "ivfpq" -> RecallOps.ivfPqBatch(spark, SfDir),
     "ivfpq_rr" -> RecallOps.ivfPqRrBatch(spark, SfDir),
     "lsh" -> RecallOps.lshBatch(spark, SfDir),
+    "lsh_r2" -> RecallOps.lshBatch(spark, SfDir, radius = 2),
     "pq" -> RecallOps.pqBatch(spark, SfDir),
     "pq_rr" -> RecallOps.pqRrBatch(spark, SfDir))
 
@@ -52,10 +54,13 @@ class RecallOpsSpec extends SparkSuite {
       df.collect().map(_.getAs[Long]("vec_id")).toSet
     val singles = Map(
       "ivf" -> SimilarityOps.simTopKIvf(spark, SfDir),
+      "ivf_p4" -> SimilarityOps.simTopKIvf(spark, SfDir,
+        nProbe = SimilarityOps.IvfWideProbes),
       "ivf_trained" -> SimilarityOps.simTopKIvfTrained(spark, SfDir),
       "ivfpq" -> PqOps.simTopKIvfPq(spark, SfDir),
       "ivfpq_rr" -> PqOps.simTopKIvfPqRr(spark, SfDir),
       "lsh" -> SimilarityOps.simTopKLsh(spark, SfDir),
+      "lsh_r2" -> SimilarityOps.simTopKLsh(spark, SfDir, radius = 2),
       "pq" -> PqOps.simTopKPq(spark, SfDir),
       "pq_rr" -> PqOps.simTopKPqRr(spark, SfDir))
     arms.foreach { case (n, df) =>
