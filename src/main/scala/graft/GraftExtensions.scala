@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimilarity, MinHashSig, NearestCentroid, NGramHashes, SimHashSig, SquaredL2, TermCounts, TermFreqStats, WordShingleHashes, WordWindowHashes}
+import graft.functions.{CosineSimilarity, MediaStats, MinHashSig, NearestCentroid, NGramHashes, SimHashSig, SquaredL2, TermCounts, TermFreqStats, WordShingleHashes, WordWindowHashes}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 
 /** SparkSessionExtensions injector for the engine's native functions.
@@ -27,6 +27,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((NearestCentroid.identifier, NearestCentroid.info, NearestCentroid.builder))
     ext.injectFunction((TermCounts.identifier, TermCounts.info, TermCounts.builder))
     ext.injectFunction((SquaredL2.identifier, SquaredL2.info, SquaredL2.builder))
+    ext.injectFunction((MediaStats.identifier, MediaStats.info, MediaStats.builder))
   }
 }
 
@@ -42,5 +43,6 @@ object GraftExtensions {
     NearestCentroid.register(spark.sessionState.functionRegistry)
     TermCounts.register(spark.sessionState.functionRegistry)
     SquaredL2.register(spark.sessionState.functionRegistry)
+    MediaStats.register(spark.sessionState.functionRegistry)
   }
 }

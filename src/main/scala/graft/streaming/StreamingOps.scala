@@ -1168,24 +1168,18 @@ object StreamingOps {
   /** Streaming twin of MultimodalOps.multimodalDedup: perceptual-key
     * admission control over arriving media — the first arrival per key
     * survives (the [[urlDedupStream]] convention; batch keeps min doc_id,
-    * a stream has arrival order). The decode/key stage is the SAME
-    * partition-local [[graft.ops.MultimodalOps.perceptualKeys]] fold the
-    * batch operator maps — expensive decode once per payload, where the
-    * bytes are — and state is one 8-byte key per distinct perceptual
-    * group on the state store (dropDuplicates), which also makes source
-    * redelivery idempotent. Input: the media frame shape
-    * (doc_id, format, n_bytes, payload).
+    * a stream has arrival order). The decode/key stage is the SAME in-row
+    * [[graft.ops.MultimodalOps.withPerceptualKey]] projection the batch
+    * operator composes (a codegen'd expression — expensive decode once
+    * per payload, fused with the source stage), and state is one 8-byte
+    * key per distinct perceptual group on the state store
+    * (dropDuplicates), which also makes source redelivery idempotent.
+    * Input: the media frame shape (doc_id, format, n_bytes, payload).
     */
-  def multimodalDedupStream(media: DataFrame): DataFrame = {
-    import media.sparkSession.implicits._
-    import graft.ops.MultimodalOps
-    media.select(col("doc_id"), col("format"), col("n_bytes"), col("payload"))
-      .as[MultimodalOps.MediaRow]
-      .mapPartitions(MultimodalOps.perceptualKeys)
-      .toDF()
+  def multimodalDedupStream(media: DataFrame): DataFrame =
+    graft.ops.MultimodalOps.withPerceptualKey(media)
       .dropDuplicates("pkey")
       .select(col("doc_id"), col("pkey"))
-  }
 
   /** Streaming twin of DedupOps.dedupSubstring in the asymmetric
     * admission shape ([[dedupIncrementalStream]]'s contract): ARRIVING

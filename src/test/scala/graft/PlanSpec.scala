@@ -563,16 +563,34 @@ class PlanSpec extends SparkSuite {
       "serving path should have no hash exchange at all:\n" + p)
   }
 
-  test("q_multimodal_dedup: partition-local keys, one combined exchange, no join/window") {
+  test("q_multimodal_dedup: in-row codegen keys, one combined exchange, no join/window") {
     val p = plan("q_multimodal_dedup")
-    assert(p.contains("MapPartitions"),
-      "decode/key stage is not partition-local:\n" + p)
+    assert(p.contains("media_stats"),
+      "decode/key stage is not the native in-row expression:\n" + p)
     assert("hashpartitioning\\(pkey".r.findAllIn(p).size === 1,
       "expected exactly one exchange, keyed by pkey:\n" + p)
     assert(p.contains("partial_min") || p.contains("partial_count"),
       "no map-side partial aggregation before the exchange:\n" + p)
     assert(!p.contains("Join"), "dedup should not join anything:\n" + p)
     assert(!p.contains("Window"), "keeper must come from the aggregate, not a window:\n" + p)
+    assert(!p.contains("MapPartitions") && !p.contains("SerializeFromObject"),
+      "decode left whole-stage codegen for an object boundary:\n" + p)
+  }
+
+  test("multimodal batch family: decode is the codegen expression, zero object boundaries") {
+    // round-14 de-stub pin: features/resize/frames are pure one-scan
+    // projections — the media_stats expression fused with the scan, no
+    // mapPartitions/Dataset-encoder round-trip, no exchange at all below
+    // the presentation sort
+    for (k <- Seq("q_multimodal_features", "q_multimodal_resize", "q_multimodal_frames")) {
+      val p = plan(k)
+      assert(p.contains("media_stats"), s"$k lost the native decode expression:\n" + p)
+      assert(!p.contains("MapPartitions") && !p.contains("SerializeFromObject"),
+        s"$k decode left whole-stage codegen for an object boundary:\n" + p)
+      assert(!p.contains("Join") && !p.contains("Window"), s"$k is not one scan:\n" + p)
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$k shuffled a per-row projection:\n" + p)
+    }
   }
 
   test("q_sim_recall: batched arms group-limit per query; membership joins stay broadcast") {

@@ -325,10 +325,8 @@ class StreamingSpec extends SparkSuite {
         .map(_.getAs[Long]("pkey")).toSet
       assert(streamed.map(_._2).toSet === batchKeys)
       // each survivor is a medium that actually quantizes to its key
-      val keyOf = MultimodalOps.mediaTable(spark, SfDir)
-        .as[MultimodalOps.MediaRow]
-        .mapPartitions(MultimodalOps.perceptualKeys)
-        .collect().map(k => k.doc_id -> k.pkey).toMap
+      val keyOf = MultimodalOps.withPerceptualKey(MultimodalOps.mediaTable(spark, SfDir))
+        .collect().map(k => k.getAs[Long]("doc_id") -> k.getAs[Long]("pkey")).toMap
       streamed.foreach { case (id, k) => assert(keyOf(id) == k, s"doc $id") }
     } finally q.stop()
   }
