@@ -50,7 +50,7 @@ object Plans {
       "q_gapfill_interp" -> "same spine; backward + forward ignoreNulls carries bracket each gap over ONE sorted (metric) partitioning; linear blend arithmetic identical to the oracle's IEEE op sequence",
       "q_counter_rate" -> "one shuffle on metric for the lag window, then the standard partial+final bucket aggregate — q_bucket_agg's shape with a window in front; reset detection is a per-row CASE, no extra pass",
       "q_time_weight" -> "window partitioned on the SAME (metric, bucket) key the aggregate groups by — Catalyst reuses one exchange for both; weights are per-row lead arithmetic, no second pass",
-      "q_histogram" -> "per-metric bounds (5-row aggregate) broadcast back onto the value stream — the corpus shuffles only for the final (metric, bin) partial+final aggregate",
+      "q_histogram" -> "value counting: one corpus scan collapses to the checkpointed per-(metric, cent) count table (map-side combine, distinct-value wire volume); bounds and binning both read it, bounds broadcast back as a per-metric handful of rows",
       "q_percentiles" -> "ONE scan and one (metric)-window sort for ALL percentile targets: the per-mille targets explode in-row (Generate) and a rank-equality filter selects them — never a union of per-percentile re-scans",
       "q_spc_rules" -> "per-metric stats broadcast back (tiny aggregate, no corpus shuffle for the join); run detection is rank arithmetic over (metric[, side, island]) ordered windows — the alarm-engine window shape",
       "q_top_terms" -> "per-doc term frequencies in-row via native term_counts — the single term-level aggregate's map-side partials reduce each partition to <= vocabulary rows before the one exchange; top-20 via TakeOrderedAndProject, never a global sort",

@@ -487,6 +487,14 @@ class PlanSpec extends SparkSuite {
         s"$k shuffles the value stream to join 5 stat rows:\n$p")
       assert(!p.toLowerCase.contains("scalaudf"), p)
     }
+    // round-14 value-counting shape: the corpus collapses ONCE to the
+    // checkpointed distinct-value table and BOTH consumers (bounds +
+    // binning) read it — zero parquet scans remain in the downstream plan
+    val ph = plan("q_histogram")
+    assert(!ph.contains("Scan parquet"),
+      "histogram re-scans the corpus instead of the checkpointed value table:\n" + ph)
+    assert(ph.contains("ExistingRDD") || ph.contains("LocalTableScan"),
+      "distinct-value table not materialized once:\n" + ph)
   }
 
   test("q_dedup_clusters: CC ran as joins — no GraphX RDD scans, no cross join") {
