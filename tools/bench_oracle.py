@@ -2,14 +2,21 @@
 """Time each oracle SQL in DuckDB over an sf directory — the denominator of
 the suite envelope (driver contract: Spark suite total <= 2x DuckDB total).
 
-Usage: bench_oracle.py <sf_dir> <out_dir_with_oracle_sql.json> [reps]
+Usage: bench_oracle.py <sf_dir> <out_dir_with_oracle_sql.json> [reps] [timeout_s]
 
 Prints one JSON line: {"total": sec, "queries": {name: sec, ...}, "reps": n}
 taking the MIN over reps per query (same rule as graft.Bench). DuckDB runs
 all threads (matching the Spark bench's local[32] contract).
+
+timeout_s (optional, default none): per-query wall cap enforced via
+duckdb's interrupt() from a watchdog thread — the sf100 infeasible-row
+protocol. A row that exceeds the cap is recorded in "errors" as
+"Timeout: >Ns" and disclosed, instead of holding the whole pairing
+hostage to one oracle with no out-of-core plan at that match volume.
 """
 import json
 import sys
+import threading
 import time
 
 import duckdb
@@ -18,7 +25,8 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def main(sf_dir: str, out_dir: str, reps: int = 2) -> None:
+def main(sf_dir: str, out_dir: str, reps: int = 2,
+         timeout_s: float | None = None) -> None:
     import os
     con = duckdb.connect()
     # same session pragmas as check_oracle.py — without them the heavy
@@ -37,7 +45,29 @@ def main(sf_dir: str, out_dir: str, reps: int = 2) -> None:
 
     def run_once(sql: str) -> float:
         t0 = time.monotonic()
-        con.execute(sql).fetchall()
+        if timeout_s is None:
+            con.execute(sql).fetchall()
+            return time.monotonic() - t0
+        timed_out = threading.Event()
+
+        def watchdog() -> None:
+            if not done.wait(timeout_s):
+                timed_out.set()
+                con.interrupt()
+
+        done = threading.Event()
+        w = threading.Thread(target=watchdog, daemon=True)
+        w.start()
+        try:
+            con.execute(sql).fetchall()
+        except Exception:
+            if timed_out.is_set():
+                raise TimeoutError(f">{timeout_s:.0f}s (interrupted)") from None
+            raise
+        finally:
+            done.set()
+        if timed_out.is_set():  # interrupt landed after completion — still over cap
+            raise TimeoutError(f">{timeout_s:.0f}s")
         return time.monotonic() - t0
 
     times = {}
@@ -79,4 +109,6 @@ def main(sf_dir: str, out_dir: str, reps: int = 2) -> None:
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2], int(sys.argv[3]) if len(sys.argv) > 3 else 2)
+    main(sys.argv[1], sys.argv[2],
+         int(sys.argv[3]) if len(sys.argv) > 3 else 2,
+         float(sys.argv[4]) if len(sys.argv) > 4 else None)
