@@ -67,6 +67,13 @@ def main(sf_dir: str, out_dir: str, reps: int = 2,
         finally:
             done.set()
         if timed_out.is_set():  # interrupt landed after completion — still over cap
+            # the interrupt flag may linger on the shared connection with no
+            # active query; drain it with a throwaway statement so it cannot
+            # spuriously cancel the NEXT oracle run on this connection
+            try:
+                con.execute("SELECT 1").fetchall()
+            except Exception:
+                pass
             raise TimeoutError(f">{timeout_s:.0f}s")
         return time.monotonic() - t0
 
@@ -74,13 +81,23 @@ def main(sf_dir: str, out_dir: str, reps: int = 2,
     errors = {}
     for name, sql in sorted(oracle.items()):
         # a single oracle OOM-ing at a scaled fixture must not lose the
-        # whole run: record the error, disclose it in the JSON, move on
-        try:
-            times[name] = min(run_once(sql) for _ in range(reps))
-        except Exception as e:  # noqa: BLE001 — any engine failure
-            errors[name] = f"{type(e).__name__}: {e}"
+        # whole run: record the error, disclose it in the JSON, move on.
+        # MIN is over the SUCCESSFUL reps (mirrors Bench.scala's good-reps
+        # logic) — a timeout on rep 2 must not discard rep 1's valid time.
+        ok, last_err = [], None
+        for _ in range(reps):
+            try:
+                ok.append(run_once(sql))
+            except Exception as e:  # noqa: BLE001 — any engine failure
+                last_err = e
+                # a timeout will very likely repeat; don't pay the cap twice
+                if isinstance(e, TimeoutError):
+                    break
+        if not ok:
+            errors[name] = f"{type(last_err).__name__}: {last_err}"
             print(f"[oracle] {name} FAILED {errors[name]}", file=sys.stderr, flush=True)
             continue
+        times[name] = min(ok)
         # progress to stderr (stdout stays the one JSON line): at scaled
         # fixtures a single oracle can run for minutes or OOM the process —
         # the last line printed names the culprit
@@ -98,7 +115,15 @@ def main(sf_dir: str, out_dir: str, reps: int = 2,
         mad = sorted(abs(t - median) for t in ordered)[len(ordered) // 2]
         cutoff = max(0.4, median + 6 * mad)
         for name in [n for n, t in times.items() if t > cutoff]:
-            t2 = run_once(oracle[name])
+            # a retried query is by definition a slow outlier — under the
+            # per-query cap its retry may time out. Keep the first-pass time
+            # on any retry failure; never lose the whole run's JSON here.
+            try:
+                t2 = run_once(oracle[name])
+            except Exception as e:  # noqa: BLE001
+                retried[name] = [round(times[name], 4),
+                                 f"retry failed: {type(e).__name__}"]
+                continue
             retried[name] = [round(times[name], 4), round(t2, 4)]
             times[name] = min(times[name], t2)
 

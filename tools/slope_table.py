@@ -11,12 +11,21 @@ import sys
 
 
 def load(path: str) -> dict:
+    # a captured log can hold several bench JSON lines (back-to-back sweeps
+    # in one window): take the LAST one — the most recent run — and say so,
+    # instead of silently using the earliest.
+    matches = []
     with open(path) as f:
         for line in f:
             line = line.strip()
             if line.startswith('{"metric"'):
-                return json.loads(line)
-    raise SystemExit(f"no bench JSON line in {path}")
+                matches.append(line)
+    if not matches:
+        raise SystemExit(f"no bench JSON line in {path}")
+    if len(matches) > 1:
+        print(f"[slope_table] {path}: {len(matches)} bench lines, using the last",
+              file=sys.stderr)
+    return json.loads(matches[-1])
 
 
 def main(small_p: str, big_p: str, factor: float) -> None:
