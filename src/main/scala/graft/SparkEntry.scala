@@ -153,7 +153,32 @@ object SparkEntry {
     "q_multimodal_resize" -> (MultimodalOps.multimodalResize _),
     "q_multimodal_frames" -> (MultimodalOps.multimodalFrames _),
     // perceptual-key near-dup over the media corpus (pHash shape)
-    "q_multimodal_dedup" -> (MultimodalOps.multimodalDedup _)
+    "q_multimodal_dedup" -> (MultimodalOps.multimodalDedup _),
+    // artifact-SERVED production paths: each serving body is shared with
+    // its recompute twin (the models/prune lists fold in from the latest
+    // committed VersionedStore publish instead of retraining in-query),
+    // so the oracle is the twin's SQL and hash equality is by
+    // construction. ensure* bootstraps version 1 on first touch; the
+    // bench premat does that OUTSIDE the timed window (refresh cadence
+    // is a deployment's scheduler cost, never the serving read's).
+    "q_sim_serve_ivf_trained" -> ((s: SparkSession, dir: String) =>
+      pipeline.AnnIndexJob.simTopKIvfTrained(s, dir, pipeline.ServingArtifacts.ensureAnn(s, dir))),
+    "q_sim_serve_pq" -> ((s: SparkSession, dir: String) =>
+      pipeline.AnnIndexJob.simTopKPq(s, dir, pipeline.ServingArtifacts.ensureAnn(s, dir))),
+    "q_sim_serve_ivfpq" -> ((s: SparkSession, dir: String) =>
+      pipeline.AnnIndexJob.simTopKIvfPq(s, dir, pipeline.ServingArtifacts.ensureAnn(s, dir))),
+    "q_sim_serve_pq_rr" -> ((s: SparkSession, dir: String) =>
+      pipeline.AnnIndexJob.simTopKPqRr(s, dir, pipeline.ServingArtifacts.ensureAnn(s, dir))),
+    "q_sim_serve_ivfpq_rr" -> ((s: SparkSession, dir: String) =>
+      pipeline.AnnIndexJob.simTopKIvfPqRr(s, dir, pipeline.ServingArtifacts.ensureAnn(s, dir))),
+    "q_dedup_apply_artifacts" -> ((s: SparkSession, dir: String) =>
+      pipeline.DedupRefreshJob.applyFromArtifacts(s, dir, pipeline.ServingArtifacts.ensureDedup(s, dir))),
+    // corpus-build capstone: the attrition ledger of the latest committed
+    // CurationJob publish (quality → dedup-apply → eval → decontam →
+    // budget → substring); oracle recomputes the identical ledger from
+    // the raw tables
+    "q_corpus_ledger" -> ((s: SparkSession, dir: String) =>
+      pipeline.CurationJob.ledgerFromArtifacts(s, pipeline.ServingArtifacts.ensureCuration(s, dir)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -163,5 +188,14 @@ object SparkEntry {
       TextOps.oracles ++ DedupOps.oracles ++ SimilarityOps.oracles ++
       SessionOps.oracles ++ MultimodalOps.oracles ++ CurationOps.oracles ++
       CleanOps.oracles ++ ClusterOps.oracles ++ DownsampleOps.oracles ++
-      PqOps.oracles ++ RecallOps.oracles
+      PqOps.oracles ++ RecallOps.oracles ++ Map(
+        // artifact-served arms are result-equal to their recompute twins
+        // by construction (same serving bodies, same training producers) —
+        // the oracle IS the twin's SQL
+        "q_sim_serve_ivf_trained" -> SimilarityOps.oracles("q_sim_topk_ivf_trained"),
+        "q_sim_serve_pq" -> PqOps.oracles("q_sim_topk_pq"),
+        "q_sim_serve_ivfpq" -> PqOps.oracles("q_sim_topk_ivfpq"),
+        "q_sim_serve_pq_rr" -> PqOps.oracles("q_sim_topk_pq_rr"),
+        "q_sim_serve_ivfpq_rr" -> PqOps.oracles("q_sim_topk_ivfpq_rr"),
+        "q_dedup_apply_artifacts" -> DedupOps.oracles("q_dedup_apply"))
 }

@@ -124,20 +124,66 @@ object CurationOps {
     * pair join, which is quadratic per gram in corpus df).
     */
   def decontaminate(s: SparkSession, dir: String): DataFrame = {
-    import graft.ops.TextOps.normText
-    val grams = Tables.fanOut(
+    val docs = Tables.fanOut(
       Tables.documents(s, dir).select(col("doc_id"), col("source"), col("text")))
-      .select(col("doc_id"), col("source"),
-        explode(DedupOps.ngramHashSet(normText(col("text")))).as("gram"))
-    val evalGrams = grams.filter(col("source") === EvalSource)
-      .select(col("gram"), col("doc_id").as("eval_doc"))
-    grams.filter(col("source") =!= EvalSource)
-      .join(broadcast(evalGrams), "gram")
+    trainingGrams(docs)
+      .join(broadcast(evalGramsOn(docs)), "gram")
       .groupBy(col("doc_id"))
       .agg(
         count_distinct(col("gram")).as("n_shared_grams"),
         count_distinct(col("eval_doc")).as("n_eval_docs"))
       .resultOrder(col("doc_id"))
+  }
+
+  /** The distinct (gram, eval_doc) set of the held-out eval source — the
+    * ONE producer behind the batch decontamination join, the capstone's
+    * decontam stage, and the versioned eval-gram artifact the streaming
+    * admission path reads ([[graft.pipeline.CurationJob]] publishes it).
+    * Small by construction: a benchmark is MBs against the corpus. */
+  private[graft] def evalGramsOn(docs: DataFrame): DataFrame = {
+    import graft.ops.TextOps.normText
+    docs.filter(col("source") === EvalSource)
+      .select(explode(DedupOps.ngramHashSet(normText(col("text")))).as("gram"),
+        col("doc_id").as("eval_doc"))
+  }
+
+  /** Per-(doc, gram) stream of the training side (source ≠ EvalSource) —
+    * in-row native gram extraction, distinct per doc by `ngramHashSet`. */
+  private def trainingGrams(docs: DataFrame): DataFrame = {
+    import graft.ops.TextOps.normText
+    docs.filter(col("source") =!= EvalSource)
+      .select(col("doc_id"),
+        explode(DedupOps.ngramHashSet(normText(col("text")))).as("gram"))
+  }
+
+  /** The decontamination REMOVAL set — distinct training docs sharing at
+    * least one gram with any eval doc (what [[decontaminate]] reports
+    * counts for). */
+  private[graft] def contaminatedOn(docs: DataFrame, evalGrams: DataFrame): DataFrame =
+    trainingGrams(docs)
+      .join(broadcast(evalGrams.select(col("gram")).distinct()), "gram")
+      .select(col("doc_id")).distinct()
+
+  /** The capstone's decontamination REMOVAL rule: training docs sharing a
+    * verbatim [[DedupOps.SubstrWindow]]-word window with any eval doc —
+    * the long-N-token verbatim-overlap rule release pipelines actually
+    * drop on (the GPT-3 appendix-C shape), reusing the same native
+    * `word_window_hashes` extraction as the substring dedup pass. The
+    * char-8-gram [[decontaminate]]/[[contamCoverage]] operators stay the
+    * REPORT surface: on a bounded-vocabulary corpus every doc shares some
+    * 8-char gram (measured sf0.01: 474/475 docs ≥50% coverage), which is
+    * exactly why removal keys on long verbatim windows, not short grams.
+    * Scale shape as [[decontaminate]]: the eval window set is MB-scale by
+    * construction and broadcast; one corpus scan, in-row extraction. */
+  private[graft] def verbatimContaminatedOn(docs: DataFrame): DataFrame = {
+    val win = docs
+      .select(col("doc_id"), col("source"),
+        explode(DedupOps.windowHashes(col("text"))).as("h"))
+    val evalWins = win.filter(col("source") === EvalSource)
+      .select(col("h")).distinct()
+    win.filter(col("source") =!= EvalSource)
+      .join(broadcast(evalWins), "h")
+      .select(col("doc_id")).distinct()
   }
 
   /** Training-mix report: per (source, lang), document count, token mass,
@@ -615,7 +661,97 @@ object CurationOps {
       |  regexp_replace(rest, '/(\?|$$)', '\1', 'g') AS restc FROM c2)""".stripMargin
   }
 
+  /** The corpus-build capstone ledger oracle — the [[graft.pipeline.CurationJob]]
+    * attrition ledger recomputed from the raw tables: the dedup-apply
+    * perdoc chain ([[DedupOps.ApplyCtesSql]]) layered with the quality
+    * gate (the q_quality_filter predicate), the held-out-source exclusion,
+    * the verbatim 20-word-window decontamination set (reusing the apply
+    * chain's swin windows — [[verbatimContaminatedOn]]'s rule), the
+    * survivor-ranked token
+    * budget (the q_token_budget window over survivors only), and the
+    * terminal substring token-cut row. All `cl_`-prefixed CTEs to stay
+    * clear of the apply chain's names.
+    */
+  private lazy val corpusLedgerSql: String = {
+    import graft.ops.CleanOps._
+    val stagesVals = graft.pipeline.CurationJob.Stages.zipWithIndex
+      .map { case (st, i) => s"(${i + 1}, '$st')" }.mkString(", ")
+    s"""WITH RECURSIVE ${DedupOps.ApplyCtesSql},
+       |cl_t AS (
+       |  SELECT doc_id, lang, source, text,
+       |         string_split_regex(trim(text), '\\s+') AS toks,
+       |         CAST(length(text) AS DOUBLE) AS n_chars
+       |  FROM documents),
+       |cl_r AS (
+       |  SELECT doc_id, lang, source,
+       |    CAST(len(toks) AS BIGINT) AS n_tokens,
+       |    CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / len(toks) AS avg_len,
+       |    CAST(len(list_filter(toks, t -> t IN ('the', 'a'))) AS BIGINT) AS n_stopwords,
+       |    1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS dup_frac,
+       |    (n_chars - length(regexp_replace(text, '[.,;:!?]', '', 'g'))) / n_chars AS punct_ratio,
+       |    CAST(len(list_filter(toks, t -> t IN ('the', 'a'))) AS DOUBLE) / len(toks) AS stop_ratio
+       |  FROM cl_t),
+       |cl_q AS (
+       |  SELECT doc_id, lang, source,
+       |    (n_tokens BETWEEN $MinTokens AND $MaxTokens
+       |     AND avg_len BETWEEN $MinAvgTokenLen AND $MaxAvgTokenLen
+       |     AND n_stopwords >= $MinStopwords
+       |     AND dup_frac < $MaxDupWordFrac) AS q_keep,
+       |    floor(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+       |          * (1.0 - punct_ratio) * (0.5 + least(stop_ratio, 0.5)) * 10000.0 + 0.5) / 10000.0 AS quality
+       |  FROM cl_r),
+       |cl_src AS (SELECT doc_id, source FROM documents),
+       |cl_ew AS (
+       |  SELECT DISTINCT s.g FROM swin s JOIN cl_src c USING (doc_id)
+       |  WHERE c.source = '$EvalSource'),
+       |cl_dec AS (
+       |  SELECT DISTINCT s.doc_id FROM swin s JOIN cl_src c USING (doc_id)
+       |  WHERE c.source <> '$EvalSource' AND s.g IN (SELECT g FROM cl_ew)),
+       |cl_early AS (
+       |  SELECT q.doc_id, q.lang, p.n_tokens, q.quality, p.tokens_kept,
+       |    CASE WHEN NOT q.q_keep THEN 'quality'
+       |         WHEN p.stage <> 'kept' THEN p.stage
+       |         WHEN q.source = '$EvalSource' THEN 'eval'
+       |         WHEN d.doc_id IS NOT NULL THEN 'decontam'
+       |         END AS early_stage
+       |  FROM cl_q q JOIN perdoc p USING (doc_id)
+       |  LEFT JOIN cl_dec d USING (doc_id)),
+       |cl_surv AS (
+       |  SELECT doc_id, n_tokens, tokens_kept,
+       |    CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY quality DESC, doc_id
+       |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+       |  FROM cl_early WHERE early_stage IS NULL),
+       |cl_final AS (
+       |  SELECT doc_id, n_tokens, tokens_kept, early_stage AS stage
+       |  FROM cl_early WHERE early_stage IS NOT NULL
+       |  UNION ALL
+       |  SELECT doc_id, n_tokens, tokens_kept,
+       |    CASE WHEN cum > $TokensPerLang THEN 'budget' ELSE 'kept' END
+       |  FROM cl_surv),
+       |cl_stages(stage_id, stage) AS (VALUES $stagesVals),
+       |cl_rm AS (
+       |  SELECT stage, CAST(count(*) AS BIGINT) AS docs_removed,
+       |         CAST(sum(n_tokens) AS BIGINT) AS tokens_removed
+       |  FROM cl_final WHERE stage <> 'kept' GROUP BY stage
+       |  UNION ALL
+       |  SELECT 'substring', CAST(0 AS BIGINT),
+       |         CAST(coalesce(sum(n_tokens - tokens_kept), 0) AS BIGINT)
+       |  FROM cl_final WHERE stage = 'kept'),
+       |cl_tot AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+       |                  CAST(sum(n_tokens) AS BIGINT) AS nt FROM cl_final),
+       |cl_led AS (
+       |  SELECT s.stage_id, s.stage,
+       |         coalesce(r.docs_removed, 0) AS docs_removed,
+       |         coalesce(r.tokens_removed, 0) AS tokens_removed
+       |  FROM cl_stages s LEFT JOIN cl_rm r USING (stage))
+       |SELECT CAST(l.stage_id AS INTEGER) AS stage_id, l.stage, l.docs_removed, l.tokens_removed,
+       |       t.nd - CAST(sum(l.docs_removed) OVER (ORDER BY l.stage_id) AS BIGINT) AS docs_remaining,
+       |       t.nt - CAST(sum(l.tokens_removed) OVER (ORDER BY l.stage_id) AS BIGINT) AS tokens_remaining
+       |FROM cl_led l, cl_tot t ORDER BY stage_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_corpus_ledger" -> corpusLedgerSql,
     "q_url_dedup" ->
       s"""WITH $urlCanonCteSql
          |SELECT min(doc_id) AS doc_id, concat('https://', host, restc) AS url,

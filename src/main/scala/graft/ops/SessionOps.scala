@@ -157,10 +157,21 @@ object SessionOps {
     * week arithmetic: weeks are floor(epoch-day / 7) (no calendar-week
     * locale/engine drift), per-mille retention is integer division.
     *
-    * Scale: first-seen is one user-cardinality aggregate, size-gate
-    * broadcast back; activity dedups on (cohort, week, user) via a
-    * two-level aggregate (map-side combined, never a count-distinct
-    * expand) before the tiny matrix aggregate.
+    * Scale: ONE corpus exchange — each user's distinct activity weeks
+    * collect into one bounded set (`collect_set` partially aggregates,
+    * so duplicate (user, week) rows combine map-side and the exchange
+    * carries distinct pairs; per-user state is capped by the calendar
+    * span — thousands of weeks over decades — never the event count).
+    * Cohort = array_min of that set, so the first-seen frame NEVER joins
+    * back onto the corpus: the previous shape broadcast the
+    * user-cardinality first-seen table onto the raw activity stream
+    * behind a planning-size gate, which closed exactly between the sf30
+    * and sf100 fixtures and re-planned a corpus-wide sort-merge join —
+    * the 4.82× sweep slope of the r14 factor-999 record. Both downstream
+    * frames (the activity matrix and the cohort sizes) are tiny
+    * aggregates over the lazily-checkpointed per-user table, and the
+    * final join broadcasts the calendar-bounded sizes frame
+    * UNCONDITIONALLY (no gate left to mis-size anywhere in the plan).
     */
   def retentionCohorts(s: SparkSession, dir: String): DataFrame =
     retentionCohortsOn(Tables.events(s, dir))
@@ -174,15 +185,26 @@ object SessionOps {
       expr("""(datediff(CAST(ts AS DATE), DATE '1970-01-01')
               | - pmod(datediff(CAST(ts AS DATE), DATE '1970-01-01'), 7)) div 7"""
         .stripMargin.replace("\n", "")).as("week"))
-    val firstSeen = acts.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
-    val sizes = firstSeen.groupBy(col("cohort_week")).agg(count(lit(1)).as("cohort_size"))
-    acts.join(Tables.broadcastIfSmall(firstSeen), "user_id")
-      .select(col("cohort_week"), (col("week") - col("cohort_week")).as("weeks_since"),
-        col("user_id"))
-      .distinct()
+    // LAZY localCheckpoint: sizes and the matrix both consume the per-user
+    // frame; un-checkpointed each would re-derive it from its own corpus
+    // scan (the same two-consumer argument as q_histogram's vcnt table)
+    val perUser = acts.groupBy(col("user_id"))
+      .agg(collect_set(col("week")).as("weeks"))
+      .localCheckpoint(eager = false)
+    // a NULL user_id groups in perUser (and therefore counts in sizes,
+    // exactly like the oracle's fs/sz CTEs) but joins into NO activity row
+    // (the oracle's `a JOIN fs USING (user_id)` drops it) — filter it from
+    // the matrix side only, preserving the join-based null semantics
+    val matrix = perUser.filter(col("user_id").isNotNull)
+      .select(array_min(col("weeks")).as("cohort_week"),
+        explode(col("weeks")).as("week"))
+      .select(col("cohort_week"), (col("week") - col("cohort_week")).as("weeks_since"))
       .groupBy(col("cohort_week"), col("weeks_since"))
       .agg(count(lit(1)).as("n_active"))
-      .join(Tables.broadcastIfSmall(sizes), "cohort_week")
+    val sizes = perUser
+      .select(array_min(col("weeks")).as("cohort_week"))
+      .groupBy(col("cohort_week")).agg(count(lit(1)).as("cohort_size"))
+    matrix.join(broadcast(sizes), "cohort_week")
       .withColumn("retained_permille", expr("(n_active * 1000) div cohort_size"))
       .select(col("cohort_week"), col("weeks_since"), col("n_active"),
         col("retained_permille"))

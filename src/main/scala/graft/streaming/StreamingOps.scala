@@ -1017,12 +1017,17 @@ object StreamingOps {
     * CurationOps.decontaminate, run as admission control in front of a
     * training-data store.
     *
-    * The eval side is pinned ONCE as a local relation: a benchmark is MBs,
-    * and a stream-static join re-evaluates its static plan every trigger —
-    * as a LocalRelation the grams are extracted exactly once at stream
-    * build and only re-broadcast per batch (no per-trigger file scan, no
-    * cache lifecycle to manage). Per-doc gram extraction is the in-row
-    * native expression.
+    * The eval side is a static DataFrame in a stream-static join —
+    * re-evaluated per trigger, which is an MB-scale read against a
+    * benchmark-sized gram set (page-cached after the first trigger). The
+    * production shape reads the VERSIONED eval-gram artifact
+    * [[graft.pipeline.CurationJob]] publishes ([[decontaminateStreamFromArtifact]]):
+    * the gram set is computed once per corpus refresh, pinned to a
+    * committed version, and NEVER extracted per stream start — the
+    * previous form collected the grams to the driver at every stream
+    * build, which re-paid the extraction on each restart and put a
+    * corpus-derived frame on the driver heap. Per-doc gram extraction on
+    * the streaming side is the in-row native expression.
     *
     * Aggregation is flatMapGroupsWithState in APPEND mode — the mode every
     * other job in this pipeline runs (a plain streaming groupBy cannot run
@@ -1031,16 +1036,24 @@ object StreamingOps {
     * completes immediately; the state is one boolean per flagged doc,
     * which makes source redelivery idempotent (emit once per doc).
     */
-  def decontaminateStream(docs: DataFrame, evalDocs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val evalGrams = spark.createDataset(
+  def decontaminateStream(docs: DataFrame, evalDocs: DataFrame): DataFrame =
+    decontaminateStreamOnGrams(docs,
       evalDocs.select(
         explode(graft.ops.DedupOps.ngramHashSet(
           graft.ops.TextOps.normText(col("text")))).as("gram"),
-        col("doc_id").as("eval_doc"))
-        .as[(Long, Long)].collect().toSeq
-    ).toDF("gram", "eval_doc")
+        col("doc_id").as("eval_doc")))
+
+  /** The production arm: eval grams from the latest committed
+    * [[graft.pipeline.CurationJob]] publish (`evalgrams` stage) — a
+    * stream-static join against at-rest parquet, no driver collect, no
+    * per-start extraction. */
+  def decontaminateStreamFromArtifact(docs: DataFrame, artDir: String): DataFrame =
+    decontaminateStreamOnGrams(docs,
+      graft.pipeline.VersionedStore.readStage(docs.sparkSession, artDir, "evalgrams"))
+
+  private def decontaminateStreamOnGrams(docs: DataFrame, evalGrams: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     docs
       .select(col("doc_id"),
         explode(graft.ops.DedupOps.ngramHashSet(

@@ -473,4 +473,59 @@ class PipelineSpec extends SparkSuite {
       rows(PqOps.simTopKIvfPqRr(spark, SfDir)))
     intercept[IllegalArgumentException](AnnIndexJob.refresh(spark, SfDir, out, 1))
   }
+
+  test("curation job: published ledger equals the recompute; attrition arithmetic is conserved; torn publishes stay invisible") {
+    import graft.pipeline.{CurationJob, DedupRefreshJob, VersionedStore}
+    val dedupOut = tmp("cur_dedup_art")
+    val out = tmp("cur_art")
+    DedupRefreshJob.refresh(spark, SfDir, dedupOut, 0)
+    def ledgerRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Int]("stage_id"), r.getAs[String]("stage"),
+        r.getAs[Long]("docs_removed"), r.getAs[Long]("tokens_removed"),
+        r.getAs[Long]("docs_remaining"), r.getAs[Long]("tokens_remaining"))).toSeq
+
+    // no committed version yet: readers refuse
+    assert(CurationJob.latestVersion(spark, out).isEmpty)
+    intercept[IllegalStateException](CurationJob.ledgerFromArtifacts(spark, out))
+
+    CurationJob.refresh(spark, SfDir, dedupOut, out, 0)
+    assert(CurationJob.latestVersion(spark, out) === Some(0L))
+    val art = ledgerRows(CurationJob.ledgerFromArtifacts(spark, out))
+    val rec = ledgerRows(CurationJob.ledgerRecompute(spark, SfDir, dedupOut))
+    assert(art === rec, "published ledger diverged from the recompute")
+
+    // conservation: stage order is the declared pipeline order, running
+    // remainders are total minus the running removals, and the published
+    // kept corpus holds exactly the docs the ledger says remain
+    assert(art.map(_._2) === CurationJob.Stages)
+    val (nd, nt) = (art.head._5 + art.head._3, art.head._6 + art.head._4)
+    art.foldLeft((nd, nt)) { case ((d, t), row) =>
+      assert(row._5 === d - row._3, s"docs_remaining broken at ${row._2}")
+      assert(row._6 === t - row._4, s"tokens_remaining broken at ${row._2}")
+      (row._5, row._6)
+    }
+    val corpus = VersionedStore.readStage(spark, out, "corpus")
+    assert(corpus.count() === art.last._5, "kept corpus != final docs_remaining")
+    // the packed layout is gap-free: total packed mass = sum of tokens_kept
+    assert(corpus.agg(sum(col("tokens_kept"))).collect()(0).getLong(0) ===
+      corpus.agg(max(col("start_tok") + col("tokens_kept"))).collect()(0).getLong(0))
+
+    // the streaming decontamination arm reads the published eval grams:
+    // same flag set as the batch operator's contaminated frame
+    val eg = VersionedStore.readStage(spark, out, "evalgrams")
+    assert(eg.columns.toSet === Set("gram", "eval_doc"))
+    assert(eg.count() > 0)
+
+    // torn publish: a version-1 stage dir without the marker stays invisible
+    spark.read.parquet(s"$out/version=0/stage=ledger").limit(0)
+      .write.mode("overwrite").parquet(s"$out/version=1/stage=ledger")
+    assert(CurationJob.latestVersion(spark, out) === Some(0L))
+    assert(ledgerRows(CurationJob.ledgerFromArtifacts(spark, out)) === art)
+
+    // restart commits version 1; committed versions are immutable
+    CurationJob.refresh(spark, SfDir, dedupOut, out, 1)
+    assert(CurationJob.latestVersion(spark, out) === Some(1L))
+    assert(ledgerRows(CurationJob.ledgerFromArtifacts(spark, out)) === art)
+    intercept[IllegalArgumentException](CurationJob.refresh(spark, SfDir, dedupOut, out, 1))
+  }
 }

@@ -429,6 +429,50 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("decontamination stream: artifact arm reads the versioned eval grams with identical flags") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evalDocs = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"),
+      (101L, "pack my box with five dozen liquor jugs")
+    ).toDF("doc_id", "text")
+    // publish the gram set once (the CurationJob 'evalgrams' stage shape);
+    // the stream then serves from the committed version — no driver
+    // collect, no per-start extraction
+    val artDir = java.nio.file.Files.createTempDirectory("decon_art").toString
+    graft.pipeline.VersionedStore.publish(spark, artDir, 1, Seq(
+      "evalgrams" -> evalDocs.select(
+        explode(graft.ops.DedupOps.ngramHashSet(
+          graft.ops.TextOps.normText(col("text")))).as("gram"),
+        col("doc_id").as("eval_doc"))))
+    val train = Seq(
+      (1L, "the quick brown fox jumps high today"),
+      (2L, "entirely unrelated content with nothing in common whatsoever"),
+      (3L, "pack my box with five dozen bottles"))
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingOps.decontaminateStreamFromArtifact(
+        mem.toDF().toDF("doc_id", "text"), artDir)
+      .writeStream.format("memory").queryName("decon_art_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(train: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("decon_art_out")
+        .select("doc_id", "n_shared_grams", "n_eval_docs").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val batch = train.toDF("doc_id", "text")
+        .select(col("doc_id"), explode(graft.ops.DedupOps.ngramHashSet(
+          graft.ops.TextOps.normText(col("text")))).as("gram"))
+        .join(evalDocs.select(explode(graft.ops.DedupOps.ngramHashSet(
+          graft.ops.TextOps.normText(col("text")))).as("gram"),
+          col("doc_id").as("eval_doc")), "gram")
+        .groupBy("doc_id")
+        .agg(count_distinct(col("gram")).as("g"), count_distinct(col("eval_doc")).as("e"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed == batch, s"artifact arm $streamed vs batch $batch")
+    } finally q.stop()
+  }
+
   test("contamination coverage stream: per-doc verdicts equal the batch operator across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
