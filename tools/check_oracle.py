@@ -1,10 +1,17 @@
 #!/usr/bin/env python3
 """Local replica of the driver's correctness gate: run each oracle SQL in
 DuckDB against the sf tables, compare with the Verify.scala parquet dumps
-(columns sorted by name, rows sorted, exact value compare)."""
+(columns sorted by name, rows sorted, exact value compare).
+
+Optional third arg timeout_s: per-oracle wall cap via duckdb interrupt
+(the bench_oracle.py watchdog protocol) — at sf100 a single oracle with
+no out-of-core plan must time out as a DISCLOSED skip ("TIMEOUT" row),
+not hold the whole hash-check hostage."""
 import json
 import sys
 import glob
+import threading
+import time
 
 import duckdb
 import pandas as pd
@@ -19,7 +26,7 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
-def main(sf_dir: str, out_dir: str) -> None:
+def main(sf_dir: str, out_dir: str, timeout_s: float | None = None) -> None:
     con = duckdb.connect()
     # out-of-core spill: the gram-join oracles (decontaminate/coverage)
     # exceed RAM at sf1 without it and die with an allocation failure
@@ -40,7 +47,38 @@ def main(sf_dir: str, out_dir: str) -> None:
             continue
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    n_ok = n_bad = 0
+
+    def run_oracle(sql: str) -> pd.DataFrame:
+        if timeout_s is None:
+            return con.execute(sql).df()
+        done = threading.Event()
+        timed_out = threading.Event()
+
+        def watchdog() -> None:
+            if not done.wait(timeout_s):
+                timed_out.set()
+                con.interrupt()
+
+        threading.Thread(target=watchdog, daemon=True).start()
+        t0 = time.monotonic()
+        try:
+            return con.execute(sql).df()
+        except Exception:
+            if timed_out.is_set():
+                raise TimeoutError(
+                    f"oracle exceeded {timeout_s:.0f}s cap (interrupted)") from None
+            raise
+        finally:
+            done.set()
+            if timed_out.is_set():  # interrupt landed post-completion: drain it
+                try:
+                    con.execute("SELECT 1").fetchall()
+                except Exception:
+                    pass
+            print(f"       [{time.monotonic()-t0:.1f}s oracle]",
+                  file=sys.stderr, flush=True)
+
+    n_ok = n_bad = n_skip = 0
     for name, sql in sorted(oracle.items()):
         try:
             files = glob.glob(f"{out_dir}/{name}/*.parquet")
@@ -49,7 +87,13 @@ def main(sf_dir: str, out_dir: str) -> None:
                 n_bad += 1
                 continue
             spark_df = pd.concat([pd.read_parquet(f) for f in files])
-            duck_df = con.execute(sql).df()
+            try:
+                duck_df = run_oracle(sql)
+            except TimeoutError as te:
+                # disclosed infeasible row, not a failure of the engine
+                print(f"TIMEOUT {name}: {te}")
+                n_skip += 1
+                continue
             a, b = canon(spark_df), canon(duck_df)
             if list(a.columns) != list(b.columns):
                 print(f"FAIL {name}: columns {list(a.columns)} vs {list(b.columns)}")
@@ -80,9 +124,11 @@ def main(sf_dir: str, out_dir: str) -> None:
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: {type(e).__name__}: {e}")
             n_bad += 1
-    print(f"\n{n_ok} ok, {n_bad} failed")
+    print(f"\n{n_ok} ok, {n_bad} failed"
+          + (f", {n_skip} oracle-timeout (disclosed)" if n_skip else ""))
     sys.exit(1 if n_bad else 0)
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2])
+    main(sys.argv[1], sys.argv[2],
+         float(sys.argv[3]) if len(sys.argv) > 3 else None)
