@@ -35,6 +35,11 @@ def main(sf_dir: str, out_dir: str, reps: int = 2,
     # correctness gate always ran with these, so the pairing must too
     con.execute("SET temp_directory='/tmp/duckdb_spill'")
     con.execute("SET preserve_insertion_order=false")
+    # bound the allocator (default: 80% of physical RAM, which assumes
+    # DuckDB owns the machine): q_dedup_ngram's posting-list oracle at sf30
+    # ballooned to 92 GB anon beside a resident Spark JVM and drew the
+    # kernel OOM killer; a hard cap forces the out-of-core path instead
+    con.execute(f"SET memory_limit='{os.environ.get('DUCKDB_MEM', '48GB')}'")
     for t in TABLES:
         # driver fixtures are single files; Spark-written scale fixtures
         # (ScaleFixtures output) are directories of part files

@@ -8,6 +8,7 @@ Optional third arg timeout_s: per-oracle wall cap via duckdb interrupt
 no out-of-core plan must time out as a DISCLOSED skip ("TIMEOUT" row),
 not hold the whole hash-check hostage."""
 import json
+import os
 import sys
 import glob
 import threading
@@ -32,6 +33,12 @@ def main(sf_dir: str, out_dir: str, timeout_s: float | None = None) -> None:
     # exceed RAM at sf1 without it and die with an allocation failure
     con.execute("SET temp_directory='/tmp/duckdb_spill'")
     con.execute("SET preserve_insertion_order=false")
+    # bound the allocator: DuckDB's default limit is 80% of PHYSICAL RAM,
+    # which assumes it owns the machine — in a scale-audit window a Spark
+    # JVM is resident too, and q_dedup_ngram's posting-list oracle at sf30
+    # ballooned to 92 GB anon and drew the kernel OOM killer. A hard cap
+    # forces the documented out-of-core path (temp_directory above).
+    con.execute(f"SET memory_limit='{os.environ.get('DUCKDB_MEM', '48GB')}'")
     for t in TABLES:
         # driver fixtures are single files; Spark-written scale fixtures
         # (ScaleFixtures output) are directories of part files — same
