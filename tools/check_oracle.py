@@ -43,7 +43,6 @@ def main(sf_dir: str, out_dir: str, timeout_s: float | None = None) -> None:
         # driver fixtures are single files; Spark-written scale fixtures
         # (ScaleFixtures output) are directories of part files — same
         # handling as bench_oracle.py
-        import os
         p = f"{sf_dir}/{t}.parquet"
         src = f"{p}/*.parquet" if os.path.isdir(p) else p
         if not (os.path.isdir(p) or os.path.isfile(p)):
