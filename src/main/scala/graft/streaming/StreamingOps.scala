@@ -1267,42 +1267,68 @@ object StreamingOps {
 
   /** Streaming twin of CurationOps.contamCoverage: score each ARRIVING
     * document's eval-gram coverage and verdict at admission time, before
-    * it ever lands in the training store. Unlike [[decontaminateStream]]
-    * (which must join per-gram to report WHICH eval docs overlap),
-    * coverage is a pure per-document property once the eval gram set is
-    * in hand — so the eval set pins once (the same MB-scale eval-side pin
-    * decontaminateStream documents: benchmark suites are small by
-    * construction; a broadcast ships it to every executor) and the
-    * stream is a STATELESS typed projection: in-row gram set (native
-    * `ngram_hashes`), set-membership count against the broadcast, the
-    * batch operator's exact rounding formula. No state store, no
-    * watermark, trivially append-mode; redelivery re-emits the identical
-    * row (idempotent downstream by doc_id). Stream ≡ batch by
-    * construction — StreamingSpec asserts it against contamCoverageOn
-    * under multi-batch splits anyway.
+    * it ever lands in the training store. The eval side is a static gram
+    * frame in a stream-static broadcast join — the SAME shape as
+    * [[decontaminateStream]], never a driver collect: the previous form
+    * collected the gram set into a broadcast variable at every stream
+    * build, re-paying the extraction per restart and holding an
+    * eval-derived Set on the driver heap; now the grams stay a DataFrame
+    * (page-cached parquet in the artifact arm below) and the planner owns
+    * the broadcast. Per-doc gram extraction is the in-row native
+    * expression; `explode_outer` keeps gramless docs (their verdict is
+    * `clean` by the batch operator's max(n,1) guard). The per-doc
+    * fold runs in flatMapGroupsWithState in APPEND mode — a doc's grams
+    * all arrive in its own micro-batch so the group completes
+    * immediately, and the one-boolean-per-doc state makes source
+    * redelivery emit-once idempotent (the [[decontaminateStream]]
+    * contract). Stream ≡ batch — StreamingSpec asserts it against
+    * contamCoverageOn under multi-batch splits.
     */
-  def contamCoverageStream(docs: DataFrame, evalDocs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val evalSet: Set[Long] = evalDocs
+  def contamCoverageStream(docs: DataFrame, evalDocs: DataFrame): DataFrame =
+    contamCoverageStreamOnGrams(docs, evalDocs
       .select(explode(graft.ops.DedupOps.ngramHashSet(
         graft.ops.TextOps.normText(col("text")))).as("gram"))
-      .as[Long].collect().toSet
-    val bc = spark.sparkContext.broadcast(evalSet)
+      .distinct())
+
+  /** The production arm: eval grams from the latest committed
+    * [[graft.pipeline.CurationJob]] publish (`evalgrams` stage) — the
+    * coverage sibling of [[decontaminateStreamFromArtifact]]. The gram
+    * set is computed once per corpus refresh and pinned to a committed
+    * version; stream starts read at-rest parquet, nothing is extracted
+    * per start. */
+  def contamCoverageStreamFromArtifact(docs: DataFrame, artDir: String): DataFrame =
+    contamCoverageStreamOnGrams(docs,
+      graft.pipeline.VersionedStore.readStage(docs.sparkSession, artDir, "evalgrams")
+        .select(col("gram")).distinct())
+
+  private def contamCoverageStreamOnGrams(docs: DataFrame, evalGrams: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     docs
       .select(col("doc_id"), graft.ops.DedupOps.ngramHashSet(
         graft.ops.TextOps.normText(col("text"))).as("grams"))
-      .as[(Long, Array[Long])]
-      .map { case (id, grams) =>
-        val ev = bc.value
-        var shared = 0L
-        var i = 0
-        while (i < grams.length) { if (ev.contains(grams(i))) shared += 1; i += 1 }
-        val cov = math.floor(
-          shared.toDouble / math.max(grams.length, 1).toDouble * 10000.0 + 0.5) / 10000.0
-        val verdict =
-          if (cov == 0.0) "clean" else if (cov < 0.1) "trace" else "contaminated"
-        (id, grams.length.toLong, shared, cov, verdict)
+      .select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"),
+        explode_outer(col("grams")).as("gram"))
+      .join(broadcast(evalGrams.withColumn("hit", lit(1L))), Seq("gram"), "left")
+      .select(col("doc_id"), col("n_grams"), coalesce(col("hit"), lit(0L)).as("hit"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, (Long, Long, Long, Double, String)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (id: Long, rows: Iterator[(Long, Long, Long)], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            var nGrams = 0L
+            var shared = 0L
+            rows.foreach { r => nGrams = r._2; shared += r._3 }
+            // the batch operator's exact rounding formula (Model.roundN, 4dp)
+            val cov = math.floor(
+              shared.toDouble / math.max(nGrams, 1L).toDouble * 10000.0 + 0.5) / 10000.0
+            val verdict =
+              if (cov == 0.0) "clean" else if (cov < 0.1) "trace" else "contaminated"
+            Iterator((id, nGrams, shared, cov, verdict))
+          }
       }
       .toDF("doc_id", "n_grams", "n_shared", "coverage", "verdict")
   }

@@ -510,6 +510,46 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("contamination coverage stream: artifact arm serves the versioned eval grams with identical verdicts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evalText = "the quick brown fox jumps over the lazy dog again and again"
+    val evalDocs = Seq((100L, evalText)).toDF("doc_id", "text")
+    // publish the CurationJob 'evalgrams' stage shape once; the stream
+    // serves from the committed version — no per-start extraction
+    val artDir = java.nio.file.Files.createTempDirectory("cov_art").toString
+    graft.pipeline.VersionedStore.publish(spark, artDir, 1, Seq(
+      "evalgrams" -> evalDocs.select(
+        explode(graft.ops.DedupOps.ngramHashSet(
+          graft.ops.TextOps.normText(col("text")))).as("gram"),
+        col("doc_id").as("eval_doc"))))
+    val train = Seq(
+      (1L, evalText),
+      (2L, "completely different words here with zero gram overlap QQ"),
+      (3L, "tiny"),
+      (4L, "the quick brown fox PLUS unrelated tail material beyond"))
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingOps.contamCoverageStreamFromArtifact(
+        mem.toDF().toDF("doc_id", "text"), artDir)
+      .writeStream.format("memory").queryName("cov_art_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(train: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("cov_art_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getString(4)))
+        .toSet
+      val batch = graft.ops.CurationOps.contamCoverageOn(
+          (train.map { case (id, t) => (id, t, "s1") } :+
+            ((100L, evalText, graft.ops.CurationOps.EvalSource)))
+            .toDF("doc_id", "text", "source").withColumn("lang", lit("en")))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getString(4)))
+        .toSet
+      assert(streamed == batch, s"artifact arm $streamed\nbatch $batch")
+    } finally q.stop()
+  }
+
   test("exact dedup stream: one survivor per normalized digest across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -38,8 +38,16 @@ def main(sf_dir: str, out_dir: str, reps: int = 2,
     # bound the allocator (default: 80% of physical RAM, which assumes
     # DuckDB owns the machine): q_dedup_ngram's posting-list oracle at sf30
     # ballooned to 92 GB anon beside a resident Spark JVM and drew the
-    # kernel OOM killer; a hard cap forces the out-of-core path instead
-    con.execute(f"SET memory_limit='{os.environ.get('DUCKDB_MEM', '48GB')}'")
+    # kernel OOM killer; a hard cap forces the out-of-core path instead.
+    # The value is validated (a malformed env var must fail with a clear
+    # message, not a confusing SQL error) and echoed in the output JSON so
+    # paired runs are self-describing: a capped oracle may spill and run
+    # slower than an uncapped one, so the cap is part of the protocol.
+    mem_limit = os.environ.get("DUCKDB_MEM", "48GB")
+    import re
+    if not re.fullmatch(r"[0-9]+(\.[0-9]+)?\s*[KMGT]i?B", mem_limit):
+        sys.exit(f"DUCKDB_MEM={mem_limit!r} is not a size like '48GB'")
+    con.execute(f"SET memory_limit='{mem_limit}'")
     for t in TABLES:
         # driver fixtures are single files; Spark-written scale fixtures
         # (ScaleFixtures output) are directories of part files
@@ -135,7 +143,8 @@ def main(sf_dir: str, out_dir: str, reps: int = 2,
     times = {k: round(v, 4) for k, v in times.items()}
     print(json.dumps({"total": round(sum(times.values()), 3),
                       "queries": times, "retried": retried, "errors": errors,
-                      "reps": reps, "sf": sf_dir}))
+                      "reps": reps, "sf": sf_dir,
+                      "memory_limit": mem_limit}))
 
 
 if __name__ == "__main__":

@@ -38,7 +38,13 @@ def main(sf_dir: str, out_dir: str, timeout_s: float | None = None) -> None:
     # JVM is resident too, and q_dedup_ngram's posting-list oracle at sf30
     # ballooned to 92 GB anon and drew the kernel OOM killer. A hard cap
     # forces the documented out-of-core path (temp_directory above).
-    con.execute(f"SET memory_limit='{os.environ.get('DUCKDB_MEM', '48GB')}'")
+    # validated: a malformed env var should fail with a clear message,
+    # not a confusing SQL error (same guard as bench_oracle.py)
+    mem_limit = os.environ.get("DUCKDB_MEM", "48GB")
+    import re
+    if not re.fullmatch(r"[0-9]+(\.[0-9]+)?\s*[KMGT]i?B", mem_limit):
+        sys.exit(f"DUCKDB_MEM={mem_limit!r} is not a size like '48GB'")
+    con.execute(f"SET memory_limit='{mem_limit}'")
     for t in TABLES:
         # driver fixtures are single files; Spark-written scale fixtures
         # (ScaleFixtures output) are directories of part files — same
