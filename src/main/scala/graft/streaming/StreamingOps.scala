@@ -1035,6 +1035,20 @@ object StreamingOps {
     * time). A doc's grams all arrive in its own micro-batch, so the group
     * completes immediately; the state is one boolean per flagged doc,
     * which makes source redelivery idempotent (emit once per doc).
+    *
+    * CONTRACT (shared by [[contamCoverageStream]] and the incremental-dedup
+    * stream): **first arrival wins.** A doc_id re-delivered later — even
+    * with different text — is dropped, not re-scored: admission control
+    * decides once per document, and the upstream ingest contract is that
+    * doc_id identifies immutable content (a revised document is a NEW
+    * doc_id). The emitted-flag state therefore grows with the number of
+    * DISTINCT documents ever admitted: ~1 byte of value per doc in the
+    * RocksDB state store ([[graft.GraftSession]] wires it), i.e. ~1 GB
+    * per billion docs spread across the shuffle partitions — deliberate
+    * bookkeeping for an admission ledger, not a leak. A deployment that
+    * prefers bounded state over exactly-once-forever can add a
+    * processing-time timeout here; the cost is that a doc_id redelivered
+    * after the TTL re-emits, so the downstream sink must dedup on doc_id.
     */
   def decontaminateStream(docs: DataFrame, evalDocs: DataFrame): DataFrame =
     decontaminateStreamOnGrams(docs,
@@ -1280,9 +1294,12 @@ object StreamingOps {
     * fold runs in flatMapGroupsWithState in APPEND mode — a doc's grams
     * all arrive in its own micro-batch so the group completes
     * immediately, and the one-boolean-per-doc state makes source
-    * redelivery emit-once idempotent (the [[decontaminateStream]]
-    * contract). Stream ≡ batch — StreamingSpec asserts it against
-    * contamCoverageOn under multi-batch splits.
+    * redelivery emit-once idempotent — the [[decontaminateStream]]
+    * contract, including its first-arrival-wins semantics and
+    * distinct-docs-ever state growth (see that contract paragraph for
+    * the size arithmetic and the TTL trade-off). Stream ≡ batch —
+    * StreamingSpec asserts it against contamCoverageOn under
+    * multi-batch splits.
     */
   def contamCoverageStream(docs: DataFrame, evalDocs: DataFrame): DataFrame =
     contamCoverageStreamOnGrams(docs, evalDocs

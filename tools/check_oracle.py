@@ -42,8 +42,14 @@ def main(sf_dir: str, out_dir: str, timeout_s: float | None = None) -> None:
     # not a confusing SQL error (same guard as bench_oracle.py)
     mem_limit = os.environ.get("DUCKDB_MEM", "48GB")
     import re
-    if not re.fullmatch(r"[0-9]+(\.[0-9]+)?\s*[KMGT]i?B", mem_limit):
-        sys.exit(f"DUCKDB_MEM={mem_limit!r} is not a size like '48GB'")
+    # accept everything DuckDB itself accepts: case-insensitive units
+    # ('48gb'), percent-of-RAM ('80%'), and '-1' for unlimited — being
+    # stricter than the engine broke previously-working env settings
+    if not re.fullmatch(
+            r"-1|[0-9]+(\.[0-9]+)?\s*%|[0-9]+(\.[0-9]+)?\s*[KMGT]i?B",
+            mem_limit, re.IGNORECASE):
+        sys.exit(f"DUCKDB_MEM={mem_limit!r} is not a DuckDB memory_limit "
+                 "(e.g. '48GB', '80%', '-1')")
     con.execute(f"SET memory_limit='{mem_limit}'")
     for t in TABLES:
         # driver fixtures are single files; Spark-written scale fixtures

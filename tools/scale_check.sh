@@ -36,6 +36,10 @@ json.dump({k: full[k] for k in secondary}, open(f"{v}/oracle_sql_secondary.json"
 print(f"primary={len(primary)} secondary={len(secondary)} excluded_cte={len(cte & set(full))}")
 EOF
 
+# restore the full registry file even if a pass (or the operator) dies
+# mid-run: oracle_sql.json must never be left pointing at a pass subset
+trap 'cp "$VOUT/oracle_sql_full.json" "$VOUT/oracle_sql.json"' EXIT
+
 echo "=== PRIMARY PASS (cap ${CAP1}s/oracle) ==="
 cp "$VOUT/oracle_sql_primary.json" "$VOUT/oracle_sql.json"
 python3 tools/check_oracle.py "$SF" "$VOUT" "$CAP1"
@@ -44,5 +48,7 @@ echo "=== SECONDARY PASS (CTE-chain keys, cap ${CAP2}s/oracle) ==="
 cp "$VOUT/oracle_sql_secondary.json" "$VOUT/oracle_sql.json"
 python3 tools/check_oracle.py "$SF" "$VOUT" "$CAP2"
 S=$?
-cp "$VOUT/oracle_sql_full.json" "$VOUT/oracle_sql.json"
 echo "primary_exit=$P secondary_exit=$S"
+# gate on the primary pass (hash-match failures there are engine bugs);
+# secondary timeouts are DISCLOSED oracle-infeasibility rows, not failures
+exit "$P"
