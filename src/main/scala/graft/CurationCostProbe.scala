@@ -19,7 +19,8 @@ import org.apache.spark.sql.SparkSession
   *   ledger_recompute_s — the recompute twin (the DAG every consumer would
   *                        re-pay per read without the artifact)
   *
-  * Publishes land under java.io.tmpdir and are deleted on exit; the dedup
+  * Publishes land under java.io.tmpdir and a shutdown hook recursively
+  * deletes them on normal JVM exit; the dedup
   * prune artifacts are ensured once OUTSIDE the timed publish (a curation
   * refresh consumes the latest committed prune lists — separate cadence).
   */
@@ -41,9 +42,25 @@ object CurationCostProbe {
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
+    // deleteOnExit cannot remove non-empty directories — after the jobs
+    // publish artifact trees into them it silently leaks the whole tree
+    // per run; a shutdown hook walking deepest-first actually deletes them
+    val tempDirs = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+    sys.addShutdownHook {
+      import java.nio.file.{Files, Path}
+      import scala.jdk.CollectionConverters._
+      tempDirs.foreach { d =>
+        if (Files.exists(d)) {
+          val walk = Files.walk(d)
+          try walk.sorted(java.util.Comparator.reverseOrder[Path]())
+            .iterator().asScala.foreach(p => Files.deleteIfExists(p))
+          finally walk.close()
+        }
+      }
+    }
     def fresh(tag: String): String = {
       val d = java.nio.file.Files.createTempDirectory(s"curation_probe_$tag")
-      d.toFile.deleteOnExit()
+      tempDirs += d
       d.toString
     }
 

@@ -32,8 +32,23 @@ import org.apache.spark.sql.functions._
   *    eval copy matched every training copy), which no deployment
   *    exhibits. With the eval side fixed, decontamination work scales
   *    linearly in N like production.
-  *  - `embeddings`: vectors unchanged, vec_id and label offset into
-  *    disjoint ranges per copy — label-blocked dedup again scales ×N.
+  *  - `embeddings`: vec_id and label offset into disjoint ranges per
+  *    copy — label-blocked dedup again scales ×N. Copy k>0 vectors are
+  *    PERTURBED elementwise by a seeded, deterministic relative noise
+  *    (`x · (1 + u·ε)`, u ∈ [−1, 1] from xxhash64(vec_id, dim, k),
+  *    ε = [[PerturbEps]]): verbatim replicas made every query's true
+  *    top-k its own exact duplicates, so measured ANN recall at scale
+  *    was a fixture artifact (any arm that lands the right bucket
+  *    scores 1.0 — the r16 verdict's disclosed caveat). With ±10%
+  *    elementwise noise the copies are genuine NEAR neighbors: ranking
+  *    among them is noise-determined, cell assignment can flip near
+  *    quantization boundaries, and recall measures generalization.
+  *    Near-dup structure within a copy survives (a planted pair at
+  *    cos 0.99 moves ~0.99→0.98, far above the 0.4 operator
+  *    thresholds); NaN/Inf sentinel elements stay NaN/Inf under the
+  *    multiplicative form. The identity copy (k=0) is untouched, so
+  *    query anchors and the factor-1 output are byte-identical to the
+  *    source.
   *
   * Usage: `runMain graft.ScaleFixtures <srcDir> <outDir> [factor]`.
   * Writes parquet with enough files for parallel scans. Perf-only data:
@@ -128,9 +143,17 @@ object ScaleFixtures {
     // rows matching the vec_id==0 query anchor included)
     checkStride("vec_id", embStats.getLong(1), embStats.getLong(2), VecIdStride, n)
     val embeddings = copies(n) { k =>
+      // seeded per-(vec_id, dim, copy) relative noise — see the class doc;
+      // pmod(h, 2001) ∈ [0, 2000] → u = (that − 1000)/1000 ∈ [−1, 1]
+      val vec =
+        if (k == 0) col("embedding")
+        else transform(col("embedding"), (x, i) =>
+          (x * (lit(1.0) +
+            (pmod(xxhash64(col("vec_id"), i, lit(k)), lit(2001)) - 1000)
+              .cast("double") / 1000.0 * PerturbEps)).cast("float"))
       emb.select(
         (col("vec_id") + k * VecIdStride).as("vec_id"),
-        col("embedding"),
+        vec.as("embedding"),
         (col("label") + lit(k * labelStride)).cast("int").as("label"))
     }
     write(embeddings, s"$out/embeddings.parquet")
@@ -150,6 +173,12 @@ object ScaleFixtures {
     println(s"""{"out":"$out","factor":$n,"events":${spark.read.parquet(s"$out/events.parquet").count()},"documents":${spark.read.parquet(s"$out/documents.parquet").count()},"embeddings":${spark.read.parquet(s"$out/embeddings.parquet").count()}}""")
     spark.stop()
   }
+
+  /** Relative elementwise noise amplitude for replicated embedding
+    * copies — large enough that replica ranking/cell membership is
+    * noise-driven (recall is measured, not trivially 1.0), small enough
+    * that every operator threshold (0.4 cosine) keeps planted structure. */
+  val PerturbEps = 0.10
 
   private val EventIdStride = 1000000000000L
   private val DocIdStride = 1000000000L

@@ -352,6 +352,56 @@ object ClusterOps {
       .resultOrder(col("vec_id"))
   }
 
+  /** The phased pairwise restatement shared by the q_dedup_semantic
+    * oracle — the r13 `q_dedup_ngram` precedent applied here (r16 verdict
+    * item 2): the naive oracle materialized EVERY cluster-local pair with
+    * its unfiltered cosine (quadratic in cluster population) and spilled
+    * past the 900 s watchdog at sf30, while the engine early-breaks at
+    * the first (= lowest-id) match. This restatement emulates that early
+    * break in set form, and is provably equivalent to the all-pairs
+    * definition:
+    *
+    *  - `rk` ranks each cluster's members by vec_id, so "the M lowest-id
+    *    cluster-mates" is `rk <= M`. If ANY a < b with cos >= thr exists
+    *    among them, the GLOBAL lowest-id match is among them too (they
+    *    are the lowest ids by construction) — a phase hit is final.
+    *  - A b with rk <= M+1 has ALL its predecessors inside `rk <= M`, so
+    *    a phase miss is also final for it; only b with rk > M+1 and no
+    *    hit escalate. Phases M=32 → M=1024 → unbounded cover everything.
+    *
+    * Cost: phase 1 is ≤ 32·n pairs; later phases only see docs whose
+    * lowest match ranks deeper than M (or true survivors, which must
+    * scan all predecessors under ANY faithful oracle — the semantics'
+    * own lower bound). Measured at sf30 (600k vectors, 598,286 pruned):
+    * 101 s and exact hash-match vs the >900 s all-pairs spill. */
+  private def phasedSemanticSql(thr: Double): String = {
+    def hitSql(name: String, bSrc: String, rankCap: Option[Int]): String = {
+      val cap = rankCap.map(m => s"AND a.rk <= $m ").getOrElse("")
+      s"""$name AS MATERIALIZED (
+         |  SELECT b.vec_id, b.cluster, min(a.vec_id) AS keeper,
+         |         arg_min(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), a.vec_id) AS cos
+         |  FROM $bSrc b JOIN pts2 a
+         |    ON a.cluster = b.cluster ${cap}AND a.vec_id < b.vec_id
+         |  WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= $thr
+         |  GROUP BY b.vec_id, b.cluster)""".stripMargin
+    }
+    s"""pts2 AS MATERIALIZED (
+       |  SELECT vec_id, cluster, CAST(q AS DOUBLE[]) AS v,
+       |         sqrt(list_dot_product(CAST(q AS DOUBLE[]), CAST(q AS DOUBLE[]))) AS nrm,
+       |         row_number() OVER (PARTITION BY cluster ORDER BY vec_id) AS rk
+       |  FROM asn),
+       |${hitSql("h1", "pts2", Some(32))},
+       |u1 AS MATERIALIZED (
+       |  SELECT b.* FROM pts2 b ANTI JOIN h1 ON b.vec_id = h1.vec_id
+       |  WHERE b.rk > 33),
+       |${hitSql("h2", "u1", Some(1024))},
+       |u2 AS MATERIALIZED (
+       |  SELECT b.* FROM u1 b ANTI JOIN h2 ON b.vec_id = h2.vec_id
+       |  WHERE b.rk > 1025),
+       |${hitSql("h3", "u2", None)},
+       |hits AS (SELECT * FROM h1 UNION ALL SELECT * FROM h2 UNION ALL SELECT * FROM h3)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q_dedup_semantic" ->
       s"""WITH ${kmeansCtesSql},
@@ -362,19 +412,10 @@ object ClusterOps {
          |                     - 2 * list_dot_product(CAST(p.q AS DOUBLE[]), CAST(c.cen AS DOUBLE[])) AS BIGINT)
          |                  * $K + c.cluster) % $K AS INTEGER) AS cluster
          |  FROM pts p CROSS JOIN $FinalCenCte c GROUP BY p.vec_id, p.q),
-         |pairs AS (
-         |  SELECT b.vec_id, b.cluster, a.vec_id AS keeper,
-         |         list_dot_product(CAST(a.q AS DOUBLE[]), CAST(b.q AS DOUBLE[]))
-         |           / (sqrt(list_dot_product(CAST(a.q AS DOUBLE[]), CAST(a.q AS DOUBLE[])))
-         |              * sqrt(list_dot_product(CAST(b.q AS DOUBLE[]), CAST(b.q AS DOUBLE[])))) AS cos
-         |  FROM asn a JOIN asn b ON a.cluster = b.cluster AND a.vec_id < b.vec_id),
-         |hit AS (
-         |  SELECT vec_id, cluster, min(keeper) AS keeper
-         |  FROM pairs WHERE cos >= $SemanticThreshold GROUP BY vec_id, cluster)
-         |SELECT h.vec_id, h.cluster, h.keeper,
-         |       ${graft.model.Model.roundNSql("p.cos", 4)} AS cos_sim
-         |FROM hit h JOIN pairs p ON p.vec_id = h.vec_id AND p.keeper = h.keeper
-         |ORDER BY h.vec_id""".stripMargin,
+         |${phasedSemanticSql(SemanticThreshold)}
+         |SELECT vec_id, cluster, keeper,
+         |       ${graft.model.Model.roundNSql("cos", 4)} AS cos_sim
+         |FROM hits ORDER BY vec_id""".stripMargin,
     "q_cluster_stats" ->
       s"""WITH ${kmeansCtesSql},
          |asn AS (

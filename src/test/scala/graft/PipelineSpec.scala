@@ -528,4 +528,87 @@ class PipelineSpec extends SparkSuite {
     assert(ledgerRows(CurationJob.ledgerFromArtifacts(spark, out)) === art)
     intercept[IllegalArgumentException](CurationJob.refresh(spark, SfDir, dedupOut, out, 1))
   }
+
+  test("production day: ingest→mv→dedup→ann→curation chain killed mid-day resumes and equals the batch recomputes") {
+    import graft.pipeline.{AnnIndexJob, CurationJob, DedupRefreshJob, ProductionDay, VersionedStore}
+    val root = tmp("prod_day")
+    val V = 7L
+    val cfg = ProductionDay.Config(SfDir, root, V)
+    val total = Tables.events(spark, SfDir).count().toInt
+    MvRefreshJob.configureStateStore(spark)
+    try {
+      // ---- phase 1: the day dies mid-chain. The streams drain only half
+      // the arrivals (the scheduler host goes down), the dedup leg has
+      // already committed its version, and the curation leg was caught
+      // mid-publish (stage dir on disk, no _COMMITTED marker).
+      ProductionDay.streamingLegs(spark,
+        cfg.copy(maxRows = Some(total / 2)))
+      DedupRefreshJob.refresh(spark, SfDir, cfg.dedupDir, V)
+      spark.range(1).write.mode("overwrite")
+        .parquet(s"${cfg.curationDir}/version=$V/stage=ledger")
+      assert(CurationJob.latestVersion(spark, cfg.curationDir).isEmpty,
+        "torn curation publish must stay invisible")
+
+      // ---- phase 2: the scheduler re-invokes the SAME day. Streams
+      // resume from their checkpoints and drain the rest; the committed
+      // dedup version is skipped (a re-publish would throw — committed
+      // versions are immutable, so mere success proves the skip); the
+      // torn curation version is overwritten wholesale and committed.
+      val s = ProductionDay.run(spark, cfg)
+      assert(s.dedupVersion === V && s.annVersion === V && s.curationVersion === V)
+
+      // leg 1: fact table ≡ batch wire-round-trip + enrichment, exactly once
+      val cols = Seq("event_id", "ts", "metric", "value_num", "user_id", "operator", "segment")
+      val got = spark.read.parquet(cfg.factsDir).select(cols.map(col): _*)
+      val context = Tables.customer(spark, SfDir)
+        .select(col("c_custkey").as("user_id"), col("c_name").as("operator"),
+          col("c_mktsegment").as("segment"))
+      val wantFacts = Tables.events(spark, SfDir)
+        .join(broadcast(context), Seq("user_id"), "left")
+        .select(col("event_id"), col("ts"), col("event_type").as("metric"),
+          col("value").as("value_num"), col("user_id"), col("operator"), col("segment"))
+      assert(s.factRows === total.toLong)
+      assert(got.exceptAll(wantFacts).count() == 0 && wantFacts.exceptAll(got).count() == 0,
+        "fact table diverged from the batch recompute across the restart")
+
+      // leg 2: MV ≡ batch recompute over watermark-closed buckets, no dupes
+      val mv = spark.read.parquet(cfg.mvDir)
+        .select("bucket", "metric", "avg_value", "min_value", "max_value", "sample_count")
+      assert(mv.groupBy("bucket", "metric").count().filter(col("count") > 1).count() == 0)
+      val ev = Tables.events(spark, SfDir).filter(col("value").isNotNull)
+      val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+      val wantMv = ev
+        .groupBy(window(col("ts"), "1 minute"), col("event_type").as("metric"))
+        .agg(graft.model.Model.exactAvg4("value").as("avg_value"),
+          min(col("value")).as("min_value"), max(col("value")).as("max_value"),
+          count(col("value")).as("sample_count"))
+        .filter(unix_micros(col("window.end")) <= unix_micros(lit(maxTs)) - 60L * 1000000L)
+        .select(col("window.start").as("bucket"), col("metric"),
+          col("avg_value"), col("min_value"), col("max_value"), col("sample_count"))
+      assert(mv.exceptAll(wantMv).count() == 0 && wantMv.exceptAll(mv).count() == 0,
+        "MV diverged from the batch recompute across the restart")
+
+      // leg 3: the phase-1 artifacts serve the recompute capstone exactly
+      val applied = DedupRefreshJob.applyFromArtifacts(spark, SfDir, cfg.dedupDir)
+      val wantApply = graft.ops.DedupOps.dedupApply(spark, SfDir)
+      assert(applied.exceptAll(wantApply).count() == 0 &&
+        wantApply.exceptAll(applied).count() == 0)
+
+      // leg 4: an artifact-served ANN arm ≡ its recompute twin
+      assert(AnnIndexJob.simTopKIvfPqRr(spark, SfDir, cfg.annDir).collect().toSeq ===
+        graft.ops.PqOps.simTopKIvfPqRr(spark, SfDir).collect().toSeq)
+
+      // leg 5: the re-published curation ledger ≡ the recompute, and the
+      // torn phase-1 garbage is gone (the stage now holds the real ledger)
+      val ledger = CurationJob.ledgerFromArtifacts(spark, cfg.curationDir)
+      val wantLedger = CurationJob.ledgerRecompute(spark, SfDir, cfg.dedupDir)
+      assert(ledger.collect().toSeq === wantLedger.collect().toSeq)
+      assert(VersionedStore.readStage(spark, cfg.curationDir, "ledger")
+        .columns.contains("stage_id"), "torn stage content survived the re-publish")
+    } finally {
+      spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+    }
+  }
 }

@@ -40,7 +40,7 @@ class RegistrySpec extends SparkSuite {
     SparkEntry.oracleSql.foreach { case (name, sql) =>
       // collect bare identifiers after FROM/JOIN that are not CTE names
       // CTE names may carry a column list: `walk(node, comp) AS (...)`
-      val ctes = "(?i)\\b([a-z_][a-z0-9_]*)\\s*(?:\\([^)]*\\))?\\s+AS\\s*\\(".r
+      val ctes = "(?i)\\b([a-z_][a-z0-9_]*)\\s*(?:\\([^)]*\\))?\\s+AS\\s*(?:MATERIALIZED\\s+)?\\(".r
         .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
       val refs = fromRe.findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
       val unknown = refs -- tables -- ctes - "unnest" - "range"
