@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deterministic ×N scale-up of the driver fixtures for empirical scale
@@ -143,17 +143,9 @@ object ScaleFixtures {
     // rows matching the vec_id==0 query anchor included)
     checkStride("vec_id", embStats.getLong(1), embStats.getLong(2), VecIdStride, n)
     val embeddings = copies(n) { k =>
-      // seeded per-(vec_id, dim, copy) relative noise — see the class doc;
-      // pmod(h, 2001) ∈ [0, 2000] → u = (that − 1000)/1000 ∈ [−1, 1]
-      val vec =
-        if (k == 0) col("embedding")
-        else transform(col("embedding"), (x, i) =>
-          (x * (lit(1.0) +
-            (pmod(xxhash64(col("vec_id"), i, lit(k)), lit(2001)) - 1000)
-              .cast("double") / 1000.0 * PerturbEps)).cast("float"))
       emb.select(
         (col("vec_id") + k * VecIdStride).as("vec_id"),
-        vec.as("embedding"),
+        perturbedVector(k).as("embedding"),
         (col("label") + lit(k * labelStride)).cast("int").as("label"))
     }
     write(embeddings, s"$out/embeddings.parquet")
@@ -179,6 +171,19 @@ object ScaleFixtures {
     * noise-driven (recall is measured, not trivially 1.0), small enough
     * that every operator threshold (0.4 cosine) keeps planted structure. */
   val PerturbEps = 0.10
+
+  /** Copy k's vector expression over an `embedding`/`vec_id` frame:
+    * identity at k=0, seeded per-(vec_id, dim, copy) relative noise
+    * otherwise — pmod(h, 2001) ∈ [0, 2000] → u = (that − 1000)/1000
+    * ∈ [−1, 1], applied as x·(1 + u·ε). Deterministic (xxhash64 of the
+    * row's own keys — no RNG state), and NaN/Inf sentinels survive the
+    * multiplicative form. ScaleFixturesSpec pins all three properties. */
+  private[graft] def perturbedVector(k: Int): Column =
+    if (k == 0) col("embedding")
+    else transform(col("embedding"), (x, i) =>
+      (x * (lit(1.0) +
+        (pmod(xxhash64(col("vec_id"), i, lit(k)), lit(2001)) - 1000)
+          .cast("double") / 1000.0 * PerturbEps)).cast("float"))
 
   private val EventIdStride = 1000000000000L
   private val DocIdStride = 1000000000L
