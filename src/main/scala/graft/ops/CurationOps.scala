@@ -307,40 +307,45 @@ object CurationOps {
     *
     * Scale: identical shape to decontaminate — in-row gram sets (native
     * `ngram_hashes`, no corpus-wide distinct), per-doc gram cardinality
-    * is an in-row `size`, the eval side is MB-scale and broadcast; one
-    * aggregation by doc_id, one broadcast-able left join back. Collision
-    * note as in DedupOps: counts compare hashed grams to the oracle's raw
-    * grams — identical up to ~n²/2^64 FNV collisions.
+    * is an in-row `size`, the eval side is MB-scale and broadcast. The
+    * training side is extracted ONCE: each gram row carries its doc's
+    * in-row gram count (`explode_outer`, so zero-gram docs survive as one
+    * null-gram row), the broadcast eval lookup marks hits, and one
+    * doc_id-keyed aggregate yields both the cardinality and the hit
+    * count — the earlier spine+join-back form ran the normalization +
+    * gram extraction over the corpus TWICE (two scans at 100 TB) to
+    * rejoin what one aggregate already had. Collision note as in
+    * DedupOps: counts compare hashed grams to the oracle's raw grams —
+    * identical up to ~n²/2^64 FNV collisions.
     */
   def contamCoverage(s: SparkSession, dir: String): DataFrame =
     contamCoverageOn(Tables.documents(s, dir))
 
   private[graft] def contamCoverageOn(documents: DataFrame): DataFrame = {
     import graft.ops.TextOps.normText
-    val train = Tables.fanOut(
-      documents.filter(col("source") =!= EvalSource))
-      .select(col("doc_id"),
-        DedupOps.ngramHashSet(normText(col("text"))).as("grams"))
-      .select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"),
-        col("grams"))
     val evalGrams = documents
       .filter(col("source") === EvalSource)
       .select(explode(DedupOps.ngramHashSet(normText(col("text")))).as("gram"))
       .distinct()
-    val shared = train
-      .select(col("doc_id"), explode(col("grams")).as("gram"))
-      .join(broadcast(evalGrams), "gram")
+      .withColumn("hit", lit(1))
+    val stream = Tables.fanOut(
+      documents.filter(col("source") =!= EvalSource))
+      .select(col("doc_id"),
+        DedupOps.ngramHashSet(normText(col("text"))).as("grams"))
+      .select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"),
+        explode_outer(col("grams")).as("gram"))
+    val agg = stream
+      .join(broadcast(evalGrams), Seq("gram"), "left")
       .groupBy(col("doc_id"))
       // grams are already distinct IN-ROW (ngram_hashes set semantics),
-      // so a plain count is a distinct-gram count — no re-distinct
-      .agg(count(lit(1)).as("n_shared"))
+      // so counting hit markers is a distinct-shared-gram count; n_grams
+      // is constant per doc (the in-row set size), so max == the value
+      .agg(max(col("n_grams")).as("n_grams"), count(col("hit")).as("n_shared"))
     val cov = graft.model.Model.roundN(
-      coalesce(col("n_shared"), lit(0L)).cast("double") /
+      col("n_shared").cast("double") /
         greatest(col("n_grams"), lit(1L)).cast("double"), 4)
-    train.drop("grams")
-      .join(Tables.broadcastIfSmall(shared), Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_grams"),
-        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+    agg
+      .select(col("doc_id"), col("n_grams"), col("n_shared"),
         cov.as("coverage"),
         when(cov === 0.0, "clean")
           .when(cov < 0.1, "trace")

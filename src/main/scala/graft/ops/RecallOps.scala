@@ -93,20 +93,41 @@ object RecallOps {
 
   // ------------------------------------------------------ batched arms
 
+  /** The quantized audit queries off a prepared base frame — ≤ NQ rows of
+    * driver metadata, ONE collect shared by the trained/PQ arms (the
+    * per-arm variant re-collected the same 5 rows five times). */
+  private def queryVecsOn(base: DataFrame): Seq[(Long, Array[Long])] =
+    base.filter(col("vec_id") < NQ)
+      .select(col("vec_id"), expr(ClusterOps.QuantizeExpr).as("q"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+      .sortBy(_._1).toSeq
+
+  /** Raw-embedding audit queries as a broadcastable NQ-row frame, read
+    * from the shared base (no separate corpus scan). */
+  private def queryFrameOn(base: DataFrame): DataFrame =
+    base.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("qqid"), col("embedding").as("qv"))
+
   /** Batched sign-bucket LSH: the NQ queries' probe rings broadcast
     * (≤ NQ·|masks| rows), candidates rank per qid. One corpus scan. The
     * ring `radius` is the recall lever (arm `lsh` = 1, `lsh_r2` = 2). */
-  private[graft] def lshBatch(s: SparkSession, dir: String, radius: Int = 1): DataFrame = {
-    val bucketed = SimilarityOps.nanFreeEmbeddings(s, dir)
-      .withColumn("bucket", SimilarityOps.signBucket(col("embedding")))
-    val probes = bucketed.filter(col("vec_id") < NQ)
+  private[graft] def lshBatch(s: SparkSession, dir: String, radius: Int = 1): DataFrame =
+    lshBatchOn(
+      SimilarityOps.nanFreeEmbeddings(s, dir)
+        .withColumn("bucket", SimilarityOps.signBucket(col("embedding"))),
+      radius)
+
+  /** The arm body over any frame carrying (vec_id, embedding, bucket). */
+  private def lshBatchOn(base: DataFrame, radius: Int): DataFrame = {
+    val probes = base.filter(col("vec_id") < NQ)
       .select(col("vec_id").as("qid"), col("bucket"), col("embedding").as("qv"))
       .select(col("qid"),
         explode(typedLit(SimilarityOps.lshMasks(radius))).as("m"),
         col("bucket"), col("qv"))
       .select(col("qid"), col("bucket").bitwiseXOR(col("m")).as("probe"), col("qv"))
     topPerQid(
-      bucketed
+      base
         .join(broadcast(probes), col("bucket") === col("probe"))
         .filter(col("vec_id") =!= col("qid"))
         .withColumn("cos_sim",
@@ -122,15 +143,22 @@ object RecallOps {
   private[graft] def ivfBatch(s: SparkSession, dir: String,
       nProbe: Int = SimilarityOps.IvfLabelProbes): DataFrame = {
     val emb = SimilarityOps.nanFreeEmbeddings(s, dir)
-    val queries = emb.filter(col("vec_id") < NQ)
+    ivfBatchOn(emb, SimilarityOps.ivfCentroids(emb), nProbe)
+  }
+
+  /** The arm body with the centroid table injected — simRecall computes
+    * it ONCE (checkpointed) for both probe widths instead of re-running
+    * the corpus-wide centroid aggregate per arm. */
+  private def ivfBatchOn(base: DataFrame, cents: DataFrame, nProbe: Int): DataFrame = {
+    val queries = base.filter(col("vec_id") < NQ)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
     val probed = topPerQid(
-      SimilarityOps.ivfCentroids(emb).crossJoin(broadcast(queries))
+      cents.crossJoin(broadcast(queries))
         .withColumn("c_sim", SimilarityOps.cosineSim(col("centroid"), col("qv"))),
       Seq(col("c_sim").desc, col("label")), nProbe)
       .select(col("qid"), col("label"), col("qv"))
     topPerQid(
-      emb.join(broadcast(probed), "label")
+      base.join(broadcast(probed), "label")
         .filter(col("vec_id") =!= col("qid"))
         .withColumn("cos_sim",
           graft.model.Model.roundN(SimilarityOps.cosineSim(col("embedding"), col("qv")), 4)),
@@ -145,68 +173,64 @@ object RecallOps {
     val qvecs = queryVecs(s, dir)
     if (qvecs.isEmpty) return emptyCand(s)
     val model = ClusterOps.trainedModel(s, dir)
+    ivfTrainedBatchOn(withClusterCol(SimilarityOps.nanFreeEmbeddings(s, dir), model),
+      qvecs, model)
+  }
+
+  /** The (vec_id, …, cluster) assignment projection — in simRecall the
+    * cluster rides the shared checkpointed base instead of re-running
+    * quantize + nearest_centroid per arm. */
+  private def withClusterCol(emb: DataFrame, model: ClusterOps.KmeansModel): DataFrame =
+    emb
+      .withColumn("q", expr(ClusterOps.QuantizeExpr))
+      .withColumn("cluster",
+        element_at(typedLit(model.clusters.toSeq),
+          ClusterOps.nearestCentroid(col("q"), typedLit(model.cens.map(_.toSeq).toSeq)) + 1))
+
+  /** The arm body over a frame already carrying `cluster`. */
+  private def ivfTrainedBatchOn(base: DataFrame, qvecs: Seq[(Long, Array[Long])],
+      model: ClusterOps.KmeansModel): DataFrame = {
+    val s = base.sparkSession
     import s.implicits._
     val probeDf = qvecs.flatMap { case (qid, q) =>
       model.nearest(q, SimilarityOps.IvfTrainedProbes).map(qid -> _)
     }.toDF("qid", "cluster")
-    val censCol = typedLit(model.cens.map(_.toSeq).toSeq)
-    val idsCol = typedLit(model.clusters.toSeq)
     topPerQid(
-      SimilarityOps.nanFreeEmbeddings(s, dir)
-        .withColumn("q", expr(ClusterOps.QuantizeExpr))
-        .withColumn("cluster",
-          element_at(idsCol, ClusterOps.nearestCentroid(col("q"), censCol) + 1))
+      base
         .join(broadcast(probeDf), "cluster")
         .filter(col("vec_id") =!= col("qid"))
-        .join(broadcast(queryFrame(s, dir)), col("qid") === col("qqid"))
+        .join(broadcast(queryFrameOn(base)), col("qid") === col("qqid"))
         .withColumn("cos_sim",
           graft.model.Model.roundN(SimilarityOps.cosineSim(col("embedding"), col("qv")), 4)),
       Seq(col("cos_sim").desc, col("vec_id")), RecallK)
       .select(col("qid"), col("vec_id"))
   }
 
-  /** Per-(corpus row, query) ADC candidates in ONE scan: the 8
-    * sub-assignments project ONCE per row (the q_pq_stats subexpression
-    * lesson — Generate inputs get no CSE), then each query's ADC is 8
-    * literal-LUT reads; rows explode NQ-wide carrying (qid, adc) plus the
-    * raw embedding for the re-rank tails. With probeFilter the coarse
-    * assignment also projects in-row and each exploded row survives only
-    * if its cluster is in THAT query's probe set. `needEmbedding` keeps
-    * the raw embedding beside the codes only for the re-rank tails — the
-    * plain ADC arms rank on (qid, vec_id, adc) alone, so their NQ-wide
-    * exploded stream (and the rank window's sort input) stays
-    * embedding-width narrower.
-    */
-  private def pqAdcCand(s: SparkSession, dir: String, probeFilter: Boolean,
-      needEmbedding: Boolean): DataFrame = {
-    val qvecs = queryVecs(s, dir)
-    if (qvecs.isEmpty) return emptyCand(s).withColumn("adc", lit(0L))
-      .withColumn("embedding", lit(null).cast("array<float>"))
-    val pq = PqOps.trainedPq(s, dir)
-    val luts = qvecs.map { case (_, q) => PqOps.adcLut(pq, q) }
-    val lutCol = typedLit(luts)
-    val qidCol = typedLit(qvecs.map(_._1))
-    val km = if (probeFilter) Some(ClusterOps.trainedModel(s, dir)) else None
-    val probesByQ: Seq[Seq[Int]] = km match {
-      case Some(m) => qvecs.map { case (_, q) => m.nearest(q, PqOps.IvfPqProbes) }
-      case None => qvecs.map(_ => Seq.empty[Int])
-    }
-    val probeLit = typedLit(probesByQ)
-    val cis = (0 until PqOps.SubM).map { m =>
+  /** The 8 PQ sub-assignment columns (ci0..ci7) — in-row nearest_centroid
+    * against the literal sub-codebooks, projected ONCE per corpus row
+    * (the q_pq_stats subexpression lesson — Generate inputs get no CSE). */
+  private def subAssignCols(pq: PqOps.PqModel): Seq[org.apache.spark.sql.Column] =
+    (0 until PqOps.SubM).map { m =>
       ClusterOps.nearestCentroid(PqOps.subSlice(m),
         typedLit(pq.books(m).map(_.toSeq).toSeq)).as(s"ci$m")
     }
-    val embCols = if (needEmbedding) Seq(col("embedding")) else Seq.empty
-    val base0 = SimilarityOps.nanFreeEmbeddings(s, dir)
-      .select(Seq(col("vec_id")) ++ embCols :+ expr(ClusterOps.QuantizeExpr).as("q"): _*)
-    val withCluster = km match {
-      case Some(m) => base0.withColumn("cluster",
-        element_at(typedLit(m.clusters.toSeq),
-          ClusterOps.nearestCentroid(col("q"), typedLit(m.cens.map(_.toSeq).toSeq)) + 1))
-      case None => base0.withColumn("cluster", lit(-1))
-    }
-    val base = withCluster.select(
-      Seq(col("vec_id")) ++ embCols ++ Seq(col("cluster")) ++ cis: _*)
+
+  /** Per-(corpus row, query) ADC candidates over a frame already carrying
+    * the sub-assignments ci0..ci7 (and `cluster` when `probesByQ` is
+    * given): each query's ADC is 8 literal-LUT reads; rows explode
+    * NQ-wide carrying (qid, adc) plus the raw embedding for the re-rank
+    * tails. With a probe set each exploded row survives only if its
+    * cluster is in THAT query's probe list.
+    */
+  private def pqAdcCandOn(base: DataFrame, qvecs: Seq[(Long, Array[Long])],
+      pq: PqOps.PqModel, probesByQ: Option[Seq[Seq[Int]]]): DataFrame = {
+    if (qvecs.isEmpty) return emptyCand(base.sparkSession)
+      .withColumn("adc", lit(0L))
+      .withColumn("embedding", lit(null).cast("array<float>"))
+    val luts = qvecs.map { case (_, q) => PqOps.adcLut(pq, q) }
+    val lutCol = typedLit(luts)
+    val qidCol = typedLit(qvecs.map(_._1))
+    val probeLit = typedLit(probesByQ.getOrElse(qvecs.map(_ => Seq.empty[Int])))
     val structs = qvecs.indices.map { i =>
       val adc = (0 until PqOps.SubM).map { m =>
         element_at(element_at(element_at(lutCol, i + 1), m + 1), col(s"ci$m") + 1)
@@ -214,67 +238,135 @@ object RecallOps {
       struct(element_at(qidCol, i + 1).as("qid"), adc.as("adc"),
         element_at(probeLit, i + 1).as("probes"))
     }
+    val clusterCol =
+      if (probesByQ.isDefined) col("cluster") else lit(-1).as("cluster")
     val exploded = base
-      .select(Seq(col("vec_id")) ++ embCols ++ Seq(col("cluster"),
-        explode(array(structs: _*)).as("s")): _*)
-      .select(Seq(col("vec_id")) ++ embCols ++ Seq(col("cluster"),
-        col("s.qid").as("qid"), col("s.adc").as("adc"), col("s.probes").as("probes")): _*)
+      .select(col("vec_id"), col("embedding"), clusterCol.as("cluster"),
+        explode(array(structs: _*)).as("s"))
+      .select(col("vec_id"), col("embedding"), col("cluster"),
+        col("s.qid").as("qid"), col("s.adc").as("adc"), col("s.probes").as("probes"))
       .filter(col("vec_id") =!= col("qid"))
-    (if (probeFilter) exploded.filter(array_contains(col("probes"), col("cluster")))
+    (if (probesByQ.isDefined)
+       exploded.filter(array_contains(col("probes"), col("cluster")))
      else exploded)
-      .select(Seq(col("qid"), col("vec_id"), col("adc")) ++ embCols: _*)
+      .select(col("qid"), col("vec_id"), col("adc"), col("embedding"))
   }
 
+  /** The RerankC-deep per-qid ADC shortlist — ONE frame serves BOTH the
+    * plain ADC arm (its top-[[RecallK]] under the same (adc, vec_id)
+    * total order is exactly the arm's answer, since RerankC ≥ k) and the
+    * exact-re-rank tail; the previous shape ran the NQ-wide ADC explode
+    * twice per family. NQ·RerankC rows — metadata-scale. */
+  private def adcShortlist(base: DataFrame, qvecs: Seq[(Long, Array[Long])],
+      pq: PqOps.PqModel, probesByQ: Option[Seq[Seq[Int]]]): DataFrame =
+    topPerQid(pqAdcCandOn(base, qvecs, pq, probesByQ),
+      Seq(col("adc"), col("vec_id")), PqOps.RerankC)
+
+  /** Top-[[RecallK]] of a shortlist under the shortlist's own order. */
+  private def adcCut(shortlist: DataFrame): DataFrame =
+    topPerQid(shortlist, Seq(col("adc"), col("vec_id")), RecallK)
+      .select(col("qid"), col("vec_id"))
+
   /** Exact-cosine re-rank tail over a per-qid ADC shortlist. */
-  private def rerank(s: SparkSession, dir: String, shortlist: DataFrame): DataFrame =
+  private def rerankOn(base: DataFrame, shortlist: DataFrame): DataFrame =
     topPerQid(
-      shortlist.join(broadcast(queryFrame(s, dir)), col("qid") === col("qqid"))
+      shortlist.join(broadcast(queryFrameOn(base)), col("qid") === col("qqid"))
         .withColumn("cos_sim",
           graft.model.Model.roundN(SimilarityOps.cosineSim(col("embedding"), col("qv")), 4)),
       Seq(col("cos_sim").desc, col("vec_id")), RecallK)
       .select(col("qid"), col("vec_id"))
 
-  private[graft] def pqBatch(s: SparkSession, dir: String): DataFrame =
-    topPerQid(pqAdcCand(s, dir, probeFilter = false, needEmbedding = false),
-      Seq(col("adc"), col("vec_id")), RecallK)
-      .select(col("qid"), col("vec_id"))
+  /** Standalone-arm scaffolding (specs): base plan + query metadata for
+    * one PQ family arm, built from the corpus. */
+  private def pqArmInputs(s: SparkSession, dir: String, probed: Boolean):
+      (DataFrame, Seq[(Long, Array[Long])], PqOps.PqModel, Option[Seq[Seq[Int]]]) = {
+    val qvecs = queryVecs(s, dir)
+    val pq = PqOps.trainedPq(s, dir)
+    val emb = SimilarityOps.nanFreeEmbeddings(s, dir)
+    if (probed) {
+      val km = ClusterOps.trainedModel(s, dir)
+      val base = withClusterCol(emb, km)
+        .select(Seq(col("vec_id"), col("embedding"), col("cluster")) ++ subAssignCols(pq): _*)
+      (base, qvecs, pq, Some(qvecs.map { case (_, q) => km.nearest(q, PqOps.IvfPqProbes) }))
+    } else {
+      val base = emb
+        .withColumn("q", expr(ClusterOps.QuantizeExpr))
+        .select(Seq(col("vec_id"), col("embedding")) ++ subAssignCols(pq): _*)
+      (base, qvecs, pq, None)
+    }
+  }
 
-  private[graft] def ivfPqBatch(s: SparkSession, dir: String): DataFrame =
-    topPerQid(pqAdcCand(s, dir, probeFilter = true, needEmbedding = false),
-      Seq(col("adc"), col("vec_id")), RecallK)
-      .select(col("qid"), col("vec_id"))
+  private[graft] def pqBatch(s: SparkSession, dir: String): DataFrame = {
+    val (base, qvecs, pq, probes) = pqArmInputs(s, dir, probed = false)
+    adcCut(adcShortlist(base, qvecs, pq, probes))
+  }
 
-  private[graft] def pqRrBatch(s: SparkSession, dir: String): DataFrame =
-    rerank(s, dir, topPerQid(pqAdcCand(s, dir, probeFilter = false, needEmbedding = true),
-      Seq(col("adc"), col("vec_id")), PqOps.RerankC))
+  private[graft] def ivfPqBatch(s: SparkSession, dir: String): DataFrame = {
+    val (base, qvecs, pq, probes) = pqArmInputs(s, dir, probed = true)
+    adcCut(adcShortlist(base, qvecs, pq, probes))
+  }
 
-  private[graft] def ivfPqRrBatch(s: SparkSession, dir: String): DataFrame =
-    rerank(s, dir, topPerQid(pqAdcCand(s, dir, probeFilter = true, needEmbedding = true),
-      Seq(col("adc"), col("vec_id")), PqOps.RerankC))
+  private[graft] def pqRrBatch(s: SparkSession, dir: String): DataFrame = {
+    val (base, qvecs, pq, probes) = pqArmInputs(s, dir, probed = false)
+    rerankOn(base, adcShortlist(base, qvecs, pq, probes))
+  }
+
+  private[graft] def ivfPqRrBatch(s: SparkSession, dir: String): DataFrame = {
+    val (base, qvecs, pq, probes) = pqArmInputs(s, dir, probed = true)
+    rerankOn(base, adcShortlist(base, qvecs, pq, probes))
+  }
 
   // ----------------------------------------------------------- the audit
 
   /** Mean recall@k per arm over the NQ-query batch set — see the object
-    * doc. Plan shape at 100 TB: each batched arm is ONE corpus scan whose
-    * OUTPUT is ≤ NQ·k rows (metadata); the exact set broadcasts as
-    * ≤ NQ·k rows; hits aggregate ≤ arms·NQ·k rows. Auditing 9 arms over
-    * NQ queries costs exactly 9 serving scans + the exact baseline.
+    * doc. Plan shape at 100 TB: ONE derivation scan materializes the
+    * shared working set (embedding + sign bucket + trained cluster + the
+    * 8 PQ sub-assignments — every column some arm previously re-derived
+    * on a scan of its own), then each batched arm is one cheap pass over
+    * the checkpointed base whose OUTPUT is ≤ NQ·k rows (metadata); the
+    * ADC shortlists are computed once per probe family and serve both
+    * the plain and re-rank arms (RerankC ≥ k under the same total
+    * order); the exact set broadcasts as ≤ NQ·k rows; hits aggregate
+    * ≤ arms·NQ·k rows. Versus the per-arm-scan shape this removes 4 of
+    * the 12 corpus passes outright and de-duplicates the in-row
+    * quantize/nearest_centroid derivations from up to 7 computations to
+    * one (guide §1.2: fix the distributed algorithm — fewer passes —
+    * before per-task work).
     */
   def simRecall(s: SparkSession, dir: String): DataFrame = {
     require(SimilarityOps.BatchK == RecallK && SimilarityOps.IvfTrainedK == RecallK,
       s"recall audit: every arm must serve k = $RecallK")
-    val exact = SimilarityOps.simTopKBatch(s, dir)
+    require(PqOps.RerankC >= RecallK,
+      s"recall audit: shortlist depth ${PqOps.RerankC} must cover k = $RecallK")
+    val km = ClusterOps.trainedModel(s, dir)
+    val pq = PqOps.trainedPq(s, dir)
+    // the shared working set: one corpus scan + one derivation pass,
+    // checkpointed; every arm below reads these blocks
+    val base = withClusterCol(
+      SimilarityOps.nanFreeEmbeddings(s, dir)
+        .withColumn("bucket", SimilarityOps.signBucket(col("embedding"))), km)
+      .select(Seq(col("vec_id"), col("label"), col("embedding"), col("bucket"),
+        col("cluster")) ++ subAssignCols(pq): _*)
+      .localCheckpoint(eager = true)
+    val qvecs = queryVecsOn(base)
+    val cents = SimilarityOps.ivfCentroids(base).localCheckpoint(eager = false)
+    val ivfPqProbes = Some(qvecs.map { case (_, q) => km.nearest(q, PqOps.IvfPqProbes) })
+    // lazy checkpoints: NQ·RerankC rows each, materialized by the first
+    // consumer, shared by the plain-ADC cut and the re-rank tail
+    val slPq = adcShortlist(base, qvecs, pq, None).localCheckpoint(eager = false)
+    val slIvf = adcShortlist(base, qvecs, pq, ivfPqProbes).localCheckpoint(eager = false)
+    val exact = SimilarityOps.simTopKBatchOn(base, NQ, RecallK)
       .select(col("qid").as("eqid"), col("vec_id").as("evid"))
     val arms: Seq[(String, DataFrame)] = Seq(
-      "ivf" -> ivfBatch(s, dir),
-      "ivf_p4" -> ivfBatch(s, dir, SimilarityOps.IvfWideProbes),
-      "ivf_trained" -> ivfTrainedBatch(s, dir),
-      "ivfpq" -> ivfPqBatch(s, dir),
-      "ivfpq_rr" -> ivfPqRrBatch(s, dir),
-      "lsh" -> lshBatch(s, dir),
-      "lsh_r2" -> lshBatch(s, dir, radius = 2),
-      "pq" -> pqBatch(s, dir),
-      "pq_rr" -> pqRrBatch(s, dir))
+      "ivf" -> ivfBatchOn(base, cents, SimilarityOps.IvfLabelProbes),
+      "ivf_p4" -> ivfBatchOn(base, cents, SimilarityOps.IvfWideProbes),
+      "ivf_trained" -> ivfTrainedBatchOn(base, qvecs, km),
+      "ivfpq" -> adcCut(slIvf),
+      "ivfpq_rr" -> rerankOn(base, slIvf),
+      "lsh" -> lshBatchOn(base, radius = 1),
+      "lsh_r2" -> lshBatchOn(base, radius = 2),
+      "pq" -> adcCut(slPq),
+      "pq_rr" -> rerankOn(base, slPq))
     val cand = arms
       .map { case (n, df) => df.select(lit(n).as("arm"), col("qid"), col("vec_id")) }
       .reduce(_.unionByName(_))

@@ -373,12 +373,7 @@ object RelationalOps {
     * streaming twin's spec recomputes batch-side.
     */
   def gapfillLocfOn(events: DataFrame, twoPhase: Boolean = false): DataFrame =
-    gapfillExpandedOn(events, twoPhase)
-      .select(col("metric"), col("g.b").as("bucket"),
-        when(!col("g.gap"), col("avg_value")).as("avg_value"),
-        col("avg_value").as("locf_value"),
-        col("g.gap").as("is_gap"),
-        when(col("g.gap"), lit(0L)).otherwise(col("sample_count")).as("sample_count"))
+    gapfillLocfPlan(events, twoPhase)
       // explicit range sort, NOT resultOrder: the single-reducer gate
       // keys on the planning-size estimate, and Generate propagates its
       // CHILD's (post-aggregate, tiny) estimate — the dense spine is
@@ -386,7 +381,26 @@ object RelationalOps {
       // rows through one sort task, 63 s; the whole suite's one
       // superlinear row). A gap-filled export is spine-sized by
       // construction, so the parallel range sort is always right here.
+      // localCheckpoint first: RangePartitioning runs a SAMPLING pass
+      // over its child before the shuffle, so an un-materialized spine
+      // pays the aggregate + window + Generate chain TWICE (guide §2.4 —
+      // the sampling re-execution is an accidental second full pass);
+      // the checkpoint bounds both passes to one spine materialization
+      // (measured sf0.1 min-of-4: 0.96 → 0.71 s, in a window whose
+      // control key ran 1.4× slower than the 0.96 baseline's).
+      .localCheckpoint(eager = false)
       .orderBy(col("metric"), col("bucket"))
+
+  /** The unsorted locf projection — exposed unmaterialized so PlanSpec can
+    * assert the segment-expansion shape the pre-sort checkpoint hides
+    * behind an RDD scan (the minhashDocsPlan convention). */
+  private[graft] def gapfillLocfPlan(events: DataFrame, twoPhase: Boolean): DataFrame =
+    gapfillExpandedOn(events, twoPhase)
+      .select(col("metric"), col("g.b").as("bucket"),
+        when(!col("g.gap"), col("avg_value")).as("avg_value"),
+        col("avg_value").as("locf_value"),
+        col("g.gap").as("is_gap"),
+        when(col("g.gap"), lit(0L)).otherwise(col("sample_count")).as("sample_count"))
 
   /** The segment-expanded dense series shared by the locf and interpolate
     * fill policies: per-minute observed aggregates, each row extended with
@@ -494,7 +508,17 @@ object RelationalOps {
   /** [[gapfillInterp]] over any (metric, ts, value) frame — the form the
     * streaming twin's spec recomputes batch-side.
     */
-  def gapfillInterpOn(events: DataFrame, twoPhase: Boolean = false): DataFrame = {
+  def gapfillInterpOn(events: DataFrame, twoPhase: Boolean = false): DataFrame =
+    gapfillInterpPlan(events, twoPhase)
+      // explicit range sort + pre-sort checkpoint — same Generate-
+      // underestimate and sampling-re-execution reasoning as the locf
+      // twin above
+      .localCheckpoint(eager = false)
+      .orderBy(col("metric"), col("bucket"))
+
+  /** The unsorted interpolation projection — the PlanSpec surface (see
+    * [[gapfillLocfPlan]]). */
+  private[graft] def gapfillInterpPlan(events: DataFrame, twoPhase: Boolean): DataFrame = {
     val ratio =
       (unix_timestamp(col("g.b")) - unix_timestamp(col("bucket"))).cast("double") /
         (unix_timestamp(col("next_b")) - unix_timestamp(col("bucket"))).cast("double")
@@ -507,9 +531,6 @@ object RelationalOps {
               col("avg_value") + (col("next_v") - col("avg_value")) * ratio),
           4).as("interp_value"),
         col("g.gap").as("is_gap"))
-      // explicit range sort — same Generate-underestimate reasoning as
-      // the locf twin above
-      .orderBy(col("metric"), col("bucket"))
   }
 
   /** Counter increase per hour with reset detection — TimescaleDB

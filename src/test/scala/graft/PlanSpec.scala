@@ -271,8 +271,18 @@ class PlanSpec extends SparkSuite {
   }
 
   test("gapfill family: segment-expanded, join-free — no spine-wide carries") {
-    Seq("q_gapfill_locf", "q_gapfill_interp").foreach { k =>
-      val p = plan(k)
+    import graft.ops.RelationalOps
+    import org.apache.spark.sql.functions.col
+    val rows = Tables.events(spark, SfDir).select(
+      col("event_type").as("metric"), col("ts"), col("value"))
+    // the registered queries end in checkpoint + range sort (below); the
+    // expansion shape is pinned on the exposed pre-checkpoint plan — the
+    // minhashDocsPlan convention
+    Seq[(String, org.apache.spark.sql.DataFrame)](
+      "q_gapfill_locf" -> RelationalOps.gapfillLocfPlan(rows, twoPhase = false),
+      "q_gapfill_interp" -> RelationalOps.gapfillInterpPlan(rows, twoPhase = false)
+    ).foreach { case (k, df) =>
+      val p = df.queryExecution.explainString(FormattedMode)
       // gap minutes are generated FROM their enclosing segment (one
       // Generate), born knowing both endpoints — never a dense spine
       // left-joined back to the observations, and never a cartesian of
@@ -288,6 +298,18 @@ class PlanSpec extends SparkSuite {
         s"$k shuffles beyond agg + segment window:\n$p")
       assert(!p.toLowerCase.contains("scalaudf"), p)
     }
+    // the registered query's final range sort samples its CHILD before
+    // shuffling; the pre-sort checkpoint pins that child to a materialized
+    // RDD scan so the spine is computed once, not twice
+    Seq("q_gapfill_locf", "q_gapfill_interp").foreach { k =>
+      val p = plan(k)
+      assert(p.contains("rangepartitioning"),
+        s"$k lost its parallel range sort:\n$p")
+      assert(p.contains("Scan ExistingRDD"),
+        s"$k range sort samples an unmaterialized spine (double compute):\n$p")
+      assert(!p.contains("Scan parquet"),
+        s"$k sort subtree recomputes from the raw scan:\n$p")
+    }
   }
 
   test("gap-fill two-phase arm: (metric, day) lead windows, broadcast day carry") {
@@ -296,9 +318,9 @@ class PlanSpec extends SparkSuite {
     val rows = Tables.events(spark, SfDir).select(
       col("event_type").as("metric"), col("ts"), col("value"))
     Seq[org.apache.spark.sql.DataFrame => String](
-      df => RelationalOps.gapfillLocfOn(df, twoPhase = true)
+      df => RelationalOps.gapfillLocfPlan(df, twoPhase = true)
         .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode),
-      df => RelationalOps.gapfillInterpOn(df, twoPhase = true)
+      df => RelationalOps.gapfillInterpPlan(df, twoPhase = true)
         .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
     ).foreach { mk =>
       val p = mk(rows)
