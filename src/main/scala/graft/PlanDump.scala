@@ -33,9 +33,18 @@ object PlanDump {
       .config("spark.sql.constraintPropagation.enabled", "false")
       .config("spark.sql.optimizer.dynamicPartitionPruning.enabled", "false")
       .getOrCreate()
+    // experiment passthrough ("k=v;k=v"), same contract as Bench/Verify —
+    // lets a dump show the producing plan the resultOrder checkpoint
+    // hides (spark.graft.resultOrderCheckpoint=false), or any gate arm
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.contains("="))
+      .foreach { kv => val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v) })
     spark.sparkContext.setLogLevel("ERROR")
     Files.createDirectories(Paths.get(outDir))
     val selected = only.fold(SparkEntry.queries)(ks => SparkEntry.queries.filter(kv => ks(kv._1)))
+    // a failed dump must fail the RUN, not just print: a silently
+    // incomplete plan set makes downstream before/after claims compare
+    // against missing files
+    var failures = 0
     selected.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
@@ -46,9 +55,14 @@ object PlanDump {
         println(s"[plandump] $name ok")
       } catch {
         case e: Throwable =>
+          failures += 1
           println(s"[plandump] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
       }
     }
     spark.stop()
+    if (failures > 0) {
+      System.err.println(s"PLANDUMP FAILED: $failures queries did not dump")
+      sys.exit(1)
+    }
   }
 }

@@ -61,8 +61,8 @@ object Plans {
       "q_pack_sequences" -> "two-phase global prefix sum: corpus cumsum windows partition by the coarse doc-id bucket; only the bucket-cardinality offset table (N/4096 rows) crosses one task and broadcasts back — never a single-partition window over the corpus",
       "q_contam_coverage" -> "per-doc gram sets in-row (native ngram_hashes — gram cardinality is size(), no corpus distinct); MB-scale eval grams broadcast into the shared-gram join; one doc_id aggregate + one broadcast left join back",
       "q_dedup_semantic" -> "zero-shuffle in-row nearest_centroid assignment against the literal trained-centroid matrix; ONE cluster-key exchange into flatMapGroups; pairwise scoring strictly cluster-local (k bounds the block) — never an all-pairs join",
-      "q_downsample_ohlc" -> "candlestick extrema via min_by/max_by partial+final aggregation around ONE (metric, bucket) exchange — no window, no per-bucket sort; the corpus crosses the wire as one candle per (bucket, partition)",
-      "q_downsample_lttb" -> "two corpus aggregates (bucket averages; per-bucket area argmax via partial max_by) with the tiny anchor table broadcast back — the sequential prev-selection recurrence of classic LTTB is gone, nothing funnels into a per-metric single task",
+      "q_downsample_ohlc" -> "candlestick extrema via flat-buffer argmax (ArgMaxKey) partial+final HASH aggregation around ONE (metric, bucket) exchange — no window, no per-bucket sort, no SortAggregate (max_by's struct buffer was one); the corpus crosses the wire as one candle per (bucket, partition)",
+      "q_downsample_lttb" -> "two corpus aggregates (bucket averages; per-bucket area argmax via partial arg_max_key, hash-based — max_by's struct buffer forced a SortAggregate pair) with the tiny anchor table broadcast back — the sequential prev-selection recurrence of classic LTTB is gone, nothing funnels into a per-metric single task",
       "q_sim_topk_batch" -> "broadcast query set (BroadcastNestedLoopJoin of a literal handful of rows); per-query rank window capped by WindowGroupLimit on BOTH sides of the qid exchange — shuffle volume k·queries·partitions, never the scored corpus",
       "q_sim_topk_pq" -> "compressed-domain serving is ONE scan with ZERO exchanges: eight in-row nearest_centroid sub-assignments against literal codebooks, ADC distance as eight lookups into a folded 8×16 literal table, top-k via TakeOrderedAndProject",
       "q_pq_stats" -> "PQ distortion diagnostics: each sub-assignment PROJECTED once (Generate inputs get no subexpression elimination) + native squared_l2, then one SubM·PqK-row partial+final aggregate — the exploded stream NEVER crosses an exchange (map-side partials bound every partition at SubM·PqK rows; the old pre-aggregate SinglePartition fuse was exactly that full-stream exchange, removed round 12); size-gated fanOut spreads the single-split fixture scan",

@@ -144,7 +144,39 @@ object Tables {
       val singleReducerMax = 64L << 20
       val size = planningSize(df)
       if (size < singleReducerMax) df.repartition(1).sortWithinPartitions(cols: _*)
-      else df.orderBy(cols: _*)
+      else {
+        // Large ordered export: keep the parallel range sort, but
+        // localCheckpoint first when the producing plan is EXPENSIVE TO
+        // RECOMPUTE — RangePartitioning runs a SAMPLING job over its child
+        // to pick bounds, so an un-materialized result pays its whole
+        // producing plan TWICE (guide §2.4 — the same accidental second
+        // full pass the r17 gap-fill fix removed; join-size estimates are
+        // pessimistic products, so every join-bearing query lands in this
+        // branch). "Expensive" = the plan reduces or expands cardinality
+        // (Aggregate / Window / Generate): there the chain costs far more
+        // than storing its (smaller) result once — measured at sf3:
+        // q_dedup_apply 12.5 → 10.4 s, q_sessionize 3.5 → 3.2 s,
+        // q_tfidf 3.1 → 2.8 s, same binary, checkpoint off vs on. A flat
+        // scan→project/join export (snk_jdbc, q_enrich_join) re-executes
+        // as one extra streaming pass, CHEAPER than a result-sized disk
+        // round-trip — those keep the plain range sort (measured: the
+        // checkpoint cost them 5-10%). Lazy: the sampling pass is the
+        // first action and materializes the blocks the sort shuffle then
+        // re-reads. The conf escape hatch exists ONLY so plan-shape specs
+        // and dumps can show the producing plan the checkpoint hides
+        // behind an RDD scan (the minhashDocsPlan convention at the one
+        // chokepoint every query shares); bench/verify/production
+        // sessions never set it.
+        import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Generate, Window => LWindow}
+        val heavy = df.queryExecution.analyzed.collectFirst {
+          case _: Aggregate => (); case _: LWindow => (); case _: Generate => ()
+        }.isDefined
+        val ckptOff = df.sparkSession.conf
+          .getOption("spark.graft.resultOrderCheckpoint").contains("false")
+        val base =
+          if (heavy && !ckptOff) df.localCheckpoint(eager = false) else df
+        base.orderBy(cols: _*)
+      }
     }
   }
 

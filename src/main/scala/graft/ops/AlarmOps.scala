@@ -150,7 +150,11 @@ object AlarmOps {
     events
       .filter(col("event_type").isin("click", "view", "purchase", "error"))
       .groupBy(col("user_id"), col("event_type"))
-      .agg(max_by(col("value"), struct(col("ts"), col("event_id"))).as("last_value"))
+      // flat-buffer argmax, not max_by over a (ts, event_id) struct: the
+      // struct buffer forced this corpus-input aggregate into a
+      // SortAggregate pair (see graft.functions.ArgMaxKey)
+      .agg(graft.functions.ArgMaxKey.scalar(col("ts"), col("event_id"),
+        col("value")).as("last_value"))
       .groupBy(col("user_id"))
       .agg(
         max(when(col("event_type") === "error", col("last_value"))).as("last_error"),

@@ -14,10 +14,12 @@ import org.apache.spark.sql.functions._
   *
   * Two operators:
   *  - [[downsampleOhlc]]: per (metric, hour) open/high/low/close — the
-  *    candlestick/decimation shape. Pure partial+final aggregation:
-  *    `min_by`/`max_by` on a (ts, event_id) tie-broken ordering key
-  *    map-side-combine like any min/max, so the corpus crosses the wire
-  *    as one row per (metric, bucket, partition). No window, no sort.
+  *    candlestick/decimation shape. Pure partial+final HASH aggregation:
+  *    the flat-buffer argmax ([[graft.functions.ArgMaxKey]]) on a
+  *    (ts, event_id) tie-broken ordering key map-side-combines like any
+  *    min/max, so the corpus crosses the wire as one row per (metric,
+  *    bucket, partition). No window, no sort (the former min_by/max_by
+  *    struct buffers planned a SortAggregate pair — r18).
   *  - [[downsampleLttb]]: largest-triangle-three-buckets with FIXED anchors
   *    (each bucket's candidate areas are computed against the neighboring
   *    buckets' average points, not the previously SELECTED point). Classic
@@ -32,8 +34,8 @@ import org.apache.spark.sql.functions._
   *
   * Determinism/oracle notes: triangle areas are exact integers (µs × cents,
   * doubled — the /2 is monotone and dropped), ties broken by smallest
-  * event_id — a lexicographic (area, −event_id) struct key under max_by
-  * here (unbounded id domain), the equivalent `area·2^63 − event_id`
+  * event_id — a lexicographic (area, −event_id) key pair under the typed
+  * argmax here (unbounded id domain), the equivalent `area·2^63 − event_id`
   * HUGEINT encode in DuckDB (order-correct for every non-negative BIGINT
   * id). Integer bucket averages subtract a per-bucket base
   * (bx for x, min for y) before summing so the division operands are
@@ -49,6 +51,7 @@ import org.apache.spark.sql.functions._
 object DownsampleOps {
 
   private def ev(s: SparkSession, dir: String): DataFrame = Tables.events(s, dir)
+
 
   /** LTTB bucket width in microseconds (1 hour). */
   val LttbBucketUs: Long = 3600L * 1000000L
@@ -73,19 +76,26 @@ object DownsampleOps {
     downsampleOhlcOn(ev(s, dir))
 
   def downsampleOhlcOn(events: DataFrame): DataFrame = {
-    val ord = struct(col("ts"), col("event_id"))
     val hourUs = 3600L * 1000000L
     events.filter(col("value").isNotNull)
       .withColumn("x", unix_micros(col("ts")))
       .select(col("event_type").as("metric"),
         timestamp_micros(expr(s"x - pmod(x, ${hourUs}L)")).as("bucket"),
-        col("ts"), col("event_id"), col("value"))
+        col("x"), col("ts"), col("event_id"), col("value"))
       .groupBy(col("metric"), col("bucket"))
+      // open/close via the flat-buffer argmax (graft.functions.ArgMaxKey),
+      // not min_by/max_by over a (ts, event_id) STRUCT: the struct buffer
+      // forced the whole candlestick aggregate into a SortAggregate pair
+      // (corpus-local sort below the exchange and above it). unix_micros
+      // is strictly monotone in ts, so ordering by (x, event_id) is the
+      // same order and min-selection is the argmax of the negated keys.
       .agg(
-        min_by(col("value"), ord).as("open_v"),
+        graft.functions.ArgMaxKey.scalar(-col("x"), -col("event_id"),
+          col("value")).as("open_v"),
         max(col("value")).as("high_v"),
         min(col("value")).as("low_v"),
-        max_by(col("value"), ord).as("close_v"),
+        graft.functions.ArgMaxKey.scalar(col("x"), col("event_id"),
+          col("value")).as("close_v"),
         count(lit(1)).as("n_samples"))
       .resultOrder(col("metric"), col("bucket"))
   }
@@ -139,14 +149,29 @@ object DownsampleOps {
       c.cast("decimal(38,0)")
     val area2 = abs((wide(col("xl")) - wide(col("xr"))) * (wide(col("y")) - wide(col("yl"))) -
       (wide(col("xl")) - wide(col("x"))) * (wide(col("yr")) - wide(col("yl"))))
-    val selkey =
-      when(col("xl").isNull, struct((-col("x")).as("k1"), (-col("event_id")).as("k2")))
-        .when(col("xr").isNull, struct(col("x").as("k1"), col("event_id").as("k2")))
-        .otherwise(struct(area2.as("k1"), (-col("event_id")).as("k2")))
+    // the two key parts stay SEPARATE columns (k1 decimal(38,0), k2 long —
+    // the same types the `when` coercion gave the former selkey STRUCT's
+    // fields, so the comparison order is bit-identical): built-in
+    // max_by(payload, struct(k1, k2)) keeps the struct in its aggregation
+    // buffer, a non-UnsafeRow-mutable type that makes HashAggregateExec
+    // ineligible and forced the selection into a SortAggregate PAIR — a
+    // full corpus-local sort below the exchange and another above it
+    // (r17 before-plan nodes 22-26). ArgMaxKey flattens the buffer to
+    // mutable scalars so the identical (k1, k2) argmax hash-aggregates in
+    // whole-stage codegen, no sort on either side (guide §4 — per-task
+    // work — after the r17 rounds fixed the job shape).
+    val selK1 =
+      when(col("xl").isNull, wide(-col("x")))
+        .when(col("xr").isNull, wide(col("x")))
+        .otherwise(area2)
+    val selK2 =
+      when(col("xl").isNull, -col("event_id"))
+        .when(col("xr").isNull, col("event_id"))
+        .otherwise(-col("event_id"))
     pts.join(Tables.broadcastIfSmall(anchors), Seq("metric", "bx"))
-      .withColumn("selkey", selkey)
       .groupBy(col("metric"), col("bx"))
-      .agg(max_by(struct(col("ts"), col("value")), col("selkey")).as("sel"))
+      .agg(graft.functions.ArgMaxKey.structOf(selK1, selK2,
+        "ts" -> col("ts"), "value" -> col("value")).as("sel"))
       .select(col("metric"), timestamp_micros(col("bx")).as("bucket"),
         col("sel.ts").as("ts"), col("sel.value").as("sel_value"))
       .resultOrder(col("metric"), col("bucket"))

@@ -341,7 +341,15 @@ object RecallOps {
     val km = ClusterOps.trainedModel(s, dir)
     val pq = PqOps.trainedPq(s, dir)
     // the shared working set: one corpus scan + one derivation pass,
-    // checkpointed; every arm below reads these blocks
+    // checkpointed; every arm below reads these blocks.
+    // Cluster-deployment note (disclosed, not a fixture-scale concern):
+    // localCheckpoint is EXECUTOR-LOCAL storage with the lineage
+    // truncated — an executor loss mid-audit fails the query instead of
+    // recomputing, and the blocks are freed only when the driver GCs the
+    // RDD (ContextCleaner), not at result materialization. At 100 TB run
+    // the audit with reliable checkpointing (spark.checkpoint.dir +
+    // Dataset.checkpoint) or persist(MEMORY_AND_DISK_2), trading one
+    // blocking write for recoverability; the plan shape is identical.
     val base = withClusterCol(
       SimilarityOps.nanFreeEmbeddings(s, dir)
         .withColumn("bucket", SimilarityOps.signBucket(col("embedding"))), km)

@@ -650,7 +650,11 @@ object RelationalOps {
     // day-cardinality rows before its (tiny) exchange — the cheap,
     // conf-independent distributed plan.
     val carries = rows.groupBy(col("metric"), col("day"))
-      .agg(max_by(col("cents"), struct(col("ts"), col("event_id"))).as("day_last"))
+      // flat-buffer argmax, not max_by over a (ts, event_id) struct: the
+      // struct buffer forced this corpus-input aggregate into a
+      // SortAggregate pair (see graft.functions.ArgMaxKey)
+      .agg(graft.functions.ArgMaxKey.scalar(col("ts"), col("event_id"),
+        col("cents")).as("day_last"))
       .withColumn("carry",
         lag(col("day_last"), 1).over(Window.partitionBy(col("metric")).orderBy(col("day"))))
       .select(col("metric"), col("day"), col("carry"))

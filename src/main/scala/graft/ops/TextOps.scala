@@ -483,8 +483,18 @@ object TextOps {
   def lmScore(s: SparkSession, dir: String): DataFrame =
     lmScoreOn(Tables.fanOut(Tables.documents(s, dir)))
 
+  /** The exploded (doc_id, bigram) stream — exposed unmaterialized so
+    * PlanSpec can assert the in-row extraction shape the checkpoint in
+    * [[lmScoreOn]] hides behind an RDD scan. */
+  private[graft] def lmPairStream(docs: DataFrame): DataFrame =
+    tokenized(docs).select(col("doc_id"), explode(bigramsCol).as("bigram"))
+
   def lmScoreOn(docs: DataFrame): DataFrame = {
-    val pairs = tokenized(docs).select(col("doc_id"), explode(bigramsCol).as("bigram"))
+    // ONE extraction (guide §2.4 — r18): the count aggregate and the
+    // scoring join both consume the lazily checkpointed pair stream; the
+    // r17 shape re-ran the tokenize + explode subtree once per consumer
+    // (two corpus extractions in the before-plan, nodes 1-6 and 7-12)
+    val pairs = lmPairStream(docs).localCheckpoint(eager = false)
     val counts = pairs.groupBy(col("bigram")).agg(count(lit(1)).as("c"))
     pairs.join(Tables.broadcastIfSmall(counts), "bigram")
       .groupBy(col("doc_id"))
@@ -546,18 +556,35 @@ object TextOps {
     * final per-doc top-3 row_number window's hashpartitioning(doc_id) —
     * which Spark caps with WindowGroupLimit (per-partition rank-limit
     * pushdown before the exchange).
+    *
+    * The term stream is extracted ONCE (guide §2.4 — r18): the df
+    * aggregate and the scoring join both consume a lazily
+    * `localCheckpoint`ed copy of the exploded (doc_id, ntok, term, c)
+    * stream, where the r17 shape re-ran the whole `term_counts`
+    * normalization + explode a second time to feed the df side (3 corpus
+    * extractions incl. the n_docs count; the before-plan shows
+    * `documents.parquet` scanned three times). n_docs stays a separate
+    * corpus COUNT, but over the raw, un-fanned scan: columnless parquet
+    * row-count, no fan-out exchange, no text decode.
     */
   def tfidf(s: SparkSession, dir: String): DataFrame =
-    tfidfOn(Tables.fanOut(Tables.documents(s, dir)), 3)
+    tfidfOn(Tables.documents(s, dir), 3)
 
-  def tfidfOn(docs: DataFrame, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val tf = docs
+  /** The exploded per-(doc, term) stream with in-row doc length — exposed
+    * unmaterialized so PlanSpec can assert the native-extraction shape the
+    * checkpoint in [[tfidfOn]] hides behind an RDD scan (the
+    * minhashDocsPlan convention). */
+  private[graft] def tfidfTermStream(docs: DataFrame): DataFrame =
+    Tables.fanOut(docs.select(col("doc_id"), col("text")))
       .select(
         col("doc_id"),
         size(split(trim(col("text")), "\\s+")).cast("long").as("ntok"),
         explode(termCounts(col("text"))).as("tc"))
       .select(col("doc_id"), col("ntok"), col("tc.term").as("term"), col("tc.c").as("c"))
+
+  def tfidfOn(docs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = tfidfTermStream(docs).localCheckpoint(eager = false)
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val scored = tf

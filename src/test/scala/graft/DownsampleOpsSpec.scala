@@ -148,6 +148,50 @@ class DownsampleOpsSpec extends SparkSuite {
     assert(got === ref)
   }
 
+  test("ArgMaxKey === max_by(payload, struct(k1, k2)) across partials, merges and serialization") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graftbridge
+    // deterministic pseudo-random (k1 decimal(38,0) spanning > long range,
+    // k2 long incl. negatives, payload struct) over few groups and many
+    // partitions, so partial buffers shuffle (serialize/deserialize/merge)
+    val rnd = new scala.util.Random(42)
+    val rows = (1 to 2000).map { i =>
+      val grp = rnd.nextInt(7)
+      // k1 mixes long-scale and beyond-long-scale magnitudes, with
+      // deliberate collisions so the k2 tie-break decides some groups
+      val k1 = if (rnd.nextBoolean()) BigDecimal(rnd.nextInt(5))
+        else BigDecimal(BigInt(Long.MaxValue)) * (rnd.nextInt(3) + 1) + rnd.nextInt(2)
+      (grp, k1.bigDecimal, rnd.nextLong(), i.toLong, s"p$i")
+    }
+    val df = spark.createDataFrame(rows).toDF("g", "k1raw", "k2", "id", "tag")
+      .withColumn("k1", col("k1raw").cast("decimal(38,0)"))
+      .repartition(16)
+    def amk(k1: org.apache.spark.sql.Column, k2: org.apache.spark.sql.Column,
+        p: (String, org.apache.spark.sql.Column)*) =
+      graft.functions.ArgMaxKey.structOf(k1, k2, p: _*)
+    val payload = struct(col("id"), col("tag"))
+    // k2 made unique per (g, k1) would hide merge-order bugs; instead make
+    // the FULL pair unique (append id to k2's low bits is wrong for the
+    // ordering) — use (k2, id-as-tiebreak) folded into k2 via distinctness:
+    // the generator draws k2 from 2^64 so collisions within a (g, k1) are
+    // ~impossible; uniqueness of the pair keeps both sides deterministic
+    val got = df.groupBy("g")
+      .agg(amk(col("k1"), col("k2"), "id" -> col("id"), "tag" -> col("tag")).as("sel"))
+      .select(col("g"), col("sel.id"), col("sel.tag")).collect()
+      .map(r => (r.getInt(0), (r.getLong(1), r.getString(2)))).toMap
+    val want = df.groupBy("g")
+      .agg(max_by(payload, struct(col("k1"), col("k2"))).as("sel"))
+      .select(col("g"), col("sel.id"), col("sel.tag")).collect()
+      .map(r => (r.getInt(0), (r.getLong(1), r.getString(2)))).toMap
+    assert(got === want)
+    // and against plain Scala, independent of both Spark aggregates
+    val ref = rows.groupBy(_._1).map { case (g, rs) =>
+      val best = rs.maxBy(r => (BigDecimal(r._2), r._3))
+      g -> ((best._4, best._5))
+    }
+    assert(got === ref)
+  }
+
   test("q_downsample_ohlc edges: single-sample bucket collapses all four prices") {
     val e = eventsDf(Seq(
       (1L, "2024-01-01 00:10:00", 1L, "m", 5.5, ""),

@@ -10,8 +10,40 @@ import org.apache.spark.sql.execution.FormattedMode
   */
 class PlanSpec extends SparkSuite {
 
-  private def plan(key: String): String =
-    SparkEntry.queries(key)(spark, SfDir).queryExecution.explainString(FormattedMode)
+  /** The query's physical plan with resultOrder's pre-sort checkpoint
+    * disabled: the checkpoint replaces the whole producing plan with one
+    * `Scan ExistingRDD`, and these pins exist to assert the PRODUCING
+    * plan's shape (join strategy, pushdown, exchange count). The default
+    * (checkpoint ON) surface is pinned separately below. */
+  private def plan(key: String): String = {
+    spark.conf.set("spark.graft.resultOrderCheckpoint", "false")
+    try SparkEntry.queries(key)(spark, SfDir).queryExecution.explainString(FormattedMode)
+    finally spark.conf.unset("spark.graft.resultOrderCheckpoint")
+  }
+
+  test("resultOrder large branch: heavy plans checkpoint pre-sort, flat exports do not") {
+    // q_dedup_minhash's pair-join estimate exceeds the single-reducer
+    // bound AND its plan aggregates, so its resultOrder takes the
+    // parallel range sort over a CHECKPOINTED child — otherwise
+    // RangePartitioning's SAMPLING job re-executes the whole producing
+    // chain. Pin the default (checkpointed) shape; the producing plan's
+    // own pins run with the spec escape hatch above.
+    val heavy = SparkEntry.queries("q_dedup_minhash")(spark, SfDir)
+      .queryExecution.explainString(FormattedMode)
+    assert(heavy.contains("rangepartitioning"),
+      "large-result branch no longer a parallel range sort:\n" + heavy)
+    assert(heavy.contains("ExistingRDD"),
+      "pre-sort checkpoint missing — the range sampler re-executes the plan:\n" + heavy)
+    // q_enrich_join is a flat scan→broadcast-join export: recomputing it
+    // for the sampler is one extra streaming pass, cheaper than a
+    // result-sized disk round-trip — it must NOT checkpoint (measured
+    // 5-10% loss when it did)
+    val flat = SparkEntry.queries("q_enrich_join")(spark, SfDir)
+      .queryExecution.explainString(FormattedMode)
+    assert(flat.contains("rangepartitioning"), flat)
+    assert(!flat.contains("ExistingRDD"),
+      "flat export pays a pre-sort checkpoint it does not need:\n" + flat)
+  }
 
   test("q_last_value: top-1 via TakeOrderedAndProject with pushed metric filter") {
     val p = plan("q_last_value")
@@ -371,8 +403,14 @@ class PlanSpec extends SparkSuite {
       .select(col("event_type").as("metric"), col("ts"), col("event_id"),
         col("value"), floor(col("value") * 100 + 0.5).cast("long").as("c"))
   }
-  private def planOf(df: org.apache.spark.sql.DataFrame): String =
-    df.queryExecution.explainString(FormattedMode)
+  /** By-name for the same reason plan(key) toggles the conf: the
+    * resultOrder checkpoint decision happens at DataFrame CONSTRUCTION,
+    * so the frame must be built with the spec escape hatch set. */
+  private def planOf(df: => org.apache.spark.sql.DataFrame): String = {
+    spark.conf.set("spark.graft.resultOrderCheckpoint", "false")
+    try df.queryExecution.explainString(FormattedMode)
+    finally spark.conf.unset("spark.graft.resultOrderCheckpoint")
+  }
 
   test("q_counter_rate: fixture scale takes the single-phase path — one window, no join") {
     // below SinglePhaseMaxBytes the per-metric-sort ceiling is provably
@@ -545,7 +583,19 @@ class PlanSpec extends SparkSuite {
 
   test("q_tfidf: tf in-row, df broadcast back, ONE corpus exchange with rank-limit pushdown") {
     val p = plan("q_tfidf")
-    assert(p.contains("term_counts"), "native term_counts not in plan:\n" + p)
+    // the term stream is extracted ONCE and checkpointed; both consumers
+    // (df aggregate, scoring join) must read the materialized RDD instead
+    // of re-running the extraction (r17: two term_counts subtrees)
+    assert(p.contains("ExistingRDD"), "term stream not materialized once:\n" + p)
+    assert(!p.contains("term_counts"),
+      "an extraction subtree bypassed the checkpointed term stream:\n" + p)
+    // the extraction itself keeps the in-row native shape — asserted on
+    // the exposed pre-checkpoint plan (the minhashDocsPlan convention)
+    val stream = ops.TextOps.tfidfTermStream(Tables.documents(spark, SfDir))
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(stream.contains("term_counts"), "native term_counts not in plan:\n" + stream)
+    assert(!stream.contains("hashpartitioning"),
+      "tf extraction shuffles the corpus:\n" + stream)
     assert(p.contains("BroadcastHashJoin"), "df table not broadcast:\n" + p)
     assert(!p.contains("SortMergeJoin"), "corpus shuffled to join the vocabulary table:\n" + p)
     // per-doc top-3 must push a WindowGroupLimit below the exchange
@@ -672,12 +722,18 @@ class PlanSpec extends SparkSuite {
     assert("Window".r.findAllIn(p).size >= 2, p)
     // the offsets branch derives from the SAME windowed stream; at
     // runtime AQE must reuse the corpus bucket exchange so the scan +
-    // tokenization run once (the reuse is invisible in static explain)
-    val df = SparkEntry.queries("q_pack_sequences")(spark, SfDir)
-    df.collect()
-    assert(df.queryExecution.executedPlan.toString.contains("ReusedExchange"),
-      "corpus scanned/tokenized twice — bucket exchange not reused:\n" +
-        df.queryExecution.executedPlan.toString)
+    // tokenization run once (the reuse is invisible in static explain).
+    // Built with the spec escape hatch: under the default resultOrder
+    // checkpoint the producing plan (and its ReusedExchange) executes
+    // inside the checkpointed subtree, invisible to this executedPlan.
+    spark.conf.set("spark.graft.resultOrderCheckpoint", "false")
+    try {
+      val df = SparkEntry.queries("q_pack_sequences")(spark, SfDir)
+      df.collect()
+      assert(df.queryExecution.executedPlan.toString.contains("ReusedExchange"),
+        "corpus scanned/tokenized twice — bucket exchange not reused:\n" +
+          df.queryExecution.executedPlan.toString)
+    } finally spark.conf.unset("spark.graft.resultOrderCheckpoint")
   }
 
   test("q_contam_coverage: eval grams broadcast, native gram extraction, in-row gram counts") {
@@ -713,6 +769,14 @@ class PlanSpec extends SparkSuite {
     // presentation sort is the single-reducer repartition, not a hash one
     assert("hashpartitioning\\(".r.findAllIn(pLm).size <= 2,
       s"unexpected extra exchange:\n$pLm")
+    // the pair stream is extracted ONCE and checkpointed: both consumers
+    // read the materialized RDD (r17: two tokenize+explode subtrees)
+    assert(pLm.contains("ExistingRDD"), "pair stream not materialized once:\n" + pLm)
+    val pStream = ops.TextOps.lmPairStream(Tables.documents(spark, SfDir))
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(pStream.contains("Generate"), "in-row pair extraction missing:\n" + pStream)
+    assert(!pStream.contains("hashpartitioning"),
+      "pair extraction shuffles the corpus:\n" + pStream)
   }
 
   test("q_funnel: ONE corpus scan, pushed stage-set filter, one user exchange, no joins") {
@@ -866,21 +930,31 @@ class PlanSpec extends SparkSuite {
 
   test("q_downsample_ohlc: pure partial+final aggregation — no window, no ranking sort") {
     val p = plan("q_downsample_ohlc")
-    // min_by/max_by must combine map-side: two aggregate STAGES (each node
-    // prints twice in formatted mode) around one group-key exchange
-    assert(p.contains("partial_min_by") && p.contains("partial_max_by"),
+    // open/close must combine map-side: two aggregate STAGES (each node
+    // prints twice in formatted mode) around one group-key exchange; the
+    // flat-buffer argmax keeps the whole candlestick aggregate hash-based
+    // (max_by's struct buffer forced a SortAggregate pair — r18)
+    assert("partial_arg_max_key".r.findAllIn(p).size == 2,
       "OHLC extrema not map-side combined:\n" + p)
-    assert(!p.contains("Window"), "window-function ranking instead of min_by/max_by:\n" + p)
+    assert(!p.contains("SortAggregate"),
+      "candlestick aggregate fell back to sort aggregation:\n" + p)
+    assert(!p.contains("Window"), "window-function ranking instead of argmax:\n" + p)
     assert("hashpartitioning\\(".r.findAllIn(p).size == 1,
       s"OHLC shuffles the corpus more than once:\n$p")
   }
 
-  test("q_downsample_lttb: anchors broadcast back, selection as partial max_by") {
+  test("q_downsample_lttb: anchors broadcast back, hash-aggregated typed argmax selection") {
     val p = plan("q_downsample_lttb")
     assert(p.contains("BroadcastHashJoin"), "anchor table not broadcast:\n" + p)
     assert(!p.contains("SortMergeJoin"),
       "corpus shuffled to join the bucket-average anchors:\n" + p)
-    assert(p.contains("partial_max_by"), "LTTB selection not map-side combined:\n" + p)
+    assert(p.contains("partial_arg_max_key"),
+      "LTTB selection not map-side combined:\n" + p)
+    // the selection is the flat-buffer declarative argmax: the built-in
+    // max_by's struct buffer forced a SortAggregate pair, i.e. a full
+    // corpus-local sort below the selection exchange (r18)
+    assert(!p.contains("SortAggregate"),
+      "selection fell back to sort aggregation:\n" + p)
     // the only corpus-scale exchanges are the two aggregates (bucket
     // averages; selection); the anchor window runs on the tiny average
     // table — 3 hash exchanges total, anything more means the corpus
