@@ -139,6 +139,21 @@ class RelationalOpsSpec extends SparkSuite {
     }
   }
 
+  test("q_counter_rate: two-phase (argmax day carries) equals the single-phase form") {
+    import org.apache.spark.sql.functions._
+    // the two-phase branch is gate-selected only at scale, so the r18
+    // ArgMaxKey day-carry rewrite needs an explicit fixture-level equality
+    // pin against the single-phase (plain per-metric lag) form
+    val rows = Tables.events(spark, SfDir).filter(col("value").isNotNull)
+      .select(col("event_type").as("metric"), col("ts"), col("event_id"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getDouble(2), r.getLong(3)))
+      .toSet
+    assert(canon(RelationalOps.counterRateOn(rows, twoPhase = true)) ===
+      canon(RelationalOps.counterRateOn(rows, twoPhase = false)))
+  }
+
   test("q_counter_rate: per-bucket increase matches an independent replay with resets") {
     val rows = RelationalOps.counterRate(spark, SfDir).collect()
       .map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2), r.getLong(3)))
